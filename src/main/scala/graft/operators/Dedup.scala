@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Similarity.{cosine, toDoubleVec}
+
+/** Document deduplication for training-data pipelines, each shape a
+  * first-class operator over the `documents` table:
+  *
+  *  - exact (content-hash groupBy)
+  *  - normalized fingerprint (rolling normalization → hash groupBy)
+  *  - n-gram Jaccard (shingle inverted-index self-join)
+  *  - MinHash + LSH (shingle → signature → band buckets → bucket join)
+  *  - SimHash (per-bit majority vote → 16-bit fingerprint)
+  *  - embedding cosine near-dup (pairwise; LSH/IVF is the scale path, see
+  *    [[Similarity]])
+  *
+  * Scale design: every variant is shuffle-bounded by its key (hash, shingle,
+  * band bucket), never by document pairs — the pair space only materializes
+  * *within* buckets, which is the property that makes MinHash/LSH viable at
+  * 100 TB. All hashing is md5-based so the DuckDB oracle reproduces results
+  * bit-for-bit (Spark and DuckDB md5 both emit lowercase hex).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by md5 of raw text. One shuffle on the hash;
+    * at scale this is the cheapest possible dedup (map-side partial agg). */
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  val exactSql: String =
+    "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1"
+
+  /** Whitespace/punctuation-insensitive fingerprint: lowercase, collapse all
+    * non-alphanumeric runs to single spaces, trim, md5. Catches trivially
+    * reformatted duplicates that exact-hash misses. */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fingerprint"))
+
+  val fingerprintSql: String =
+    "SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint FROM documents"
+
+  // ---- shared shingling (word 3-grams) ------------------------------------
+
+  /** Distinct word-3-gram shingles per document: (doc_id, shingle).
+    * transform(sequence(...)) builds the shingle list without a join;
+    * explode + distinct is one narrow pass, so the only shuffle downstream
+    * is on the shingle key itself. */
+  def shingles(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t) - $n), i -> concat_ws(' ', ${(0 until n).map(k => s"t[i + $k]").mkString(", ")}))"
+      )).as("shingle"))
+      .distinct()
+  }
+
+  /** DuckDB twin of [[shingles]] as a WITH-clause body (1-based lists). */
+  def shinglesSql(n: Int = 3): String = {
+    val parts = (0 until n).map(k => s"t[i + $k]").mkString(" || ' ' || ")
+    s"""toks AS (SELECT doc_id, ${TextOps.tokensSql} AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, $parts AS shingle
+       |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - ${n - 1})) AS i) g
+       |       WHERE len(t) >= $n)""".stripMargin
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
+    * Inverted-index self-join on the shingle key: |pairs| is bounded by
+    * shingle co-occurrence, not |docs|². At 100 TB you'd pre-filter hot
+    * shingles (document-frequency cap) — semantics preserved here because
+    * the synthetic corpus has no degenerate shingles. */
+  def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(spark, sfDir).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("sa.n") + col("sb.n") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  def ngramJaccardSql(threshold: Double = 0.8): String =
+    s"""WITH ${shinglesSql(3)},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+       |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= $threshold""".stripMargin
+
+  // ---- MinHash + LSH ------------------------------------------------------
+
+  val MinhashHashes = 16 // 4 bands × 4 rows
+  val MinhashBands = 4
+
+  /** MinHash/LSH candidate pairs. Hash family i = md5(i ++ ":" ++ shingle)
+    * (lowercase hex compares lexicographically the same in both engines);
+    * signature = per-(doc, i) min; band key = md5 of the band's 4 sigs;
+    * candidates = distinct doc pairs sharing a (band, key) bucket.
+    *
+    * This is THE 100 TB dedup path: cost is linear in total shingles plus
+    * the within-bucket pair expansion (controlled by band/row choice), with
+    * no quadratic term. */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = MinhashHashes / MinhashBands
+    val sigs = shingles(spark, sfDir)
+      .select(col("doc_id"), col("shingle"),
+        explode(expr(s"sequence(0, ${MinhashHashes - 1})")).as("i"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("shingle")))).as("sig"))
+    val slots = (0 until rows).map(k =>
+      max(when(pmod(col("i"), lit(rows)) === k, col("sig"))).as(s"s$k"))
+    val bands = sigs
+      .groupBy(col("doc_id"), floor(col("i") / rows).cast("int").as("band"))
+      .agg(slots.head, slots.tail: _*)
+      .select(col("doc_id"), col("band"),
+        md5(concat_ws("|", (0 until rows).map(k => col(s"s$k")): _*)).as("bk"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  def minhashLshSql: String = {
+    val rows = MinhashHashes / MinhashBands
+    val slotExprs = (0 until rows).map(k =>
+      s"max(CASE WHEN i % $rows = $k THEN sig END)").mkString(" || '|' || ")
+    s"""WITH ${shinglesSql(3)},
+       |sigs AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig
+       |         FROM sh, LATERAL (SELECT unnest(generate_series(0, ${MinhashHashes - 1})) AS i) s
+       |         GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, CAST(i // $rows AS INT) AS band, md5($slotExprs) AS bk
+       |          FROM sigs GROUP BY doc_id, i // $rows)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  val SimhashBits = 16
+
+  /** 16-bit SimHash fingerprint per document. Bit j's vote for a token is
+    * the parity of hex digit j of md5(token) (portable across engines);
+    * votes are weighted by token frequency; bit j is set when the vote sum
+    * is positive. Narrow map + one doc_id shuffle. */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("tok"), explode(expr(s"sequence(0, ${SimhashBits - 1})")).as("j"))
+      .withColumn("bit",
+        (instr(lit("0123456789abcdef"), substring(md5(col("tok")), col("j") + 1, lit(1))) - 1) % 2)
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("bit") * 2 - 1).as("vote"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("vote") > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(lit(0L)))
+        .cast("long").as("simhash"))
+
+  val simhashSql: String =
+    s"""WITH occ AS (SELECT doc_id, unnest(${TextOps.tokensSql}) AS tok FROM documents),
+       |bits AS (SELECT doc_id, j,
+       |    (strpos('0123456789abcdef', substr(md5(tok), j + 1, 1)) - 1) % 2 AS bit
+       |  FROM occ, LATERAL (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS j) s),
+       |votes AS (SELECT doc_id, j, sum(bit * 2 - 1) AS vote FROM bits GROUP BY doc_id, j)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM votes GROUP BY doc_id""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs (cos ≥ threshold, a < b).
+    * Pairwise here (the corpus is small); the bucketed scale path is
+    * [[Similarity.knnIvf]]'s centroid partitioning. */
+  def embeddingNearDup(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", graft.functions.VectorExpressions.vec_norm(col("v")))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Similarity.cosinePre(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  def embeddingNearDupSql(threshold: Double = 0.4): String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(${Similarity.cosineSql("a", "b")}, 6) AS cos_sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE ${Similarity.cosineSql("a", "b")} >= $threshold""".stripMargin
+}

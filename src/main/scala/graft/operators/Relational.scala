@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Exact._
+
+/** TPC-H-style relational coverage over the driver testdata (TESTDATA.md).
+  *
+  * The reference itself has no joins/windows (SURVEY.md §2.3); these queries
+  * exist because the engine is a general analytics library, and they are the
+  * bench headliners. Each is written so Catalyst gets a fully declarative
+  * plan: filters reach the parquet scan (PushedFilters), projections prune
+  * columns (ReadSchema), small dimension tables are broadcast, and the big
+  * fact-table shuffles carry pre-aggregated (partial HashAggregate) rows.
+  */
+object Relational {
+
+  /** TPC-H Q1 analog: scan-heavy single-shuffle aggregation over lineitem.
+    * At 100 TB this is the canonical "scan + partial agg + tiny exchange"
+    * shape — the exchange carries ≤ (#flags × #status) rows per task.
+    */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice"), 24, 2).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        davg(col("l_extendedprice"), 24, 2).as("avg_price"),
+        davg(col("l_discount"), 12, 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val q1AggSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       | sum(l_quantity) AS sum_qty,
+       | ${sqlSum("l_extendedprice", 24, 2)} AS sum_base_price,
+       | ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       | ${sqlSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       | (sum(l_quantity) / count(*)) AS avg_qty,
+       | ${sqlAvg("l_extendedprice", 24, 2)} AS avg_price,
+       | ${sqlAvg("l_discount", 12, 4)} AS avg_disc,
+       | count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 analog: 3-way join + agg + top-10. customer is the small side
+    * (broadcast); orders⋈lineitem shuffles on the shared orderkey so the
+    * join and the groupBy reuse one partitioning. Top-k runs as a partial
+    * TakeOrdered per partition — no global sort of the aggregate. */
+  def q3Topk(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, sfDir).filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(col("l_orderkey"), unix_timestamp(col("o_orderdate")).as("o_orderdate_epoch"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3TopkSql: String =
+    s"""SELECT l_orderkey,
+       | CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
+       | o_orderpriority,
+       | ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem, orders, customer
+       |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |  AND c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey ASC
+       |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 analog: 6-way star join. region/nation/supplier/customer are
+    * dimensions (broadcast); only the orders⋈lineitem edge shuffles. */
+  def q5Region(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val cust = Tables.customer(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    val reg = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+
+  }
+
+  val q5RegionSql: String =
+    s"""SELECT n_name, ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem, orders, customer, supplier, nation, region
+       |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+       |GROUP BY n_name""".stripMargin
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-quality operators for training-data curation over `documents`:
+  * quality scoring, language ID (stopword-marker heuristic), token counting
+  * (whitespace + BPE-ish regex). All are narrow per-document maps (zero or
+  * one shuffle), so they scale embarrassingly — at 100 TB these run at scan
+  * speed with full column pruning.
+  */
+object TextAnalysis {
+
+  val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Per-document quality features + a composite score. Pure map — no
+    * shuffle at all; every expression is codegen'd (no UDFs). */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    Tables.documents(spark, sfDir)
+      .withColumn("t", TextOps.tokens(col("text")))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("sum_tok_len", expr("aggregate(transform(t, x -> length(x)), 0, (acc, x) -> acc + x)"))
+      .withColumn("n_stop", expr(s"size(filter(t, x -> x IN ($stopList)))"))
+      .withColumn("avg_token_len",
+        round(col("sum_tok_len").cast("double") / col("n_tokens").cast("double"), 6))
+      .withColumn("punct_ratio",
+        round(length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("double") /
+          length(col("text")).cast("double"), 6))
+      .withColumn("stopword_ratio",
+        round(col("n_stop").cast("double") / col("n_tokens").cast("double"), 6))
+      .withColumn("quality_score",
+        round(col("n_stop").cast("double") / col("n_tokens").cast("double") * 0.3
+          + least(col("n_tokens"), lit(100L)).cast("double") / 100.0 * 0.4
+          + (lit(1.0) - length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("double") /
+              length(col("text")).cast("double")) * 0.3, 6))
+      .filter(col("n_tokens") > 0)
+      .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio", "quality_score")
+  }
+
+  val qualitySql: String = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id, ${TextOps.tokensSql} AS t, text FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) AS n_tokens,
+       |    list_sum(list_transform(t, x -> length(x))) AS sum_tok_len,
+       |    len(list_filter(t, x -> x IN ($stopList))) AS n_stop,
+       |    length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+       |    length(text) AS n_chars
+       |  FROM f)
+       |SELECT doc_id, n_tokens,
+       |  round(CAST(sum_tok_len AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
+       |  round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+       |  round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+       |  round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.3
+       |    + CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 0.4
+       |    + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.3, 6) AS quality_score
+       |FROM g WHERE n_tokens > 0""".stripMargin
+  }
+
+  /** Language-marker vote lists (tiny, broadcast as literals into the
+    * expression — no dimension table needed). */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "las", "que", "y"))
+
+  /** N-gram/stopword language ID: count marker hits per language, pick the
+    * argmax (ties broken by language code; docs with zero hits → "und").
+    * One doc_id-keyed shuffle over marker hits only — the non-marker tokens
+    * are filtered out before the exchange. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val markerCase = LangMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      s"WHEN tok IN (${ws.map(w => s"'$w'").mkString(", ")}) THEN '$lang'"
+    }.mkString(" ")
+    val votes = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("lang_vote", expr(s"CASE $markerCase END"))
+      .filter(col("lang_vote").isNotNull)
+      .groupBy(col("doc_id"), col("lang_vote"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("votes").desc, col("lang_vote").asc)
+    val top = votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id").as("v_doc_id"), col("lang_vote"), col("votes"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(top, col("doc_id") === col("v_doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lang_vote"), lit("und")).as("pred_lang"),
+        coalesce(col("votes"), lit(0L)).as("votes"))
+  }
+
+  val langIdSql: String = {
+    val markerCase = LangMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      s"WHEN tok IN (${ws.map(w => s"'$w'").mkString(", ")}) THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH occ AS (SELECT doc_id, unnest(${TextOps.tokensSql}) AS tok FROM documents),
+       |v AS (SELECT doc_id, lang_vote, count(*) AS votes FROM (
+       |    SELECT doc_id, CASE $markerCase END AS lang_vote FROM occ)
+       |  WHERE lang_vote IS NOT NULL GROUP BY doc_id, lang_vote),
+       |top AS (SELECT doc_id, lang_vote, votes FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY votes DESC, lang_vote ASC) AS rn
+       |    FROM v) WHERE rn = 1)
+       |SELECT d.doc_id, coalesce(top.lang_vote, 'und') AS pred_lang,
+       |  coalesce(top.votes, 0) AS votes
+       |FROM documents d LEFT JOIN top ON d.doc_id = top.doc_id""".stripMargin
+  }
+
+  /** Token accounting per source: whitespace tokens, BPE-ish segments
+    * (letter runs / single digits / single punctuation), characters. */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))).cast("long").as("ws_tokens"),
+        sum(size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))))
+          .cast("long").as("bpe_tokens"),
+        sum(length(col("text"))).cast("long").as("n_chars"))
+
+  val tokenCountSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS ws_tokens,
+      |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+      |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY source""".stripMargin
+}

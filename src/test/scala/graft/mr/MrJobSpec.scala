@@ -1,0 +1,118 @@
+package graft.mr
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** End-to-end jobs against the reference's own fixtures and goldens
+  * (read-only under /root/reference; outputs go to temp dirs).
+  * Mirrors tests/test_integration_00..02 semantics. */
+class MrJobSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val RefInput = "/root/reference/tests/testdata/input"
+  private val RefExec = "/root/reference/tests/testdata/exec"
+  private val WcGolden = "/root/reference/tests/testdata/correct/word_count_correct.txt"
+  private val GrepGolden = "/root/reference/tests/testdata/correct/grep_correct.txt"
+
+  private def haveFixtures = Files.isDirectory(Paths.get(RefInput))
+
+  private def tmpOut(tag: String): Path = {
+    val d = Files.createTempDirectory(s"graft-mr-$tag-")
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private def readLines(p: Path): List[String] =
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split("\n", -1).toList.dropRight(1) // files end with trailing newline
+
+  test("native word count matches word_count_correct.txt (merged, like test_integration_01)") {
+    assume(haveFixtures)
+    val out = tmpOut("wc-native")
+    val engine = new MapReduceEngine(spark)
+    val (_, parts) = engine.submit(JobSpec(RefInput, out.toString,
+      Native(NativeQueries.wcMapSh), Native(NativeQueries.wcReduceSh),
+      numMappers = 2, numReducers = 2))
+    assert(parts.size === 2)
+    val got = parts.flatMap(p => readLines(Paths.get(p))).sorted(CByteOrdering)
+    val want = readLines(Paths.get(WcGolden)).sorted(CByteOrdering)
+    assert(got === want)
+  }
+
+  test("native word count with R=1 reproduces the golden byte order exactly") {
+    assume(haveFixtures)
+    val out = tmpOut("wc-r1")
+    MrJob.run(spark, JobSpec(RefInput, out.toString,
+      Native(NativeQueries.wcMapSh), Native(NativeQueries.wcReduceSh),
+      numMappers = 4, numReducers = 1))
+    val got = readLines(out.resolve("part-00000"))
+    val want = readLines(Paths.get(WcGolden))
+    assert(got === want) // C-sorted stream in, grouped stream out — no resort
+  }
+
+  test("exec word count (reference wc_map.sh/wc_reduce.sh) matches golden") {
+    assume(haveFixtures)
+    val out = tmpOut("wc-exec")
+    MrJob.run(spark, JobSpec(RefInput, out.toString,
+      Exec(Seq(s"$RefExec/wc_map.sh")), Exec(Seq(s"$RefExec/wc_reduce.sh")),
+      numMappers = 2, numReducers = 2))
+    val got = (0 until 2).flatMap(i => readLines(out.resolve(f"part-$i%05d")))
+      .sorted(CByteOrdering).toList
+    val want = readLines(Paths.get(WcGolden)).sorted(CByteOrdering)
+    assert(got === want)
+  }
+
+  test("exec grep matches grep_correct.txt byte-exactly (test_integration_00: M=2, R=1)") {
+    assume(haveFixtures)
+    val out = tmpOut("grep-exec")
+    MrJob.run(spark, JobSpec(RefInput, out.toString,
+      Exec(Seq(s"$RefExec/grep_map.py")), Exec(Seq(s"$RefExec/grep_reduce.py")),
+      numMappers = 2, numReducers = 1))
+    assert(readLines(out.resolve("part-00000")) === readLines(Paths.get(GrepGolden)))
+  }
+
+  test("native grep matches grep golden too") {
+    assume(haveFixtures)
+    val out = tmpOut("grep-native")
+    MrJob.run(spark, JobSpec(RefInput, out.toString,
+      Native(NativeQueries.grepMap("product")), Native(NativeQueries.grepReduce),
+      numMappers = 2, numReducers = 1))
+    assert(readLines(out.resolve("part-00000")) === readLines(Paths.get(GrepGolden)))
+  }
+
+  test("map routing matches test_worker_08 partition goldens (R=2)") {
+    // Partition+sort the mapper output of the reference input and check the
+    // per-partition key sets against the md5 routing contract.
+    assume(haveFixtures)
+    val sc = spark.sparkContext
+    val lines = MrJob.listInputFiles(spark, RefInput)
+      .map(f => sc.textFile(f, 1)).reduce(sc.union(_, _))
+    val mapped = lines.mapPartitions(NativeQueries.wcMapSh)
+    implicit val ord: Ordering[String] = CByteOrdering
+    val parts = mapped.map(l => (l, null))
+      .repartitionAndSortWithinPartitions(new Md5LinePartitioner(2))
+      .keys
+      .mapPartitionsWithIndex { case (pid, it) => it.map(l => (pid, Md5Partitioning.keyOf(l))) }
+      .distinct().collect().toSet
+    for (k <- Seq("", "bye", "hello") if parts.exists(_._2 == k))
+      assert(parts.contains((0, k)) && !parts.contains((1, k)))
+    for (k <- Seq("world", "goodbye", "hadoop") if parts.exists(_._2 == k))
+      assert(parts.contains((1, k)) && !parts.contains((0, k)))
+  }
+
+  test("FIFO engine assigns sequential job ids") {
+    assume(haveFixtures)
+    val engine = new MapReduceEngine(spark)
+    val (id0, _) = engine.submit(JobSpec(RefInput, tmpOut("fifo0").toString,
+      Native(NativeQueries.grepMap("product")), Native(NativeQueries.grepReduce), 1, 1))
+    val (id1, _) = engine.submit(JobSpec(RefInput, tmpOut("fifo1").toString,
+      Native(NativeQueries.grepMap("product")), Native(NativeQueries.grepReduce), 1, 1))
+    assert(id0 === 0 && id1 === 1)
+  }
+}
