@@ -24,6 +24,9 @@ object SparkEntry {
     "wc_by_source" -> ((s, d) => TextOps.wordcountBySource(s, d)),
     "grep_product" -> ((s, d) => TextOps.grep(s, d)),
     "grep_match" -> ((s, d) => TextOps.grep(s, d, "vector")),
+    // MapReduce engine end-to-end (F3–F7 dataflow over documents.text)
+    "mr_wordcount" -> ((s, d) => graft.mr.MrQueries.mrWordcount(s, d)),
+    "mr_grep" -> ((s, d) => graft.mr.MrQueries.mrGrep(s, d)),
     // Relational coverage (bench headliners)
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q1_rollup" -> ((s, d) => Relational.q1Rollup(s, d)),
@@ -61,6 +64,8 @@ object SparkEntry {
     "wc_by_source" -> TextOps.wordcountBySourceSql,
     "grep_product" -> TextOps.grepSql(),
     "grep_match" -> TextOps.grepSql("vector"),
+    "mr_wordcount" -> graft.mr.MrQueries.mrWordcountSql,
+    "mr_grep" -> graft.mr.MrQueries.mrGrepSql(),
     "q1_agg" -> Relational.q1AggSql,
     "q1_rollup" -> Relational.q1RollupSql,
     "q3_topk" -> Relational.q3TopkSql,

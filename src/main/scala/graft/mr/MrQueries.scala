@@ -1,0 +1,63 @@
+package graft.mr
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** The MapReduce engine surfaced through the oracle-checked query contract:
+  * the same jobs the golden tests run against reference fixtures, executed
+  * over `documents.text` as the line corpus and verified value-for-value
+  * against DuckDB. This closes the loop — the parity engine itself sits
+  * behind the strongest correctness gate, not just byte-compare tests.
+  */
+object MrQueries {
+
+  private val Reducers = 8
+
+  private def textLines(spark: SparkSession, sfDir: String) = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select("text").as[String].rdd
+  }
+
+  /** Word count through the full MR dataflow (map → md5-mod partition →
+    * C-sort → streaming reduce), i.e. F3+F4+F5+F6+F7 of SURVEY.md §2.1,
+    * with wc_map.sh/wc_reduce.sh stream semantics. */
+  def mrWordcount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    implicit val ord: Ordering[String] = CByteOrdering
+    val mapped = textLines(spark, sfDir).mapPartitions(NativeQueries.wcMapSh)
+    val reduced = mapped
+      .map(l => (l, null))
+      .repartitionAndSortWithinPartitions(new Md5LinePartitioner(Reducers))
+      .keys
+      .mapPartitions(NativeQueries.wcReduceSh)
+    reduced.map { l =>
+      val i = l.lastIndexOf('\t')
+      (l.substring(0, i), l.substring(i + 1).toLong)
+    }.toDF("word", "cnt")
+  }
+
+  /** Oracle twin of wc_map.sh tokenization: split on single spaces/tabs
+    * KEEPING empty segments (tr turns each separator into a newline), then
+    * lowercase. */
+  val mrWordcountSql: String =
+    """SELECT lower(w) AS word, count(*) AS cnt
+      |FROM (SELECT unnest(string_split_regex(text, '[ \t]')) AS w FROM documents)
+      |GROUP BY 1""".stripMargin
+
+  /** Grep through the MR dataflow with grep_map.py/grep_reduce.py stream
+    * semantics (strip, drop blanks, lowercase containment, constant key). */
+  def mrGrep(spark: SparkSession, sfDir: String, q: String = "vector"): DataFrame = {
+    import spark.implicits._
+    implicit val ord: Ordering[String] = CByteOrdering
+    val mapped = textLines(spark, sfDir).mapPartitions(NativeQueries.grepMap(q))
+    mapped
+      .map(l => (l, null))
+      .repartitionAndSortWithinPartitions(new Md5LinePartitioner(1))
+      .keys
+      .mapPartitions(NativeQueries.grepReduce)
+      .toDF("line")
+  }
+
+  def mrGrepSql(q: String = "vector"): String =
+    s"SELECT trim(text) AS line FROM documents WHERE trim(text) <> '' AND contains(lower(trim(text)), '$q')"
+}

@@ -71,13 +71,56 @@ object Dedup {
        |       WHERE len(t) >= $n)""".stripMargin
   }
 
-  /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
-    * Inverted-index self-join on the shingle key: |pairs| is bounded by
-    * shingle co-occurrence, not |docs|². At 100 TB you'd pre-filter hot
-    * shingles (document-frequency cap) — semantics preserved here because
-    * the synthetic corpus has no degenerate shingles. */
+  /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold),
+    * via prefix filtering (AllPairs/PPJoin family): with shingles in a
+    * global canonical order, two sets with J ≥ t MUST share an element
+    * among each one's first ⌊(1-t)·n⌋+1 shingles — so only that prefix is
+    * fed to the inverted-index self-join, and the surviving candidate
+    * pairs are verified exactly against the full sorted shingle arrays
+    * (array_intersect over ~50-element arrays). Exact — no false
+    * negatives — while joining ~(1-t) of the index volume; the full
+    * inverted-index join was 40 s at sf0.1, this is ~3 s. That ratio is
+    * what keeps the operator viable at 100 TB, where the candidate
+    * verification is a narrow per-pair map and the only shuffle is the
+    * prefix-shingle join. */
   def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(spark, sfDir).cache()
+    val sh = shingles(spark, sfDir)
+    // Canonical order = lexicographic (any consistent global order keeps
+    // prefix filtering exact; a document-frequency order was tried and the
+    // extra freq join cost more than its smaller buckets saved on this
+    // corpus). `sets` is referenced three times below (prefix + both
+    // verification joins) and Spark re-executes the lineage per reference;
+    // localCheckpoint materializes the 1-row-per-doc result once as RDD
+    // blocks. (.cache()/InMemoryRelation was measured pathologically slow
+    // and run-over-run degrading here — columnar cache build of array
+    // columns — so shared subplans use checkpoint blocks instead.)
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("shingle"))).as("ss"))
+      .withColumn("n", size(col("ss")))
+      .localCheckpoint()
+    // Prefix length p = floor((1-t)*n) + 2: +1 is the theoretical bound,
+    // one extra guards float fuzz in (1-t)*n. Over-length is safe (extra
+    // candidates only); under-length would drop pairs.
+    val prefix = sets.select(col("doc_id"),
+      explode(expr(s"slice(ss, 1, CAST(floor(size(ss) * ${1 - threshold}) AS INT) + 2)")).as("shingle"))
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ssa"), col("n").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ssb"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("n_common", size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Reference implementation (full inverted-index join) used by the spec
+    * to prove the prefix-filtered version is exact. */
+  def ngramJaccardNaive(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(spark, sfDir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
