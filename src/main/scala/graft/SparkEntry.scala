@@ -38,6 +38,7 @@ object SparkEntry {
     "events_first_per_user" -> ((s, d) => EventOps.firstEventsPerUser(s, d)),
     "events_sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
     "events_click_no_purchase" -> ((s, d) => EventOps.clickNoPurchase(s, d)),
+    "events_asof_click" -> ((s, d) => EventOps.asofClickBeforePurchase(s, d)),
     "events_stream_hourly" -> ((s, d) => graft.streaming.StreamingOps.streamingHourly(s, d)),
     // Deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
@@ -75,6 +76,7 @@ object SparkEntry {
     "events_first_per_user" -> EventOps.firstEventsPerUserSql,
     "events_sessionize" -> EventOps.sessionizeSql(),
     "events_click_no_purchase" -> EventOps.clickNoPurchaseSql,
+    "events_asof_click" -> EventOps.asofClickBeforePurchaseSql,
     "events_stream_hourly" -> EventOps.hourlySql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_fingerprint" -> Dedup.fingerprintSql,

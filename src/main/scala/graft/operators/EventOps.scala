@@ -77,6 +77,50 @@ object EventOps {
         dsum(col("value"), 24, 6).as("sum_value"))
   }
 
+  /** As-of join: for every purchase event, the same user's most recent
+    * click at-or-before it (clicks sort before purchases at equal µs;
+    * ties among simultaneous clicks resolve to the highest event_id).
+    *
+    * Composed Spark-first as union + ignore-nulls running `last` over one
+    * user_id-partitioned ordering — a single shuffle and a single sort,
+    * which is exactly what a dedicated as-of physical operator would do;
+    * no custom SparkPlan needed (preference (a) of the operator ladder).
+    * At 100 TB this keeps as-of joins at sort-merge cost with no
+    * range-explosion. */
+  def asofClickBeforePurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("kind", when(col("event_type") === "click", 0).otherwise(1))
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("kind").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("last_click_id", last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(order))
+      .withColumn("last_click_us", last(when(col("kind") === 0, col("us")), ignoreNulls = true).over(order))
+      .filter(col("kind") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("last_click_id"), (col("us") - col("last_click_us")).as("gap_us"))
+  }
+
+  val asofClickBeforePurchaseSql: String =
+    """WITH u AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |w AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY us, kind, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
+      |    last_value(CASE WHEN kind = 0 THEN us END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY us, kind, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+      |  FROM u)
+      |SELECT event_id AS purchase_id, user_id, last_click_id,
+      |  (us - last_click_us) AS gap_us
+      |FROM w WHERE kind = 1""".stripMargin
+
   /** Set-operation coverage: (user, hour) slots with a click but no
     * purchase (EXCEPT ≡ left-anti on distinct keys; Spark plans it as an
     * anti join, shuffle bounded by distinct keys). */

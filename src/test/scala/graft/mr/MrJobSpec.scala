@@ -106,6 +106,28 @@ class MrJobSpec extends AnyFunSuite {
       assert(parts.contains((1, k)) && !parts.contains((0, k)))
   }
 
+  test("randomized corpus: MR pipeline counts == native groupBy counts") {
+    // Differential check with a seeded random corpus (deterministic):
+    // union of all part files must agree with a straight DataFrame count.
+    val rnd = new scala.util.Random(42)
+    val words = Vector("alpha", "beta", "gamma", "", "DELTA", "épsilon")
+    val lines = Seq.fill(200)(Seq.fill(rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" "))
+    val in = Files.createTempDirectory("graft-mr-rand-in-")
+    lines.grouped(50).zipWithIndex.foreach { case (chunk, i) =>
+      Files.write(in.resolve(f"file$i%02d"), chunk.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    val out = tmpOut("rand")
+    MrJob.run(spark, JobSpec(in.toString, out.toString,
+      Native(NativeQueries.wcMapSh), Native(NativeQueries.wcReduceSh),
+      numMappers = 3, numReducers = 4))
+    val got = (0 until 4).flatMap(i => readLines(out.resolve(f"part-$i%05d")))
+      .map { l => val i = l.lastIndexOf('\t'); l.substring(0, i) -> l.substring(i + 1).toLong }
+      .toMap
+    val expect = lines.flatMap(_.split("[ \t]", -1)).map(_.toLowerCase)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got === expect)
+  }
+
   test("FIFO engine assigns sequential job ids") {
     assume(haveFixtures)
     val engine = new MapReduceEngine(spark)
