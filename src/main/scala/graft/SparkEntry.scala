@@ -26,6 +26,7 @@ object SparkEntry {
     "grep_match" -> ((s, d) => TextOps.grep(s, d, "vector")),
     // MapReduce engine end-to-end (F3–F7 dataflow over documents.text)
     "mr_wordcount" -> ((s, d) => graft.mr.MrQueries.mrWordcount(s, d)),
+    "mr_wordcount_exec" -> ((s, d) => graft.mr.MrQueries.mrWordcountExec(s, d)),
     "mr_grep" -> ((s, d) => graft.mr.MrQueries.mrGrep(s, d)),
     // Relational coverage (bench headliners)
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
@@ -47,6 +48,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "dedup_embedding_ivf" -> ((s, d) => Similarity.embeddingNearDupIvf(s, d)),
     // Similarity search
     "knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
@@ -66,6 +68,7 @@ object SparkEntry {
     "grep_product" -> TextOps.grepSql(),
     "grep_match" -> TextOps.grepSql("vector"),
     "mr_wordcount" -> graft.mr.MrQueries.mrWordcountSql,
+    "mr_wordcount_exec" -> graft.mr.MrQueries.mrWordcountSql,
     "mr_grep" -> graft.mr.MrQueries.mrGrepSql(),
     "q1_agg" -> Relational.q1AggSql,
     "q1_rollup" -> Relational.q1RollupSql,
@@ -84,6 +87,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Dedup.minhashLshSql,
     "dedup_simhash" -> Dedup.simhashSql,
     "dedup_embedding" -> Dedup.embeddingNearDupSql(),
+    "dedup_embedding_ivf" -> Similarity.embeddingNearDupIvfSql(),
     "knn_brute" -> Similarity.knnBruteSql(),
     "knn_ivf" -> Similarity.knnIvfSql(),
     "text_quality" -> TextAnalysis.qualitySql,

@@ -44,6 +44,31 @@ object MrQueries {
       |FROM (SELECT unnest(string_split_regex(text, '[ \t]')) AS w FROM documents)
       |GROUP BY 1""".stripMargin
 
+  /** Word count through the EXEC streaming surface: the reference's own
+    * unmodified wc_map.sh / wc_reduce.sh run via `RDD.pipe` (F3/F7's
+    * arbitrary-executable contract). Stream semantics equal the native
+    * twins (proven byte-exact in MrJobSpec), so the same DuckDB oracle
+    * checks this path at full strength. Fails loudly if the reference
+    * fixtures are not mounted — no silent fallback. */
+  def mrWordcountExec(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val execDir = "/root/reference/tests/testdata/exec"
+    require(new java.io.File(s"$execDir/wc_map.sh").canExecute,
+      s"reference executables not available under $execDir")
+    implicit val ord: Ordering[String] = CByteOrdering
+    val env = Map("LC_ALL" -> "C")
+    val mapped = textLines(spark, sfDir).pipe(Seq(s"$execDir/wc_map.sh"), env)
+    val reduced = mapped
+      .map(l => (l, null))
+      .repartitionAndSortWithinPartitions(new Md5LinePartitioner(Reducers))
+      .keys
+      .pipe(Seq(s"$execDir/wc_reduce.sh"), env)
+    reduced.map { l =>
+      val i = l.lastIndexOf('\t')
+      (l.substring(0, i), l.substring(i + 1).toLong)
+    }.toDF("word", "cnt")
+  }
+
   /** Grep through the MR dataflow with grep_map.py/grep_reduce.py stream
     * semantics (strip, drop blanks, lowercase containment, constant key). */
   def mrGrep(spark: SparkSession, sfDir: String, q: String = "vector"): DataFrame = {

@@ -84,17 +84,7 @@ object Similarity {
   /** IVF-bucketed ANN: assign every vector to its nearest of the seeded
     * centroids, then answer each query inside its own cluster only. */
   def knnIvf(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-      .withColumn("nrm", graft.functions.VectorExpressions.vec_norm(col("v")))
-    val cent = e.filter(pmod(col("vec_id"), lit(CentroidStride)) === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
-    val assigned = e.join(broadcast(cent))
-      .withColumn("ccos", cosinePre(col("v"), col("cv"), col("nrm"), col("cnrm")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cluster"))
+    val assigned = ivfAssigned(spark, sfDir)
     val q = assigned.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cluster").as("qcluster"))
@@ -107,6 +97,53 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos_sim"))
   }
+
+  /** Cluster assignment (vec → nearest seeded centroid) shared by
+    * [[knnIvf]] and the bucketed near-dup dedup. */
+  def ivfAssigned(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", graft.functions.VectorExpressions.vec_norm(col("v")))
+    val cent = e.filter(pmod(col("vec_id"), lit(CentroidStride)) === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
+    e.join(broadcast(cent))
+      .withColumn("ccos", cosinePre(col("v"), col("cv"), col("nrm"), col("cnrm")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cluster"))
+  }
+
+  /** IVF-bucketed near-duplicate pairs: cosine ≥ threshold among vectors
+    * sharing a cluster. The approximate scale path for embedding dedup —
+    * pair expansion is per-cluster (~n/C each), never corpus². Recall is
+    * bounded by cluster assignment, which is the standard IVF trade; the
+    * exhaustive twin ([[Dedup.embeddingNearDup]]) is the correctness
+    * baseline. */
+  def embeddingNearDupIvf(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
+    val a = ivfAssigned(spark, sfDir)
+    a.as("a").join(a.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosinePre(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  def embeddingNearDupIvfSql(threshold: Double = 0.4): String =
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id % $CentroidStride = 0),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cent_id AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("e", "c")} DESC, c.cent_id ASC) AS arn
+       |    FROM embeddings e CROSS JOIN cent c)
+       |  WHERE arn = 1)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(${cosineSql("a", "b")}, 6) AS cos_sim
+       |FROM assigned a JOIN assigned b
+       |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |WHERE ${cosineSql("a", "b")} >= $threshold""".stripMargin
 
   def knnIvfSql(k: Int = 3): String =
     s"""WITH cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id % $CentroidStride = 0),
