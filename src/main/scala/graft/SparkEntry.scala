@@ -41,6 +41,7 @@ object SparkEntry {
     "events_click_no_purchase" -> ((s, d) => EventOps.clickNoPurchase(s, d)),
     "events_asof_click" -> ((s, d) => EventOps.asofClickBeforePurchase(s, d)),
     "events_stream_hourly" -> ((s, d) => graft.streaming.StreamingOps.streamingHourly(s, d)),
+    "events_stream_sessionize" -> ((s, d) => graft.streaming.StreamingOps.streamingSessionize(s, d)),
     // Deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_fingerprint" -> ((s, d) => Dedup.fingerprint(s, d)),
@@ -58,6 +59,7 @@ object SparkEntry {
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     // Multimodal plumbing (stub decoder, real pipeline)
     "multimodal_media" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
+    "multimodal_frames" -> ((s, d) => Multimodal.frameSamples(s, d)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -81,6 +83,7 @@ object SparkEntry {
     "events_click_no_purchase" -> EventOps.clickNoPurchaseSql,
     "events_asof_click" -> EventOps.asofClickBeforePurchaseSql,
     "events_stream_hourly" -> EventOps.hourlySql,
+    "events_stream_sessionize" -> EventOps.sessionizeSql(),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_fingerprint" -> Dedup.fingerprintSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
@@ -94,5 +97,6 @@ object SparkEntry {
     "lang_id" -> TextAnalysis.langIdSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "multimodal_media" -> Multimodal.mediaFeaturesSql,
+    "multimodal_frames" -> Multimodal.frameSamplesSql,
   )
 }

@@ -53,6 +53,47 @@ object Multimodal {
     payloads.mapPartitions(StubDecoder.decode).toDF()
   }
 
+  case class FrameRow(doc_id: Long, frame_idx: Long, frame_offset: Long, frame_hash: String)
+
+  /** Frame sampling for video-style payloads: each payload expands to its
+    * deterministic frame count (STUB: derived from byte length), one row
+    * per sampled frame with a byte offset and a per-frame checksum. The
+    * shape is the real thing — an Iterator-to-Iterator flatMap over binary
+    * payloads, rows exploding within the partition (no shuffle, no driver
+    * involvement), exactly how a real keyframe sampler runs at 100 TB. */
+  def frameSamples(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val payloads: Dataset[Payload] = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[Payload]
+    payloads.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+      rows.flatMap { p =>
+        val n = p.payload.length.toLong
+        val frames = 1 + n % 16
+        val step = n / frames
+        md.reset()
+        val payloadHash = hex(md.digest(p.payload))
+        (0L until frames).iterator.map { i =>
+          md.reset()
+          val fh = hex(md.digest(s"$payloadHash:$i".getBytes("UTF-8")))
+          FrameRow(p.doc_id, i, i * step, fh)
+        }
+      }
+    }.toDF()
+  }
+
+  val frameSamplesSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, md5(text) AS payload_hash,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents)
+      |SELECT doc_id, i AS frame_idx,
+      |  i * (n // (1 + n % 16)) AS frame_offset,
+      |  md5(payload_hash || ':' || CAST(i AS VARCHAR)) AS frame_hash
+      |FROM p, LATERAL (SELECT unnest(generate_series(0, 1 + n % 16 - 1)) AS i) g""".stripMargin
+
   /** The oracle reproduces the stub's arithmetic in SQL (md5 of the UTF-8
     * text bytes == md5 of the string in DuckDB). */
   val mediaFeaturesSql: String =

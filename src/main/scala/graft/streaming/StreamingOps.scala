@@ -42,6 +42,62 @@ object StreamingOps {
     out
   }
 
+  case class Ev(user_id: Long, event_id: Long, us: Long, value: Double)
+  case class SessionRow(user_id: Long, session_id: Long, n_events: Long,
+      first_event_id: Long, last_event_id: Long, sum_value: Double)
+
+  /** Gap-based sessionization through the streaming engine's custom-state
+    * API (`flatMapGroupsWithState`): per-user state, sessions cut on
+    * 30-minute inactivity. Emits the same rows as the batch
+    * [[graft.operators.EventOps.sessionize]] (and is checked against the
+    * same DuckDB oracle): session ids are 1-based per user in µs order,
+    * value sums go through scale-6 BigDecimal exactly like the batch
+    * DECIMAL cast.
+    *
+    * Demo runs one micro-batch and emits every session; production keeps
+    * only the open session in state with an event-time timeout — the
+    * sessionize walk itself is identical. */
+  def streamingSessionize(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    val schema = Tables.events(spark, sfDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .selectExpr("user_id", "event_id", "ts div 1000 AS us", "value").as[Ev]
+    val sessions = stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Ev], SessionRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, evs, state) =>
+        val all = (state.getOption.getOrElse(Nil) ++ evs).sortBy(e => (e.us, e.event_id))
+        state.update(Nil)
+        var sid = 0L
+        var out = List.newBuilder[SessionRow]
+        var cur = List.empty[Ev]
+        def flush(): Unit = if (cur.nonEmpty) {
+          val s = cur.reverse
+          // Exact twin of the batch dsum: per-value DECIMAL(24,6) (HALF_UP,
+          // same as Spark's double→decimal cast), exact sum, then double.
+          val sum = s.map(e => BigDecimal(e.value).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+            .sum.toDouble
+          // Batch emits min/max event_id (ids need not be monotone in time).
+          val ids = s.map(_.event_id)
+          out += SessionRow(user, sid, s.size.toLong, ids.min, ids.max, sum)
+        }
+        var prevUs = Long.MinValue
+        all.foreach { e =>
+          if (prevUs == Long.MinValue || e.us - prevUs > gapUs) { flush(); sid += 1; cur = Nil }
+          cur = e :: cur
+          prevUs = e.us
+        }
+        flush()
+        out.result().iterator
+      }
+    val name = "graft_stream_sessionize"
+    val q = sessions.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Windowed streaming aggregation with a watermark (append mode): used by
     * the streaming spec to pin the watermark/window semantics; not part of
     * the oracle surface because append mode intentionally withholds
