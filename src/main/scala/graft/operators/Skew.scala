@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew tooling for 100 TB joins and aggregations.
+  *
+  * First line of defense is AQE (`spark.sql.adaptive.enabled` +
+  * skew-join splitting), which every session here enables. This utility is
+  * the manual pattern for the cases AQE can't fix — a build side too big to
+  * broadcast joined on a power-law key, or a skewed aggregation key — and
+  * exists so the pattern is tested once and reused, not improvised.
+  */
+object Skew {
+
+  /** Salted inner equi-join: the probe (large, skewed) side gets a
+    * deterministic salt in [0, n); the build side is replicated n ways;
+    * the join key becomes (key, salt), splitting each hot key's rows
+    * across n reducers. Result is row-identical to the plain join.
+    *
+    * The salt derives from hashing `saltFrom` (any column set that varies
+    * within a hot key — e.g. the probe row's primary key), never from
+    * rand(): retries/speculative tasks must route rows identically.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String, saltFrom: Column,
+      n: Int): DataFrame = {
+    require(n > 0)
+    val salted = probe.withColumn("__salt", pmod(xxhash64(saltFrom), lit(n.toLong)).cast("int"))
+    val replicated = build.withColumn("__salt", explode(expr(s"sequence(0, ${n - 1})")))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase (salted) aggregation for skewed group keys: partial
+    * aggregate on (key, salt), then final aggregate on key. For algebraic
+    * aggregates Spark's own partial aggregation already does this; the
+    * explicit form is for holistic aggregates (e.g. collect_list capped
+    * per salt) or to force extra fan-out on a known-hot key. */
+  def saltedCount(df: DataFrame, key: String, saltFrom: Column, n: Int): DataFrame = {
+    require(n > 0)
+    df.withColumn("__salt", pmod(xxhash64(saltFrom), lit(n.toLong)).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as("cnt"))
+  }
+}

@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val Sf = "/root/testdata/sf0.001"
+
+  test("saltedJoin is row-identical to the plain join (lineitem ⋈ orders)") {
+    val li = Tables.lineitem(spark, Sf).select(col("l_orderkey"), col("l_linenumber"))
+      .withColumnRenamed("l_orderkey", "k")
+    val ord = Tables.orders(spark, Sf).select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumnRenamed("o_orderkey", "k")
+    val plain = li.join(ord, Seq("k"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val salted = Skew.saltedJoin(li, ord, "k", col("l_linenumber"), 7)
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(salted === plain)
+  }
+
+  test("saltedCount equals plain groupBy count under a hot key") {
+    import spark.implicits._
+    // 10k rows of one hot key + a long tail.
+    val rows = (1 to 10000).map(i => ("hot", i.toLong)) ++ (1 to 500).map(i => (s"k$i", i.toLong))
+    val df = rows.toDF("k", "v")
+    val plain = df.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(df, "k", col("v"), 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+}
