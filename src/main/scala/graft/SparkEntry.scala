@@ -36,6 +36,7 @@ object SparkEntry {
     "customers_no_urgent" -> ((s, d) => Relational.customersNoOrders(s, d)),
     // Event analytics (windows / sessions)
     "events_hourly" -> ((s, d) => EventOps.hourly(s, d)),
+    "events_sliding" -> ((s, d) => EventOps.slidingCounts(s, d)),
     "events_first_per_user" -> ((s, d) => EventOps.firstEventsPerUser(s, d)),
     "events_sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
     "events_click_no_purchase" -> ((s, d) => EventOps.clickNoPurchase(s, d)),
@@ -78,6 +79,7 @@ object SparkEntry {
     "q5_region" -> Relational.q5RegionSql,
     "customers_no_urgent" -> Relational.customersNoOrdersSql,
     "events_hourly" -> EventOps.hourlySql,
+    "events_sliding" -> EventOps.slidingCountsSql,
     "events_first_per_user" -> EventOps.firstEventsPerUserSql,
     "events_sessionize" -> EventOps.sessionizeSql(),
     "events_click_no_purchase" -> EventOps.clickNoPurchaseSql,
