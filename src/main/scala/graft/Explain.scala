@@ -17,6 +17,9 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // tmpfs shuffle dirs: host disk is intermittently throttled and was
+      // measured turning 3 s shuffles into minutes (DiskBlockObjectWriter-bound)
+      .config("spark.local.dir", "/dev/shm/spark-local")
       .config("spark.sql.adaptive.enabled", "true")
     // Extra configs: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.contains("="))

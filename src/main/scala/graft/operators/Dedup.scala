@@ -56,9 +56,8 @@ object Dedup {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), t.as("t"))
       .filter(size(col("t")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(t) - $n), i -> concat_ws(' ', ${(0 until n).map(k => s"t[i + $k]").mkString(", ")}))"
-      )).as("shingle"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShinglesExpression.word_shingles(col("t"), n)).as("shingle"))
       .distinct()
   }
 

@@ -18,6 +18,13 @@ object StreamingOps {
 
   private val NsPerHour = 3600L * 1000000000L
 
+  /** Streaming state/offset checkpoints on tmpfs: the host disk throttles
+    * intermittently (see session spark.local.dir comment); state-store and
+    * offset-log fsyncs were the slowest part of the demo streams. Unique
+    * per run — these are throwaway demo checkpoints, not recovery points. */
+  private def ckptDir(name: String): String =
+    s"/dev/shm/graft-ckpt/$name-${java.util.UUID.randomUUID}"
+
   /** Hourly per-type counts/sums computed THROUGH the streaming engine:
     * parquet file-stream source → stateful aggregation (complete mode) →
     * in-memory sink, drained synchronously. Returns the final result table;
@@ -35,7 +42,8 @@ object StreamingOps {
       .groupBy((expr(s"ts div $NsPerHour") * 3600).as("hour_epoch"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value"), 24, 6).as("sum_value"))
     val name = "graft_stream_hourly"
-    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name)
+      .option("checkpointLocation", ckptDir(name)).start()
     try q.processAllAvailable() finally q.stop()
     // Materialize: the memory-sink table is session-scoped mutable state.
     val out = spark.table(name)
@@ -93,7 +101,8 @@ object StreamingOps {
         out.result().iterator
       }
     val name = "graft_stream_sessionize"
-    val q = sessions.writeStream.outputMode("append").format("memory").queryName(name).start()
+    val q = sessions.writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", ckptDir(name)).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }

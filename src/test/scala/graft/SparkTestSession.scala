@@ -13,6 +13,9 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // tmpfs shuffle dirs: host disk is intermittently throttled and was
+      // measured turning 3 s shuffles into minutes (DiskBlockObjectWriter-bound)
+      .config("spark.local.dir", "/dev/shm/spark-local")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
