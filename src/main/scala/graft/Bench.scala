@@ -23,9 +23,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // tmpfs shuffle dirs: host disk is intermittently throttled and was
-      // measured turning 3 s shuffles into minutes (DiskBlockObjectWriter-bound)
-      .config("spark.local.dir", "/dev/shm/spark-local")
+      // tmpfs-by-default shuffle dirs (GRAFT_LOCAL_DIR overrides): host disk
+      // is intermittently throttled and was measured turning 3 s shuffles
+      // into minutes (DiskBlockObjectWriter-bound)
+      .config("spark.local.dir", LocalDirs.sparkLocalDir)
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -35,23 +36,38 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
       }
     }
-    // Best of 2 passes per query: this host has noisy neighbors (identical
-    // full-bench runs measured 22 s to 265 s); the min of two runs is a
-    // far better estimate of the plan's actual cost than a single sample.
+    // Median of 3 passes per query: this host has noisy neighbors (identical
+    // full-bench runs measured 22 s to 265 s); the median rejects a single
+    // throttled outlier in either direction, where best-of-N could hide a
+    // real regression behind one lucky pass and a single sample can be 10×
+    // off. Failures are recorded per query — a failed pass contributes no
+    // timing and the name lands in "failed", so a fast crash can't make the
+    // total look better.
+    case class Q(name: String, median: Double, spreadPct: Double, ok: Boolean)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val passes = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      val good = passes.filter(_._2).map(_._1).sorted
+      if (good.isEmpty) Q(name, 0.0, 0.0, ok = false)
+      else {
+        val med = good(good.size / 2)
+        val spread = if (med > 0) (good.max - good.min) / med * 100 else 0.0
+        Q(name, med, spread, ok = passes.forall(_._2))
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(d: Double) = f"$d%.4f"
+    val qs = results.map(r => "\"" + r.name + "\":" + fmt(r.median)).mkString("{", ",", "}")
+    val spreads = results.map(r => "\"" + r.name + "\":" + fmt(r.spreadPct)).mkString("{", ",", "}")
+    val failed = results.filterNot(_.ok).map("\"" + _.name + "\"").mkString("[", ",", "]")
+    val total = results.map(_.median).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":3,"estimator":"median","spread_pct":$spreads,"failed":$failed}""")
     spark.stop()
   }
 }

@@ -14,9 +14,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS): read as int64 ns (see EventOps)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // tmpfs shuffle dirs: host disk is intermittently throttled and was
-      // measured turning 3 s shuffles into minutes (DiskBlockObjectWriter-bound)
-      .config("spark.local.dir", "/dev/shm/spark-local")
+      // tmpfs-by-default shuffle dirs (GRAFT_LOCAL_DIR overrides; see LocalDirs)
+      .config("spark.local.dir", LocalDirs.sparkLocalDir)
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -156,35 +156,50 @@ object Dedup {
   val MinhashHashes = 16 // 4 bands × 4 rows
   val MinhashBands = 4
 
-  /** MinHash/LSH candidate pairs. Hash family i = first 15 hex chars of
-    * md5(i ++ ":" ++ shingle) parsed as int64 (15 hex = 60 bits; numeric
-    * order == lexicographic order of fixed-width lowercase hex, so the
-    * DuckDB oracle takes string mins of the same prefix); signature =
-    * per-(doc, i) min; band key = md5 of the band's 4 sigs re-hexed;
-    * candidates = distinct doc pairs sharing a (band, key) bucket.
+  /** Carter–Wegman universal hash family over the Mersenne prime 2^31−1:
+    * slot i of shingle-hash h is (A(i)·h + B(i)) mod M. All arithmetic
+    * stays inside int64 — h, A(i) < M so A(i)·h < 2^62 — in BOTH engines
+    * (DuckDB BIGINT errors on overflow rather than wrapping, so staying in
+    * range is a correctness requirement, not a nicety). Constants are
+    * fixed pseudorandom values; independence across slots is what keeps
+    * band collisions ≈ J^rows (a derived h1 + i·h2 family was measured
+    * 5× worse on false-positive candidates — correlated slot minima). */
+  val MinhashM = 2147483647L
+  val MinhashA: IndexedSeq[Long] = Vector(
+    300537208L, 318191818L, 1632373033L, 336989641L, 1037712787L, 1853115849L,
+    733686386L, 762488286L, 833838633L, 1011080508L, 2099359591L, 1271464279L,
+    1779067578L, 1570600698L, 1604944238L, 1068580105L)
+  val MinhashB: IndexedSeq[Long] = Vector(
+    1258153104L, 204742078L, 714890015L, 924184435L, 1149325504L, 1583711222L,
+    1777668512L, 2100953239L, 503223453L, 323304978L, 722671194L, 519185490L,
+    496142157L, 1994051211L, 547206507L, 1677539535L)
+
+  /** MinHash/LSH candidate pairs. ONE md5 per distinct (doc, shingle) —
+    * the first 14 hex chars (56 bits) parse to int64 identically in Spark
+    * (`conv(…,16,10)`) and DuckDB (`('0x'||…)::BIGINT`) — then the 16
+    * signature slots derive arithmetically from that single hash
+    * ([[MinhashA]]/[[MinhashB]] family); signature = per-slot min over the
+    * doc's shingles; band key = '|'-joined 4-slot group; candidates =
+    * distinct doc pairs sharing a (band, key) bucket.
     *
-    * Why int64 mins: min(string) aggregation buffers are var-length, which
-    * forces SortAggregate with per-row UTF8String buffer copies per slot —
-    * measured ~50 s at sf0.1; long mins keep all 16 slots in primitive
-    * HashAggregate buffers (~2 s).
+    * Why this shape: round 1 exploded ×16 and ran one string md5 per
+    * (shingle, slot) — 16× the hashing and 16× the pre-aggregation row
+    * volume, 51% of the whole bench. Now the aggregate input is one row
+    * per shingle with all 16 mins as primitive int64 HashAggregate slots
+    * (min(string) would force SortAggregate — measured ~25× slower).
     *
     * This is THE 100 TB dedup path: cost is linear in total shingles plus
     * the within-bucket pair expansion (controlled by band/row choice), with
     * no quadratic term. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val rows = MinhashHashes / MinhashBands
-    // One aggregation pass: all 16 signature slots as conditional mins over
-    // the exploded (shingle × seed) stream — a single shuffle with 1 row
-    // per doc out. The hash is projected ONCE per row before the aggregate
-    // (inside each conditional min it would be re-evaluated per slot, 16×).
+    // h is projected ONCE per row before the aggregate (referenced by all
+    // 16 slots; unprojected it would re-evaluate the md5 per slot).
     val slotCols = (0 until MinhashHashes).map(i =>
-      min(when(col("i") === i, col("hl"))).as(s"s$i"))
+      min((lit(MinhashA(i)) * col("h") + lit(MinhashB(i))) % MinhashM).as(s"s$i"))
     val sigs = shingles(spark, sfDir)
-      .select(col("doc_id"), col("shingle"),
-        explode(expr(s"sequence(0, ${MinhashHashes - 1})")).as("i"))
-      .withColumn("hl",
-        conv(substring(md5(concat(col("i").cast("string"), lit(":"), col("shingle"))), 1, 15), 16, 10)
-          .cast("long"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("shingle")), 1, 14), 16, 10).cast("long") % MinhashM).as("h"))
       .groupBy(col("doc_id"))
       .agg(slotCols.head, slotCols.tail: _*)
     // Band keys in one projection; explode to (doc, band, key). Candidate
@@ -194,10 +209,8 @@ object Dedup {
     // here: InMemoryRelation build+read dominated; and at 100 TB the
     // bucket-local expansion is the only shape that doesn't re-shuffle the
     // full signature table twice.)
-    // Re-hex the long sigs to the oracle's 15-char lowercase form.
     val bandKey = (b: Int) =>
-      md5(concat_ws("|", (0 until rows).map(k =>
-        lpad(lower(hex(col(s"s${b * rows + k}"))), 15, "0")): _*))
+      concat_ws("|", (0 until rows).map(k => col(s"s${b * rows + k}").cast("string")): _*)
     val bands = sigs.select(col("doc_id"),
         explode(array((0 until MinhashBands).map(b =>
           struct(lit(b).as("band"), bandKey(b).as("bk"))): _*)).as("bb"))
@@ -215,14 +228,17 @@ object Dedup {
 
   def minhashLshSql: String = {
     val rows = MinhashHashes / MinhashBands
-    val slotExprs = (0 until rows).map(k =>
-      s"max(CASE WHEN i % $rows = $k THEN sig END)").mkString(" || '|' || ")
+    val slotExprs = (0 until MinhashHashes).map(i =>
+      s"min((${MinhashA(i)}::BIGINT * h + ${MinhashB(i)}) % $MinhashM) AS s$i").mkString(", ")
+    val bandCases = (0 until MinhashBands).map { b =>
+      val key = (0 until rows).map(k => s"s${b * rows + k}").mkString(" || '|' || ")
+      if (b < MinhashBands - 1) s"WHEN $b THEN $key" else s"ELSE $key"
+    }.mkString(" ")
     s"""WITH ${shinglesSql(3)},
-       |sigs AS (SELECT doc_id, i, min(substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 15)) AS sig
-       |         FROM sh, LATERAL (SELECT unnest(generate_series(0, ${MinhashHashes - 1})) AS i) s
-       |         GROUP BY doc_id, i),
-       |bands AS (SELECT doc_id, CAST(i // $rows AS INT) AS band, md5($slotExprs) AS bk
-       |          FROM sigs GROUP BY doc_id, i // $rows)
+       |hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 14))::BIGINT % $MinhashM AS h FROM sh),
+       |sigs AS (SELECT doc_id, $slotExprs FROM hashed GROUP BY doc_id),
+       |bands AS (SELECT doc_id, band, CASE band $bandCases END AS bk
+       |          FROM sigs, LATERAL (SELECT unnest(generate_series(0, ${MinhashBands - 1})) AS band) b)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin

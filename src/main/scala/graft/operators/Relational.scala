@@ -64,16 +64,20 @@ object Relational {
        | ${sqlSum("l_extendedprice", 24, 2)} AS sum_base_price, count(*) AS n_rows
        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
-  /** TPC-H Q3 analog: 3-way join + agg + top-10. customer is the small side
-    * (broadcast); orders⋈lineitem shuffles on the shared orderkey so the
-    * join and the groupBy reuse one partitioning. Top-k runs as a partial
-    * TakeOrdered per partition — no global sort of the aggregate. */
+  /** TPC-H Q3 analog: 3-way join + agg + top-10. orders⋈lineitem shuffles
+    * on the shared orderkey so the join and the groupBy reuse one
+    * partitioning. Top-k runs as a partial TakeOrdered per partition — no
+    * global sort of the aggregate. customer carries NO broadcast hint: it
+    * grows with sf, so a forced hint would OOM at 100× where AQE picks
+    * broadcast-vs-shuffle from measured sizes (at sf0.1 AQE still
+    * broadcasts it — same plan, no cliff). Hints are reserved for the
+    * fixed-cardinality dimensions (nation/region). */
   def q3Topk(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(spark, sfDir).filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
     val li = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .select(col("l_orderkey"), unix_timestamp(col("o_orderdate")).as("o_orderdate_epoch"),
@@ -111,8 +115,12 @@ object Relational {
       |WHERE NOT EXISTS (SELECT 1 FROM orders
       |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
 
-  /** TPC-H Q5 analog: 6-way star join. region/nation/supplier/customer are
-    * dimensions (broadcast); only the orders⋈lineitem edge shuffles. */
+  /** TPC-H Q5 analog: 6-way star join. nation/region are fixed-cardinality
+    * dimensions (25/5 rows at every sf) and keep explicit broadcast hints;
+    * customer/supplier GROW with sf, so their join strategy is left to AQE
+    * — at bench scale it still broadcasts them (same plan), and at 100×
+    * it degrades gracefully to a shuffled hash join instead of forcing an
+    * executor-OOM broadcast. */
   def q5Region(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val ord = Tables.orders(spark, sfDir)
@@ -123,8 +131,8 @@ object Relational {
     val nat = Tables.nation(spark, sfDir)
     val reg = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))

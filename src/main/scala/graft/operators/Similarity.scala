@@ -79,7 +79,15 @@ object Similarity {
        |  WHERE q.vec_id < $NumQueries)
        |WHERE rank <= $k""".stripMargin
 
-  val CentroidStride = 50 // centroids = vec_id % 50 == 0 (deterministic seed set)
+  /** Fixed-size centroid set: the first [[NumCentroids]] vec_ids. The count
+    * is INDEPENDENT of corpus size — the round-1 `vec_id % 50` seeding grew
+    * the centroid set (and the broadcast, and the assignment cost) linearly
+    * with n, i.e. O(n²/50) total work at 100 TB. A constant-size seed set
+    * keeps assignment at O(n·C) map-only work under a fixed-size broadcast,
+    * which is the standard IVF shape (production would k-means-train the
+    * same fixed-size codebook; the seeding choice only moves recall, not
+    * the plan). */
+  val NumCentroids = 128
 
   /** IVF-bucketed ANN: assign every vector to its nearest of the seeded
     * centroids, then answer each query inside its own cluster only. */
@@ -99,19 +107,36 @@ object Similarity {
   }
 
   /** Cluster assignment (vec → nearest seeded centroid) shared by
-    * [[knnIvf]] and the bucketed near-dup dedup. */
+    * [[knnIvf]] and the bucketed near-dup dedup.
+    *
+    * Shape: broadcast-NLJ each vector against the C centroids, then argmax
+    * via `max_by` HASH aggregation — the broadcast join keeps every
+    * vector's C candidate rows inside one task, so the partial aggregate
+    * collapses n×C rows back to n BEFORE the exchange (a window
+    * `row_number` here would shuffle all n×C rows; measured the agg form
+    * as the difference between an O(n·C)-shuffle and O(n)-shuffle plan).
+    * Tie-break on equal cosine = lowest cent_id, encoded as
+    * max_by(…, (ccos, −cent_id)).
+    *
+    * The result is localCheckpoint'ed: every caller joins the assignment
+    * against itself (queries×corpus or corpus×corpus), and without
+    * materialization Spark re-executes the whole scan+assign lineage per
+    * join side — the round-1 plan computed it twice per query. */
   def ivfAssigned(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", graft.functions.VectorExpressions.vec_norm(col("v")))
-    val cent = e.filter(pmod(col("vec_id"), lit(CentroidStride)) === 0)
+    val cent = e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
     e.join(broadcast(cent))
-      .withColumn("ccos", cosinePre(col("v"), col("cv"), col("nrm"), col("cnrm")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cluster"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+        cosinePre(col("v"), col("cv"), col("nrm"), col("cnrm")).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("v")).as("v"),
+        first(col("nrm")).as("nrm"),
+        max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cluster"))
+      .localCheckpoint()
   }
 
   /** IVF-bucketed near-duplicate pairs: cosine ≥ threshold among vectors
@@ -131,7 +156,7 @@ object Similarity {
   }
 
   def embeddingNearDupIvfSql(threshold: Double = 0.4): String =
-    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id % $CentroidStride = 0),
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < $NumCentroids),
        |assigned AS (
        |  SELECT vec_id, embedding, cent_id AS cluster FROM (
        |    SELECT e.vec_id, e.embedding, c.cent_id,
@@ -146,7 +171,7 @@ object Similarity {
        |WHERE ${cosineSql("a", "b")} >= $threshold""".stripMargin
 
   def knnIvfSql(k: Int = 3): String =
-    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id % $CentroidStride = 0),
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < $NumCentroids),
        |assigned AS (
        |  SELECT vec_id, embedding, cent_id AS cluster FROM (
        |    SELECT e.vec_id, e.embedding, c.cent_id,

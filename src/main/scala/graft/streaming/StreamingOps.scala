@@ -18,12 +18,12 @@ object StreamingOps {
 
   private val NsPerHour = 3600L * 1000000000L
 
-  /** Streaming state/offset checkpoints on tmpfs: the host disk throttles
-    * intermittently (see session spark.local.dir comment); state-store and
-    * offset-log fsyncs were the slowest part of the demo streams. Unique
-    * per run — these are throwaway demo checkpoints, not recovery points. */
-  private def ckptDir(name: String): String =
-    s"/dev/shm/graft-ckpt/$name-${java.util.UUID.randomUUID}"
+  /** Streaming state/offset checkpoints on fast scratch (tmpfs by default,
+    * GRAFT_LOCAL_DIR overrides — see [[graft.LocalDirs]]): state-store and
+    * offset-log fsyncs were the slowest part of the demo streams on this
+    * host's throttled disk. Unique per run — these are throwaway demo
+    * checkpoints, not recovery points. */
+  private def ckptDir(name: String): String = graft.LocalDirs.streamingCkpt(name)
 
   /** Hourly per-type counts/sums computed THROUGH the streaming engine:
     * parquet file-stream source → stateful aggregation (complete mode) →

@@ -7,15 +7,19 @@ import org.apache.spark.sql.SparkSession
 object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2] = 4 threads, maxFailures 2: tasks get ONE retry, so the
+      // fault-tolerance spec (F13) can inject a first-attempt failure and
+      // observe reassignment — the same knob a cluster sets via
+      // spark.task.maxFailures. Passing tests never retry, so this changes
+      // nothing for the rest of the suite.
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // tmpfs shuffle dirs: host disk is intermittently throttled and was
-      // measured turning 3 s shuffles into minutes (DiskBlockObjectWriter-bound)
-      .config("spark.local.dir", "/dev/shm/spark-local")
+      // tmpfs-by-default shuffle dirs (GRAFT_LOCAL_DIR overrides; see LocalDirs)
+      .config("spark.local.dir", LocalDirs.sparkLocalDir)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
