@@ -41,8 +41,12 @@ class Md5Partitioner(val numPartitions0: Int) extends Partitioner {
   override def getPartition(key: Any): Int =
     Md5Partitioning.partition(key.asInstanceOf[String], numPartitions0)
   override def equals(other: Any): Boolean = other match {
-    case o: Md5Partitioner => o.numPartitions0 == numPartitions0
+    // getClass, not instanceof: Md5LinePartitioner(R) routes by the line's
+    // KEY PREFIX while this routes by the raw key — treating them as equal
+    // would let Spark skip a shuffle on a cogroup/join of RDDs partitioned
+    // by each, silently mis-colocating keys.
+    case o: Md5Partitioner => o.getClass == getClass && o.numPartitions0 == numPartitions0
     case _ => false
   }
-  override def hashCode: Int = numPartitions0
+  override def hashCode: Int = getClass.hashCode * 31 + numPartitions0
 }

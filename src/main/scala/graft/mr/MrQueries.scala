@@ -36,12 +36,12 @@ object MrQueries {
     }.toDF("word", "cnt")
   }
 
-  /** Oracle twin of wc_map.sh tokenization: split on single spaces/tabs
-    * KEEPING empty segments (tr turns each separator into a newline), then
-    * lowercase. */
+  /** Oracle twin of wc_map.sh tokenization: split on single `[` `]`
+    * space/tab characters (tr's SET1 brackets are literals) KEEPING empty
+    * segments (tr turns each separator into a newline), then lowercase. */
   val mrWordcountSql: String =
     """SELECT lower(w) AS word, count(*) AS cnt
-      |FROM (SELECT unnest(string_split_regex(text, '[ \t]')) AS w FROM documents)
+      |FROM (SELECT unnest(string_split_regex(text, '[\[\] \t]')) AS w FROM documents)
       |GROUP BY 1""".stripMargin
 
   /** Word count through the EXEC streaming surface: the reference's own
@@ -83,6 +83,14 @@ object MrQueries {
       .toDF("line")
   }
 
+  /** Oracle with the STREAM's exact whitespace semantics: the native twins
+    * trim with Java `String.trim` (strips every char ≤ 0x20, not just
+    * spaces like DuckDB `trim()`), and the reducer DROPS any line whose
+    * trimmed text still contains a TAB (its `split("\t")` then yields ≠2
+    * fields). Both are latent on today's tab-free corpus but would break
+    * the gate on realistic text. */
   def mrGrepSql(q: String = "vector"): String =
-    s"SELECT trim(text) AS line FROM documents WHERE trim(text) <> '' AND contains(lower(trim(text)), '$q')"
+    s"""WITH t AS (SELECT regexp_replace(text, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g') AS line FROM documents)
+       |SELECT line FROM t
+       |WHERE line <> '' AND contains(lower(line), '$q') AND NOT contains(line, chr(9))""".stripMargin
 }

@@ -7,8 +7,10 @@ package graft.mr
   *
   * Behavior studied from `/root/reference/tests/testdata/exec/`:
   *  - wc_map.sh:12  — `tr '[ \t]' '\n' | tr upper lower | awk '{print $1"\t1"}'`:
-  *    every space/tab-delimited segment INCLUDING empties (blank lines,
-  *    consecutive separators) emits `segment\t1` lowercased.
+  *    tr treats SET1's brackets as LITERAL characters, so '[', ']', space
+  *    and tab are ALL translated to newlines — every segment delimited by
+  *    any of those four characters, INCLUDING empties (blank lines,
+  *    consecutive separators), emits `segment\t1` lowercased.
   *  - wc_reduce.sh:14 — `cut -f1 | uniq -c | awk '{print $2"\t"$1}'`:
   *    consecutive equal keys collapse to `key\tcount`.
   *  - wc_map.py / wc_reduce.py — whitespace `str.split()` (no empties) and
@@ -20,10 +22,11 @@ package graft.mr
   */
 object NativeQueries {
 
-  /** wc_map.sh twin. */
+  /** wc_map.sh twin. Split set is `[`, `]`, space, tab — tr's SET1
+    * brackets are literal split characters, not class syntax. */
   def wcMapSh(lines: Iterator[String]): Iterator[String] =
     lines.flatMap { line =>
-      line.split("[ \t]", -1).iterator.map(seg => seg.toLowerCase + "\t1")
+      line.split("[\\[\\] \t]", -1).iterator.map(seg => seg.toLowerCase + "\t1")
     }
 
   /** wc_reduce.sh twin (consecutive-group count over the sorted stream). */

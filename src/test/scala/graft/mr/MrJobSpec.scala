@@ -110,7 +110,9 @@ class MrJobSpec extends AnyFunSuite {
     // Differential check with a seeded random corpus (deterministic):
     // union of all part files must agree with a straight DataFrame count.
     val rnd = new scala.util.Random(42)
-    val words = Vector("alpha", "beta", "gamma", "", "DELTA", "épsilon")
+    // Brackets included deliberately: tr '[ \t]' treats them as literal
+    // split characters, so "[tag]" must count as ""/"tag"/"" segments.
+    val words = Vector("alpha", "beta", "gamma", "", "DELTA", "épsilon", "[tag]", "mix[ed", "a]b")
     val lines = Seq.fill(200)(Seq.fill(rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" "))
     val in = Files.createTempDirectory("graft-mr-rand-in-")
     lines.grouped(50).zipWithIndex.foreach { case (chunk, i) =>
@@ -123,9 +125,19 @@ class MrJobSpec extends AnyFunSuite {
     val got = (0 until 4).flatMap(i => readLines(out.resolve(f"part-$i%05d")))
       .map { l => val i = l.lastIndexOf('\t'); l.substring(0, i) -> l.substring(i + 1).toLong }
       .toMap
-    val expect = lines.flatMap(_.split("[ \t]", -1)).map(_.toLowerCase)
+    val expect = lines.flatMap(_.split("[\\[\\] \t]", -1)).map(_.toLowerCase)
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     assert(got === expect)
+  }
+
+  test("Md5LinePartitioner is not equal to Md5Partitioner (different routing)") {
+    // If these compared equal, Spark would treat RDDs partitioned by each
+    // as co-partitioned and skip the shuffle on a cogroup — wrong results.
+    assert(new Md5Partitioner(4) != new Md5LinePartitioner(4))
+    assert(new Md5LinePartitioner(4) != new Md5Partitioner(4))
+    assert(new Md5Partitioner(4) == new Md5Partitioner(4))
+    assert(new Md5LinePartitioner(4) == new Md5LinePartitioner(4))
+    assert(new Md5Partitioner(4) != new Md5Partitioner(8))
   }
 
   test("FIFO engine assigns sequential job ids") {
