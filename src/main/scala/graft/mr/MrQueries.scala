@@ -44,17 +44,44 @@ object MrQueries {
       |FROM (SELECT unnest(string_split_regex(text, '[\[\] \t]')) AS w FROM documents)
       |GROUP BY 1""".stripMargin
 
-  /** Word count through the EXEC streaming surface: the reference's own
-    * unmodified wc_map.sh / wc_reduce.sh run via `RDD.pipe` (F3/F7's
+  /** Directory holding the wc exec pair. Primary: vendored copies of the
+    * public course-skeleton scripts (src/main/resources/graft/exec/,
+    * byte-equivalent pipelines — proven against the reference's own
+    * binaries and goldens in MrJobSpec) extracted to scratch so the query
+    * runs with NO reference checkout mounted. Fallback: the mounted
+    * reference fixtures. Fails loudly only when neither exists. */
+  private lazy val wcExecDir: String = {
+    val names = Seq("wc_map.sh", "wc_reduce.sh")
+    val streams = names.map(n => Option(getClass.getResourceAsStream(s"/graft/exec/$n")))
+    if (streams.forall(_.isDefined)) {
+      val dir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.LocalDirs.scratchRoot), "graft-exec-")
+      dir.toFile.deleteOnExit()
+      names.zip(streams.flatten).foreach { case (n, in) =>
+        val p = dir.resolve(n)
+        try java.nio.file.Files.copy(in, p) finally in.close()
+        p.toFile.setExecutable(true)
+        p.toFile.deleteOnExit()
+      }
+      dir.toString
+    } else {
+      val ref = "/root/reference/tests/testdata/exec"
+      require(new java.io.File(s"$ref/wc_map.sh").canExecute,
+        s"wc exec pair neither on the classpath nor under $ref")
+      ref
+    }
+  }
+
+  /** Word count through the EXEC streaming surface: the wc_map.sh /
+    * wc_reduce.sh pipelines run via `RDD.pipe` (F3/F7's
     * arbitrary-executable contract). Stream semantics equal the native
-    * twins (proven byte-exact in MrJobSpec), so the same DuckDB oracle
-    * checks this path at full strength. Fails loudly if the reference
-    * fixtures are not mounted — no silent fallback. */
+    * twins (proven byte-exact in MrJobSpec against the reference's own
+    * unmodified binaries), so the same DuckDB oracle checks this path at
+    * full strength. On a multi-node cluster the extracted scripts would be
+    * shipped with `sc.addFile`; local mode shares the driver filesystem. */
   def mrWordcountExec(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val execDir = "/root/reference/tests/testdata/exec"
-    require(new java.io.File(s"$execDir/wc_map.sh").canExecute,
-      s"reference executables not available under $execDir")
+    val execDir = wcExecDir
     implicit val ord: Ordering[String] = CByteOrdering
     val env = Map("LC_ALL" -> "C")
     val mapped = textLines(spark, sfDir).pipe(Seq(s"$execDir/wc_map.sh"), env)

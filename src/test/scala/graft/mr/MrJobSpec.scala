@@ -68,6 +68,50 @@ class MrJobSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("exec .py word count (reference wc_map.py/wc_reduce.py) == native py twins byte-exactly") {
+    // The .py pair differs from the .sh pair: whitespace str.split() with
+    // no empties, NO lowercasing, and SPACE-separated reduce output
+    // (wc_reduce.py:16 f-string). Different mapper counts on purpose — the
+    // output must be invariant to the map-task split.
+    assume(haveFixtures)
+    val outExec = tmpOut("wcpy-exec")
+    val outNat = tmpOut("wcpy-native")
+    MrJob.run(spark, JobSpec(RefInput, outExec.toString,
+      Exec(Seq(s"$RefExec/wc_map.py")), Exec(Seq(s"$RefExec/wc_reduce.py")),
+      numMappers = 2, numReducers = 2))
+    MrJob.run(spark, JobSpec(RefInput, outNat.toString,
+      Native(NativeQueries.wcMapPy), Native(NativeQueries.wcReducePy),
+      numMappers = 3, numReducers = 2))
+    for (i <- 0 until 2) {
+      val got = readLines(outExec.resolve(f"part-$i%05d"))
+      assert(got.nonEmpty)
+      assert(got === readLines(outNat.resolve(f"part-$i%05d")))
+      // Space-separated "<key> <count>" reduce output, per the .py contract.
+      assert(got.forall(l => l.matches(".* \\d+") && !l.contains("\t")))
+    }
+  }
+
+  test("vendored wc scripts reproduce word_count_correct.txt (no reference binaries)") {
+    // The resource-extracted pipeline (what mr_wordcount_exec uses when the
+    // reference checkout is absent) must hit the same golden as the
+    // reference's own wc_map.sh/wc_reduce.sh.
+    assume(haveFixtures)
+    val res = Seq("wc_map.sh", "wc_reduce.sh").map { n =>
+      val dir = Files.createTempDirectory("graft-vendored-")
+      dir.toFile.deleteOnExit()
+      val p = dir.resolve(n)
+      val in = getClass.getResourceAsStream(s"/graft/exec/$n")
+      assert(in != null, s"vendored resource $n missing")
+      try Files.copy(in, p) finally in.close()
+      p.toFile.setExecutable(true)
+      p.toString
+    }
+    val out = tmpOut("wc-vendored")
+    MrJob.run(spark, JobSpec(RefInput, out.toString,
+      Exec(Seq(res(0))), Exec(Seq(res(1))), numMappers = 2, numReducers = 1))
+    assert(readLines(out.resolve("part-00000")) === readLines(Paths.get(WcGolden)))
+  }
+
   test("exec grep matches grep_correct.txt byte-exactly (test_integration_00: M=2, R=1)") {
     assume(haveFixtures)
     val out = tmpOut("grep-exec")
