@@ -1,0 +1,64 @@
+package graft.mr
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The `mapreduce-submit` analog run on the reference's own fixtures must
+  * reproduce the reference goldens end-to-end (submit.py's defaults are
+  * the wc job; grep is its documented alternate). */
+class MrSubmitSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val Ref = "/root/reference/tests/testdata"
+  private def haveFixtures = Files.isDirectory(Paths.get(s"$Ref/input"))
+
+  private def readLines(p: Path): List[String] =
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split("\n", -1).toList.dropRight(1)
+
+  test("flag parsing mirrors submit.py's option surface") {
+    val a = MrSubmit.parse(Seq("-i", "/in", "--output", "/out", "-m", "m.sh",
+      "--reducer", "r.sh", "--nmappers", "3", "--nreducers", "5", "-p", "6001"))
+    assert(a === MrSubmit.Args(port = 6001, input = "/in", output = "/out",
+      mapper = "m.sh", reducer = "r.sh", numMappers = 3, numReducers = 5))
+    assert(MrSubmit.parse(Seq("-s")).shutdown)
+    intercept[IllegalArgumentException](MrSubmit.parse(Seq("--bogus")))
+  }
+
+  test("defaults mirror submit.py's defaults") {
+    val a = MrSubmit.parse(Nil)
+    assert(a.input === "tests/testdata/input" && a.output === "output")
+    assert(a.mapper === "tests/testdata/exec/wc_map.sh")
+    assert(a.reducer === "tests/testdata/exec/wc_reduce.sh")
+    assert(a.numMappers === 2 && a.numReducers === 2 && !a.shutdown)
+  }
+
+  test("submit on the reference fixtures reproduces the wc golden (R=1)") {
+    assume(haveFixtures)
+    val out = Files.createTempDirectory("graft-submit-wc-")
+    out.toFile.deleteOnExit()
+    val parts = MrSubmit.run(spark, MrSubmit.parse(Seq(
+      "-i", s"$Ref/input", "-o", out.toString,
+      "-m", s"$Ref/exec/wc_map.sh", "-r", s"$Ref/exec/wc_reduce.sh",
+      "--nmappers", "4", "--nreducers", "1")))
+    assert(parts.size === 1)
+    assert(readLines(Paths.get(parts.head)) ===
+      readLines(Paths.get(s"$Ref/correct/word_count_correct.txt")))
+  }
+
+  test("submit on the reference fixtures reproduces the grep golden (M=2, R=1)") {
+    assume(haveFixtures)
+    val out = Files.createTempDirectory("graft-submit-grep-")
+    out.toFile.deleteOnExit()
+    val parts = MrSubmit.run(spark, MrSubmit.parse(Seq(
+      "-i", s"$Ref/input", "-o", out.toString,
+      "-m", s"$Ref/exec/grep_map.py", "-r", s"$Ref/exec/grep_reduce.py",
+      "--nmappers", "2", "--nreducers", "1")))
+    assert(readLines(Paths.get(parts.head)) ===
+      readLines(Paths.get(s"$Ref/correct/grep_correct.txt")))
+  }
+}
