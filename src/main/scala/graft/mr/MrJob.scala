@@ -40,7 +40,16 @@ final case class JobSpec(
     mapper: LineProc,
     reducer: LineProc,
     numMappers: Int = 2,
-    numReducers: Int = 2)
+    numReducers: Int = 2,
+    /** false (default) = reference-compat F2: each FILE is one map
+      * partition (exec mappers fork once per file, like the reference's
+      * one-Popen-per-file accounting). true = let Spark split files by
+      * BYTE RANGES across `numMappers`+ tasks — the right shape when one
+      * input file is 10 GB. Only valid when the mapper is line-local
+      * (emits per line with no cross-line state), which every shipped
+      * mapper is; reducers are unaffected (they always run after the
+      * partition+sort barrier). */
+    splitFilesByBytes: Boolean = false)
 
 /** C-locale (byte-wise) whole-line ordering — the reference sorts with
   * `LC_ALL=C sort` (`/root/reference/tests/test_worker_11.py:104-105`).
@@ -90,18 +99,25 @@ object MrJob {
     val files = listInputFiles(spark, job.inputDir)
     require(files.nonEmpty, s"no input files in ${job.inputDir}")
 
-    // F2+F3: group files round-robin into map tasks; each input file is a
-    // separate partition so Exec mappers fork once per file, exactly like
-    // the reference's one-Popen-per-file accounting
-    // (/root/reference/tests/test_worker_11.py:152-154). On a cluster this
-    // is one task per file — at 100 TB you'd use the native path below.
-    val taskRdds = files.indices.groupBy(_ % job.numMappers).toSeq.sortBy(_._1).map {
-      case (_, idxs) =>
-        val taskFiles = idxs.map(files)
-        val fileRdds = taskFiles.map(f => applyProc(job.mapper, sc.textFile(f, 1)))
-        if (fileRdds.size == 1) fileRdds.head else sc.union(fileRdds)
+    // F2+F3. Compat mode (default): group files round-robin into map
+    // tasks; each input file is a separate partition so Exec mappers fork
+    // once per file, exactly like the reference's one-Popen-per-file
+    // accounting (/root/reference/tests/test_worker_11.py:152-154).
+    // Byte-split mode: hand the whole file list to one textFile so Hadoop
+    // TextInputFormat splits by byte ranges (~total/numMappers per task,
+    // newline-aligned) — a single 10 GB file parallelizes instead of
+    // pinning one task; line-local mappers produce identical output.
+    val mapped = if (job.splitFilesByBytes) {
+      applyProc(job.mapper, sc.textFile(files.mkString(","), job.numMappers))
+    } else {
+      val taskRdds = files.indices.groupBy(_ % job.numMappers).toSeq.sortBy(_._1).map {
+        case (_, idxs) =>
+          val taskFiles = idxs.map(files)
+          val fileRdds = taskFiles.map(f => applyProc(job.mapper, sc.textFile(f, 1)))
+          if (fileRdds.size == 1) fileRdds.head else sc.union(fileRdds)
+      }
+      if (taskRdds.size == 1) taskRdds.head else sc.union(taskRdds)
     }
-    val mapped = if (taskRdds.size == 1) taskRdds.head else sc.union(taskRdds)
 
     // F4+F5+F6: md5-mod-R routing with byte-wise whole-line sort; Spark's
     // sort-based shuffle externally sorts and k-way-merges per partition —

@@ -54,57 +54,129 @@ object StreamingOps {
   case class SessionRow(user_id: Long, session_id: Long, n_events: Long,
       first_event_id: Long, last_event_id: Long, sum_value: Double)
 
-  /** Gap-based sessionization through the streaming engine's custom-state
-    * API (`flatMapGroupsWithState`): per-user state, sessions cut on
-    * 30-minute inactivity. Emits the same rows as the batch
-    * [[graft.operators.EventOps.sessionize]] (and is checked against the
-    * same DuckDB oracle): session ids are 1-based per user in µs order,
-    * value sums go through scale-6 BigDecimal exactly like the batch
-    * DECIMAL cast.
+  /** Open-session state — AGGREGATES ONLY, never an event buffer, so
+    * per-key state is O(1) no matter how long a session runs. `sumMicros`
+    * is the exact scale-6 sum as an unscaled long (the BigDecimal twin of
+    * the batch DECIMAL(24,6) cast — sums of longs are exact, and
+    * `BigDecimal(sumMicros, 6).toDouble` reproduces the batch double).
     *
-    * Demo runs one micro-batch and emits every session; production keeps
-    * only the open session in state with an event-time timeout — the
-    * sessionize walk itself is identical. */
-  def streamingSessionize(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
+    * `n == 0` is the TOMBSTONE form: no session is open, but `sid`
+    * remembers the last emitted ordinal so a user who returns after a
+    * timeout-closed session continues 1,2,3,… exactly like the batch
+    * numbering. Ordinal session ids inherently need a per-user lifetime
+    * counter; the tombstone is that counter (O(1), no timeout armed), not
+    * a buffer. */
+  case class OpenSession(sid: Long, n: Long, minId: Long, maxId: Long,
+      sumMicros: Long, lastUs: Long)
+
+  private def micros(v: Double): Long =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
+
+  private def emitRow(user: Long, s: OpenSession): SessionRow =
+    SessionRow(user, s.sid, s.n, s.minId, s.maxId, BigDecimal(s.sumMicros, 6).toDouble)
+
+  /** PRODUCTION-SHAPE gap sessionization over any streaming event source:
+    * `flatMapGroupsWithState` with an EVENT-TIME TIMEOUT. Per user, state
+    * holds only the open session's aggregates; closed sessions are emitted
+    * the moment a batch observes the gap, and the final open session is
+    * emitted by the state-store timeout once the watermark passes
+    * `last event + gap` — no end-of-stream flush, no unbounded buffer.
+    * Session ids are 1-based per user in µs order, matching the batch
+    * [[graft.operators.EventOps.sessionize]] and its DuckDB oracle.
+    *
+    * Within a batch events are sorted here; ACROSS batches ordering is the
+    * watermark's job — an event older than the open session's `lastUs`
+    * that arrives in a later batch would be appended (classic
+    * at-watermark-granularity semantics; the delay parameter is the
+    * disorder budget, and the bench harness feeds time-split chunks so the
+    * guarantee is exact). */
+  def sessionizeStream(
+      stream: org.apache.spark.sql.Dataset[Ev],
+      gapUs: Long,
+      watermarkDelay: String = "0 seconds"): org.apache.spark.sql.Dataset[SessionRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val gapUs = gapMinutes * 60L * 1000000L
-    val schema = Tables.events(spark, sfDir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .selectExpr("user_id", "event_id", "ts div 1000 AS us", "value").as[Ev]
-    val sessions = stream.groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[Ev], SessionRow](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, evs, state) =>
-        val all = (state.getOption.getOrElse(Nil) ++ evs).sortBy(e => (e.us, e.event_id))
-        state.update(Nil)
-        var sid = 0L
-        var out = List.newBuilder[SessionRow]
-        var cur = List.empty[Ev]
-        def flush(): Unit = if (cur.nonEmpty) {
-          val s = cur.reverse
-          // Exact twin of the batch dsum: per-value DECIMAL(24,6) (HALF_UP,
-          // same as Spark's double→decimal cast), exact sum, then double.
-          val sum = s.map(e => BigDecimal(e.value).setScale(6, BigDecimal.RoundingMode.HALF_UP))
-            .sum.toDouble
-          // Batch emits min/max event_id (ids need not be monotone in time).
-          val ids = s.map(_.event_id)
-          out += SessionRow(user, sid, s.size.toLong, ids.min, ids.max, sum)
-        }
-        var prevUs = Long.MinValue
-        all.foreach { e =>
-          if (prevUs == Long.MinValue || e.us - prevUs > gapUs) { flush(); sid += 1; cur = Nil }
-          cur = e :: cur
-          prevUs = e.us
-        }
-        flush()
-        out.result().iterator
+    stream
+      .withColumn("event_time", timestamp_micros(col("us")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed lastUs + gap: the open session is closed.
+            // Leave the sid-counter tombstone (no timeout armed) so a
+            // returning user continues the ordinal sequence.
+            val s = state.get
+            state.update(OpenSession(s.sid, 0L, 0L, 0L, 0L, s.lastUs))
+            Iterator.single(emitRow(user, s))
+          } else {
+            val sorted = evs.toIndexedSeq.sortBy(e => (e.us, e.event_id))
+            val out = List.newBuilder[SessionRow]
+            var cur = state.getOption.orNull
+            sorted.foreach { e =>
+              val m = micros(e.value)
+              cur =
+                if (cur == null)
+                  OpenSession(1L, 1L, e.event_id, e.event_id, m, e.us)
+                else if (cur.n == 0L) // tombstone: continue the ordinals
+                  OpenSession(cur.sid + 1L, 1L, e.event_id, e.event_id, m, e.us)
+                else if (e.us - cur.lastUs > gapUs) {
+                  out += emitRow(user, cur)
+                  OpenSession(cur.sid + 1L, 1L, e.event_id, e.event_id, m, e.us)
+                } else
+                  OpenSession(cur.sid, cur.n + 1,
+                    math.min(cur.minId, e.event_id), math.max(cur.maxId, e.event_id),
+                    cur.sumMicros + m, math.max(cur.lastUs, e.us))
+            }
+            // The data path always sees ≥1 event, so cur is a live session.
+            state.update(cur)
+            // Close via timeout when the watermark passes the gap edge.
+            // (max-guard: a timestamp at/behind the watermark is illegal.)
+            state.setTimeoutTimestamp(math.max(
+              (cur.lastUs + gapUs) / 1000L + 1L, state.getCurrentWatermarkMs + 1L))
+            out.result().iterator
+          }
       }
+  }
+
+  /** Gap-based sessionization through the streaming engine, fed in
+    * TIME-SPLIT micro-batches plus one far-future watermark-advancing
+    * sentinel so every session (including each user's last) is emitted by
+    * the event-time-timeout path — the oracle then checks the production
+    * operator at full strength. The driver-side collect here is the DEMO
+    * SOURCE (a MemoryStream feeder standing in for Kafka), not part of the
+    * operator: [[sessionizeStream]] itself never touches the driver. */
+  def streamingSessionize(spark: SparkSession, sfDir: String, gapMinutes: Int = 30,
+      numChunks: Int = 4): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val gapUs = gapMinutes * 60L * 1000000L
+    val evs = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "ts div 1000 AS us", "value").as[Ev]
+      .collect().sortBy(_.us)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val sessions = sessionizeStream(source.toDS(), gapUs)
     val name = "graft_stream_sessionize"
     val q = sessions.writeStream.outputMode("append").format("memory").queryName(name)
       .option("checkpointLocation", ckptDir(name)).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    try {
+      val chunkSize = math.max(1, math.ceil(evs.length.toDouble / numChunks).toInt)
+      evs.grouped(chunkSize).foreach { chunk =>
+        source.addData(chunk.toSeq)
+        q.processAllAvailable() // one micro-batch per time-split chunk
+      }
+      // Sentinel: pushes the watermark past every real session's gap edge,
+      // firing the timeouts. Its own (negative-user) session stays open and
+      // is filtered out below.
+      source.addData(Ev(-1L, -1L, evs.last.us + 1000L * gapUs, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).filter(col("user_id") >= 0)
   }
 
   /** Windowed streaming aggregation with a watermark (append mode): used by

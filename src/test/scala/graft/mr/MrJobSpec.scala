@@ -174,6 +174,23 @@ class MrJobSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("byte-split native mode (F2 large-file path) reproduces the golden byte-exactly") {
+    // splitFilesByBytes lets Hadoop TextInputFormat cut files into byte
+    // ranges (the 10 GB-file shape) instead of one-partition-per-file;
+    // line-local mappers must produce identical output. Verified against
+    // the R=1 golden, and the map stage must actually have >1 partition.
+    assume(haveFixtures)
+    val out = tmpOut("wc-split")
+    MrJob.run(spark, JobSpec(RefInput, out.toString,
+      Native(NativeQueries.wcMapSh), Native(NativeQueries.wcReduceSh),
+      numMappers = 8, numReducers = 1, splitFilesByBytes = true))
+    assert(readLines(out.resolve("part-00000")) === readLines(Paths.get(WcGolden)))
+    val nSplits = spark.sparkContext
+      .textFile(MrJob.listInputFiles(spark, RefInput).mkString(","), 8)
+      .getNumPartitions
+    assert(nSplits > 1)
+  }
+
   test("Md5LinePartitioner is not equal to Md5Partitioner (different routing)") {
     // If these compared equal, Spark would treat RDDs partitioned by each
     // as co-partitioned and skip the shuffle on a cogroup — wrong results.

@@ -18,6 +18,61 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("production sessionize: incremental emission across micro-batches, timeout close, ordinal continuity") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingOps.{Ev, SessionRow}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val min = 60L * 1000000L
+    val hour = 60L * min
+    val t0 = 1700000000L * 1000000L
+    val gapUs = 30L * min
+    val name = "graft_stream_sess_mb"
+    val source = MemoryStream[Ev]
+    val q = StreamingOps.sessionizeStream(source.toDS(), gapUs)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", graft.LocalDirs.streamingCkpt(name)).start()
+    def rows() = spark.table(name).as[SessionRow].collect().toSeq
+      .sortBy(r => (r.user_id, r.session_id))
+    try {
+      // Batch 1: one open session for user 1 — nothing may be emitted yet.
+      source.addData(Ev(1, 10, t0, 1.5), Ev(1, 11, t0 + 10 * min, 2.25))
+      q.processAllAvailable()
+      assert(rows().isEmpty)
+      // Batch 2: a post-gap event closes session 1 in the DATA path; the
+      // new session 2 stays open in state.
+      source.addData(Ev(1, 12, t0 + 2 * hour, 0.5))
+      q.processAllAvailable()
+      assert(rows() === Seq(SessionRow(1, 1, 2, 10, 11, 3.75)))
+      // Batch 3: ANOTHER user's far-future event advances the watermark
+      // past session 2's gap edge — the event-time TIMEOUT closes it (user
+      // 1 has no data in this batch).
+      source.addData(Ev(2, 99, t0 + 10 * hour, 0.25))
+      q.processAllAvailable()
+      assert(rows() === Seq(
+        SessionRow(1, 1, 2, 10, 11, 3.75), SessionRow(1, 2, 1, 12, 12, 0.5)))
+      // Batch 4+5: user 1 RETURNS after a timeout-closed session — the
+      // ordinal continues at 3 (tombstone counter), not back at 1; the
+      // next watermark push times it out too.
+      source.addData(Ev(1, 13, t0 + 20 * hour, 1.0))
+      q.processAllAvailable()
+      source.addData(Ev(2, 100, t0 + 40 * hour, 0.0))
+      q.processAllAvailable()
+      assert(rows() === Seq(
+        SessionRow(1, 1, 2, 10, 11, 3.75), SessionRow(1, 2, 1, 12, 12, 0.5),
+        SessionRow(1, 3, 1, 13, 13, 1.0), SessionRow(2, 1, 1, 99, 99, 0.25)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionize (chunked feed) equals the batch sessionize rows") {
+    val streamed = StreamingOps.streamingSessionize(spark, Sf)
+      .collect().map(_.toSeq).toSet
+    val batch = EventOps.sessionize(spark, Sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("watermarked window stream starts and produces a bounded-state plan") {
     val df = StreamingOps.watermarkedWindowCounts(spark, Sf)
     assert(df.isStreaming)
