@@ -17,9 +17,8 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // tmpfs shuffle dirs: host disk is intermittently throttled and was
-      // measured turning 3 s shuffles into minutes (DiskBlockObjectWriter-bound)
-      .config("spark.local.dir", "/dev/shm/spark-local")
+      // tmpfs-by-default shuffle dirs (GRAFT_LOCAL_DIR overrides; see LocalDirs)
+      .config("spark.local.dir", LocalDirs.sparkLocalDir)
       .config("spark.sql.adaptive.enabled", "true")
     // Extra configs: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.contains("="))

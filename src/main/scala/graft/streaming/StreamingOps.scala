@@ -42,12 +42,16 @@ object StreamingOps {
       .groupBy((expr(s"ts div $NsPerHour") * 3600).as("hour_epoch"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value"), 24, 6).as("sum_value"))
     val name = "graft_stream_hourly"
-    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name)
-      .option("checkpointLocation", ckptDir(name)).start()
-    try q.processAllAvailable() finally q.stop()
+    // Same local-mode state-partition tuning as streamingSessionize.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = agg.writeStream.outputMode("complete").format("memory").queryName(name)
+        .option("checkpointLocation", ckptDir(name)).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     // Materialize: the memory-sink table is session-scoped mutable state.
-    val out = spark.table(name)
-    out
+    spark.table(name)
   }
 
   case class Ev(user_id: Long, event_id: Long, us: Long, value: Double)
@@ -151,7 +155,7 @@ object StreamingOps {
     * SOURCE (a MemoryStream feeder standing in for Kafka), not part of the
     * operator: [[sessionizeStream]] itself never touches the driver. */
   def streamingSessionize(spark: SparkSession, sfDir: String, gapMinutes: Int = 30,
-      numChunks: Int = 4): DataFrame = {
+      numChunks: Int = 2): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val gapUs = gapMinutes * 60L * 1000000L
@@ -162,20 +166,29 @@ object StreamingOps {
     val source = MemoryStream[Ev]
     val sessions = sessionizeStream(source.toDS(), gapUs)
     val name = "graft_stream_sessionize"
-    val q = sessions.writeStream.outputMode("append").format("memory").queryName(name)
-      .option("checkpointLocation", ckptDir(name)).start()
+    // Local-mode harness tuning, not semantics: each micro-batch pays a
+    // fixed per-state-partition cost (store open/commit/snapshot), and the
+    // demo's keyspace is thousands of users, so 8 state partitions beat
+    // the session default. Pinned at stream start from the session conf;
+    // restored afterwards. A cluster run would size this to its executors.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val chunkSize = math.max(1, math.ceil(evs.length.toDouble / numChunks).toInt)
-      evs.grouped(chunkSize).foreach { chunk =>
-        source.addData(chunk.toSeq)
-        q.processAllAvailable() // one micro-batch per time-split chunk
-      }
-      // Sentinel: pushes the watermark past every real session's gap edge,
-      // firing the timeouts. Its own (negative-user) session stays open and
-      // is filtered out below.
-      source.addData(Ev(-1L, -1L, evs.last.us + 1000L * gapUs, 0.0))
-      q.processAllAvailable()
-    } finally q.stop()
+      val q = sessions.writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", ckptDir(name)).start()
+      try {
+        val chunkSize = math.max(1, math.ceil(evs.length.toDouble / numChunks).toInt)
+        evs.grouped(chunkSize).foreach { chunk =>
+          source.addData(chunk.toSeq)
+          q.processAllAvailable() // one micro-batch per time-split chunk
+        }
+        // Sentinel: pushes the watermark past every real session's gap
+        // edge, firing the timeouts. Its own (negative-user) session stays
+        // open and is filtered out below.
+        source.addData(Ev(-1L, -1L, evs.last.us + 1000L * gapUs, 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(name).filter(col("user_id") >= 0)
   }
 

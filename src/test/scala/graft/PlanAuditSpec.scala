@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 100 TB plan properties PLANS.md documents, enforced as tests: a
+  * regression that turns a pushed filter into a post-scan filter, sneaks a
+  * cartesian into a scale-path query, or re-materializes the shared IVF
+  * assignment now fails `sbt test` instead of waiting for a human to read
+  * `.explain` output. Assertions are deliberately structural (node kinds,
+  * occurrence counts) rather than full plan snapshots, so AQE/codegen
+  * details can evolve without false alarms. */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, Sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  /** Physical nodes of a kind, counted via the formatted-mode detail
+    * headers `(n) Kind` — each node appears exactly once there (tree lines
+    * would double-count). */
+  private def nodes(p: String, kind: String): Int =
+    ("""\(\d+\) """ + kind + """\b""").r.findAllIn(p).size
+
+  test("q3_topk: filters pushed to the scans, top-k without a global sort") {
+    val p = plan("q3_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("GreaterThan(l_shipdate"), "lineitem date filter must reach PushedFilters")
+    assert(p.contains("LessThan(o_orderdate"), "orders date filter must reach PushedFilters")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "customer segment filter must reach PushedFilters")
+    assert(!p.contains("l_comment"), "lineitem scan must be column-pruned")
+  }
+
+  test("scale-path queries contain no cartesian product") {
+    // dedup_embedding is the documented all-pairs exactness BASELINE and is
+    // exempt; every query sold as a scale path must stay cartesian-free.
+    for (q <- Seq("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding_ivf",
+        "knn_ivf", "q5_region", "events_asof_click")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan contains a cartesian:\n$p")
+    }
+  }
+
+  test("wc_wordcount: map-side partial aggregation, a single exchange") {
+    val p = plan("wc_wordcount")
+    assert(nodes(p, "HashAggregate") >= 2, "expect partial + final HashAggregate")
+    assert(nodes(p, "Exchange") === 1, s"token stream must not cross the exchange:\n$p")
+  }
+
+  test("events_sessionize: pruned scan, ONE exchange (windows and groupBy share the user_id partitioning)") {
+    val p = plan("events_sessionize")
+    assert(p.contains("ReadSchema") && p.contains("event_id"))
+    assert(!p.contains("event_type"), "events scan must prune unused columns")
+    // lag + running-sum share one sort, and the session groupBy's keys
+    // start with user_id, so even the final aggregate reuses the same
+    // partitioning — the whole query is a single shuffle.
+    assert(nodes(p, "Exchange") === 1, s"lag/running-sum/groupBy must share partitionings:\n$p")
+  }
+
+  test("dedup_embedding_ivf and knn_ivf reuse the materialized assignment (no per-side rescan)") {
+    for (q <- Seq("dedup_embedding_ivf", "knn_ivf")) {
+      val p = plan(q)
+      assert(p.contains("ExistingRDD"), s"$q must read the localCheckpoint'ed assignment")
+      assert(!p.contains("embeddings.parquet"),
+        s"$q must not re-run the scan+assign lineage per join side:\n$p")
+    }
+  }
+
+  test("knn_brute: query set broadcast + rank-limit pushdown") {
+    val p = plan("knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("WindowGroupLimit"), "per-query top-k must use the rank-limit pushdown")
+  }
+
+  test("grep_product: scan pruned to the referenced columns") {
+    val p = plan("grep_product")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("text"))
+    assert(!read.contains("source") && !read.contains("n_chars"),
+      s"documents scan must read only doc_id+text: $read")
+  }
+}
