@@ -51,6 +51,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_embedding_ivf" -> ((s, d) => Similarity.embeddingNearDupIvf(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     // Similarity search
     "knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
@@ -58,6 +59,9 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
+    "term_df" -> ((s, d) => TextAnalysis.termDf(s, d)),
+    // Curation / sampling
+    "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     // Multimodal plumbing (stub decoder, real pipeline)
     "multimodal_media" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "multimodal_frames" -> ((s, d) => Multimodal.frameSamples(s, d)),
@@ -93,11 +97,14 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhashSql,
     "dedup_embedding" -> Dedup.embeddingNearDupSql(),
     "dedup_embedding_ivf" -> Similarity.embeddingNearDupIvfSql(),
+    "dedup_clusters" -> Dedup.clustersSql,
     "knn_brute" -> Similarity.knnBruteSql(),
     "knn_ivf" -> Similarity.knnIvfSql(),
     "text_quality" -> TextAnalysis.qualitySql,
     "lang_id" -> TextAnalysis.langIdSql,
     "token_count" -> TextAnalysis.tokenCountSql,
+    "term_df" -> TextAnalysis.termDfSql(),
+    "sample_stratified" -> Sampling.stratifiedSampleSql(),
     "multimodal_media" -> Multimodal.mediaFeaturesSql,
     "multimodal_frames" -> Multimodal.frameSamplesSql,
   )

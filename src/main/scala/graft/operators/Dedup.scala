@@ -226,7 +226,11 @@ object Dedup {
       .distinct()
   }
 
-  def minhashLshSql: String = {
+  /** The MinHash pipeline as a reusable WITH-clause body ending in a
+    * `pairs` CTE — [[minhashLshSql]] selects from it directly and
+    * [[clustersSql]] extends it with the recursive connected-components
+    * walk. */
+  private def minhashCtes: String = {
     val rows = MinhashHashes / MinhashBands
     val slotExprs = (0 until MinhashHashes).map(i =>
       s"min((${MinhashA(i)}::BIGINT * h + ${MinhashB(i)}) % $MinhashM) AS s$i").mkString(", ")
@@ -234,15 +238,78 @@ object Dedup {
       val key = (0 until rows).map(k => s"s${b * rows + k}").mkString(" || '|' || ")
       if (b < MinhashBands - 1) s"WHEN $b THEN $key" else s"ELSE $key"
     }.mkString(" ")
-    s"""WITH ${shinglesSql(3)},
+    s"""${shinglesSql(3)},
        |hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 14))::BIGINT % $MinhashM AS h FROM sh),
        |sigs AS (SELECT doc_id, $slotExprs FROM hashed GROUP BY doc_id),
        |bands AS (SELECT doc_id, band, CASE band $bandCases END AS bk
-       |          FROM sigs, LATERAL (SELECT unnest(generate_series(0, ${MinhashBands - 1})) AS band) b)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin
+       |          FROM sigs, LATERAL (SELECT unnest(generate_series(0, ${MinhashBands - 1})) AS band) b),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b
+       |            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  def minhashLshSql: String =
+    s"""WITH $minhashCtes
+       |SELECT doc_a, doc_b FROM pairs""".stripMargin
+
+  // ---- duplicate clustering (pairs → components) --------------------------
+
+  /** Duplicate-CLUSTER assignment: connected components over the
+    * MinHash/LSH candidate-pair graph, cluster id = min doc_id in the
+    * component. This is the step that turns pairwise dedup output into
+    * "keep one canonical document per group" — without it a transitive
+    * chain a~b~c dedups to two different survivors depending on pair
+    * order.
+    *
+    * Shape: min-label propagation. Every node starts labeled with itself;
+    * each round pushes labels across edges and keeps the per-node min;
+    * fixpoint in O(component diameter) rounds (near-dup components are
+    * shallow — theirs is essentially a clique structure from shared
+    * buckets). Each round is one edge join + one min-groupBy, shuffle
+    * volume bounded by |edges| — never pairs² — and rounds
+    * localCheckpoint so the loop's lineage doesn't stack. The driver only
+    * runs the loop and a per-round 1-row convergence probe; all data stays
+    * distributed. This is the standard Pregel-style CC at 100 TB scale. */
+  def clusters(spark: SparkSession, sfDir: String, maxIters: Int = 20): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val prop = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels.select(col("doc_id"), col("label")).union(prop)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      // Labels only ever decrease, so the label sum is a monotone
+      // convergence witness — one scalar action per round. (coalesce: an
+      // empty pair graph sums to NULL.)
+      val before = labels.agg(coalesce(sum(col("label")), lit(0L))).first().getLong(0)
+      val after = next.agg(coalesce(sum(col("label")), lit(0L))).first().getLong(0)
+      converged = before == after
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connected components did not converge in $maxIters rounds")
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Oracle: the same components via a recursive reachability walk —
+    * (node, label) is derivable when `label` can reach `node` through the
+    * bidirectional edge set; min label per node = the component's min. */
+  def clustersSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(node, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+       |SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node""".stripMargin
 
   // ---- SimHash ------------------------------------------------------------
 

@@ -128,4 +128,26 @@ object TextAnalysis {
       |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
       |  CAST(sum(length(text)) AS BIGINT) AS n_chars
       |FROM documents GROUP BY source""".stripMargin
+
+  /** Corpus vocabulary statistics: top-k terms by DOCUMENT frequency (the
+    * IDF denominator a tokenizer/filtering pipeline needs), with collection
+    * frequency alongside. Plan: explode → one (term) aggregation with
+    * map-side partials (count-distinct expands to a two-phase aggregate on
+    * (term, doc_id)) → TakeOrderedAndProject for the top-k — no global
+    * sort, shuffle bounded by the vocabulary, not the token stream.
+    * Output stays integral (df, cf) so cross-engine parity is exact; a
+    * downstream IDF is one deterministic `ln` away but floats would hash
+    * differently across libm implementations. */
+  def termDf(spark: SparkSession, sfDir: String, topK: Int = 30): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(topK)
+
+  def termDfSql(topK: Int = 30): String =
+    s"""SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+       |FROM (SELECT doc_id, unnest(${TextOps.tokensSql}) AS term FROM documents)
+       |GROUP BY term ORDER BY df DESC, term LIMIT $topK""".stripMargin
 }

@@ -33,4 +33,27 @@ class DedupSpec extends AnyFunSuite {
     // on this corpus every strong pair should surface.
     assert(strong.subsetOf(lsh), s"missed: ${strong -- lsh}")
   }
+
+  test("clusters: a valid connected-components labeling of the LSH pair graph") {
+    val pairs = Dedup.minhashLsh(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val label = Dedup.clusters(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Every doc appearing in a pair is labeled; paired docs share a label
+    // (so transitive chains collapse to ONE survivor).
+    for ((a, b) <- pairs) {
+      assert(label.contains(a) && label.contains(b))
+      assert(label(a) === label(b), s"pair ($a,$b) split across clusters")
+    }
+    // The label really is the component MIN, and labels are component
+    // members (each cluster id labels itself).
+    for ((doc, c) <- label) assert(c <= doc)
+    assert(label.values.toSet.forall(c => label(c) === c))
+    // Independent ground truth: brute-force union-find on the driver.
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    for ((a, b) <- pairs) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val truth = label.keys.map(d => d -> find(d)).toMap
+    assert(label === truth)
+  }
 }
