@@ -76,6 +76,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), "per-query top-k must use the rank-limit pushdown")
   }
 
+  test("sample_stratified: rank filter compiles to WindowGroupLimit (per-stratum top-k pre-shuffle)") {
+    val p = plan("sample_stratified")
+    assert(p.contains("WindowGroupLimit"), s"quota sample must not sort whole strata:\n$p")
+    assert(!p.contains("n_chars") && !p.contains("text"), "scan must prune to doc_id+lang")
+  }
+
+  test("term_df: top-k via TakeOrderedAndProject, no global sort") {
+    val p = plan("term_df")
+    assert(p.contains("TakeOrderedAndProject"), s"term_df must not globally sort the vocabulary:\n$p")
+  }
+
   test("grep_product: scan pruned to the referenced columns") {
     val p = plan("grep_product")
     val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
