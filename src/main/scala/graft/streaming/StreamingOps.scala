@@ -192,6 +192,46 @@ object StreamingOps {
     spark.table(name).filter(col("user_id") >= 0)
   }
 
+  case class Doc(doc_id: Long, text: String)
+
+  /** Streaming EXACT dedup — the continuous-ingest twin of
+    * [[graft.operators.Dedup.exact]]: hash each arriving document and
+    * `dropDuplicates` on the hash through the streaming engine, so state
+    * is ONE small row per distinct hash (never a document buffer) and a
+    * re-ingested duplicate is suppressed across micro-batches. Emits each
+    * distinct content hash exactly once (append mode), which is
+    * deterministic regardless of feed order — that is what lets the DuckDB
+    * oracle (`SELECT DISTINCT md5(text)`) hash-check the streaming path at
+    * full strength. Production note: with an event-time column the same
+    * plan bounds state via `dropDuplicatesWithinWatermark`; the unbounded
+    * form here matches the batch operator's semantics exactly. */
+  def streamingDedup(spark: SparkSession, sfDir: String, numChunks: Int = 2): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text").as[Doc].collect()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Doc]
+    val deduped = source.toDS()
+      .select(md5(col("text")).as("content_hash"))
+      .dropDuplicates("content_hash")
+    val name = "graft_stream_dedup"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = deduped.writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", ckptDir(name)).start()
+      try {
+        val chunkSize = math.max(1, math.ceil(docs.length.toDouble / numChunks).toInt)
+        docs.grouped(chunkSize).foreach { chunk =>
+          source.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(name)
+  }
+
   /** Windowed streaming aggregation with a watermark (append mode): used by
     * the streaming spec to pin the watermark/window semantics; not part of
     * the oracle surface because append mode intentionally withholds

@@ -64,6 +64,39 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses re-ingested duplicates across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingOps.Doc
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val name = "graft_stream_dedup_mb"
+    val source = MemoryStream[Doc]
+    val q = source.toDS()
+      .select(org.apache.spark.sql.functions.md5($"text").as("content_hash"))
+      .dropDuplicates("content_hash")
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", graft.LocalDirs.streamingCkpt(name)).start()
+    try {
+      source.addData(Doc(1, "alpha"), Doc(2, "beta"), Doc(3, "alpha"))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 2) // in-batch dup suppressed
+      source.addData(Doc(4, "beta"), Doc(5, "gamma")) // cross-batch dup + new
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 3)
+    } finally q.stop()
+  }
+
+  test("streaming dedup (chunked feed) equals batch distinct hashes") {
+    val streamed = StreamingOps.streamingDedup(spark, Sf)
+      .collect().map(_.getString(0)).toSet
+    val batch = graft.Tables.documents(spark, Sf)
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text"))).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming sessionize (chunked feed) equals the batch sessionize rows") {
     val streamed = StreamingOps.streamingSessionize(spark, Sf)
       .collect().map(_.toSeq).toSet
