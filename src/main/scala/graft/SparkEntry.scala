@@ -63,6 +63,7 @@ object SparkEntry {
     "term_df" -> ((s, d) => TextAnalysis.termDf(s, d)),
     // Curation / sampling
     "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    "training_mix" -> ((s, d) => Sampling.trainingMix(s, d)),
     // Multimodal plumbing (stub decoder, real pipeline)
     "multimodal_media" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "multimodal_frames" -> ((s, d) => Multimodal.frameSamples(s, d)),
@@ -107,6 +108,7 @@ object SparkEntry {
     "token_count" -> TextAnalysis.tokenCountSql,
     "term_df" -> TextAnalysis.termDfSql(),
     "sample_stratified" -> Sampling.stratifiedSampleSql(),
+    "training_mix" -> Sampling.trainingMixSql(),
     "multimodal_media" -> Multimodal.mediaFeaturesSql,
     "multimodal_frames" -> Multimodal.frameSamplesSql,
   )

@@ -230,7 +230,7 @@ object Dedup {
     * `pairs` CTE — [[minhashLshSql]] selects from it directly and
     * [[clustersSql]] extends it with the recursive connected-components
     * walk. */
-  private def minhashCtes: String = {
+  private[operators] def minhashCtes: String = {
     val rows = MinhashHashes / MinhashBands
     val slotExprs = (0 until MinhashHashes).map(i =>
       s"min((${MinhashA(i)}::BIGINT * h + ${MinhashB(i)}) % $MinhashM) AS s$i").mkString(", ")
@@ -298,18 +298,24 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** Oracle: the same components via a recursive reachability walk —
-    * (node, label) is derivable when `label` can reach `node` through the
-    * bidirectional edge set; min label per node = the component's min. */
-  def clustersSql: String =
-    s"""WITH RECURSIVE $minhashCtes,
+  /** The recursive connected-components walk as CTE text ending in a
+    * `comp(doc_id, cluster_id)` CTE — shared by [[clustersSql]] and the
+    * composed curation oracle. (node, label) is derivable when `label` can
+    * reach `node` through the bidirectional edge set; min label per node =
+    * the component's min. */
+  private[operators] def clusterCtes: String =
+    s"""$minhashCtes,
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |          UNION SELECT doc_b, doc_a FROM pairs),
        |reach(node, label) AS (
        |  SELECT src, src FROM edges
        |  UNION
-       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
-       |SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node""".stripMargin
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+       |comp AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
+  def clustersSql: String =
+    s"""WITH RECURSIVE $clusterCtes
+       |SELECT doc_id, cluster_id FROM comp""".stripMargin
 
   // ---- SimHash ------------------------------------------------------------
 

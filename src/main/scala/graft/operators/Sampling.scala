@@ -36,4 +36,50 @@ object Sampling {
        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
        |  FROM documents)
        |WHERE rn <= $perStratum""".stripMargin
+
+  /** The end-to-end CURATION composite the individual operators exist for:
+    *
+    * {{{ documents → quality gate → drop non-canonical near-dups
+    *     (MinHash/LSH pairs → connected components, keep each cluster's
+    *     min doc) → per-language quota (hash-ordered rank) }}}
+    *
+    * One pass of each ingredient, stitched with joins: the quality gate is
+    * a narrow map, the dedup keep-list arrives as a LEFT ANTI join against
+    * the (tiny) non-canonical member set, and the quota is the
+    * WindowGroupLimit sample. At 100 TB each stage keeps its own scale
+    * shape — nothing here introduces a new shuffle class. This is the
+    * "switch your pipeline to this library" flagship: the whole
+    * training-mix draw is one DataFrame expression, hash-verified against
+    * an independent DuckDB composition of the same stages. */
+  def trainingMix(spark: SparkSession, sfDir: String,
+      minQuality: Double = 0.5, perLang: Int = 30): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val quality = TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val nonCanonical = Dedup.clusters(spark, sfDir)
+      .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    docs.join(quality, Seq("doc_id"))
+      .filter(col("quality_score") >= minQuality)
+      .join(nonCanonical, Seq("doc_id"), "left_anti")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= perLang)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"), col("rn"))
+  }
+
+  def trainingMixSql(minQuality: Double = 0.5, perLang: Int = 30): String =
+    s"""WITH RECURSIVE ${Dedup.clusterCtes},
+       |q AS (${TextAnalysis.qualitySql}),
+       |kept AS (
+       |  SELECT d.doc_id, d.lang, q.n_tokens, q.quality_score
+       |  FROM documents d JOIN q ON d.doc_id = q.doc_id
+       |  WHERE q.quality_score >= $minQuality
+       |    AND NOT EXISTS (SELECT 1 FROM comp c
+       |                    WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id))
+       |SELECT doc_id, lang, n_tokens, quality_score, rn FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM kept)
+       |WHERE rn <= $perLang""".stripMargin
 }
