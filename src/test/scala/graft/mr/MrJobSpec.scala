@@ -174,6 +174,32 @@ class MrJobSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("bracket corpus: reference wc_map.sh/wc_reduce.sh == native twins byte-exactly") {
+    // The reference fixtures contain no '['/']', so the goldens cannot
+    // distinguish "split on space/tab" from tr's real "split on
+    // [, ], space, tab". This differential runs the reference's OWN
+    // executables on a bracket-heavy corpus and byte-compares against the
+    // native twins — ground truth for the ADVICE bracket fix.
+    assume(haveFixtures)
+    val lines = Seq("alpha [tag] beta", "x[y]z", "[[]]", "plain words here",
+      "mix[ed bra]ckets [and] SHOUT[ING]", "")
+    val in = Files.createTempDirectory("graft-mr-bracket-in-")
+    Files.write(in.resolve("file00"), lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val outExec = tmpOut("bracket-exec")
+    val outNat = tmpOut("bracket-native")
+    MrJob.run(spark, JobSpec(in.toString, outExec.toString,
+      Exec(Seq(s"$RefExec/wc_map.sh")), Exec(Seq(s"$RefExec/wc_reduce.sh")),
+      numMappers = 1, numReducers = 2))
+    MrJob.run(spark, JobSpec(in.toString, outNat.toString,
+      Native(NativeQueries.wcMapSh), Native(NativeQueries.wcReduceSh),
+      numMappers = 1, numReducers = 2))
+    for (i <- 0 until 2)
+      assert(readLines(outExec.resolve(f"part-$i%05d")) === readLines(outNat.resolve(f"part-$i%05d")))
+    // Sanity: the brackets really did split ("tag" counted, "[tag]" never emitted).
+    val all = (0 until 2).flatMap(i => readLines(outNat.resolve(f"part-$i%05d")))
+    assert(all.contains("tag\t1") && !all.exists(_.startsWith("[tag]")))
+  }
+
   test("byte-split native mode (F2 large-file path) reproduces the golden byte-exactly") {
     // splitFilesByBytes lets Hadoop TextInputFormat cut files into byte
     // ranges (the 10 GB-file shape) instead of one-partition-per-file;
