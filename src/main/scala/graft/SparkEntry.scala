@@ -61,6 +61,7 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "term_df" -> ((s, d) => TextAnalysis.termDf(s, d)),
+    "length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(s, d)),
     // Curation / sampling
     "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "training_mix" -> ((s, d) => Sampling.trainingMix(s, d)),
@@ -107,6 +108,7 @@ object SparkEntry {
     "lang_id" -> TextAnalysis.langIdSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "term_df" -> TextAnalysis.termDfSql(),
+    "length_quantiles" -> TextAnalysis.lengthQuantilesSql,
     "sample_stratified" -> Sampling.stratifiedSampleSql(),
     "training_mix" -> Sampling.trainingMixSql(),
     "multimodal_media" -> Multimodal.mediaFeaturesSql,

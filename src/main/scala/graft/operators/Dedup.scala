@@ -270,8 +270,13 @@ object Dedup {
     * localCheckpoint so the loop's lineage doesn't stack. The driver only
     * runs the loop and a per-round 1-row convergence probe; all data stays
     * distributed. This is the standard Pregel-style CC at 100 TB scale. */
-  def clusters(spark: SparkSession, sfDir: String, maxIters: Int = 20): DataFrame = {
-    val pairs = minhashLsh(spark, sfDir)
+  def clusters(spark: SparkSession, sfDir: String, maxIters: Int = 20): DataFrame =
+    clustersOfPairs(minhashLsh(spark, sfDir), maxIters)
+
+  /** Connected components over ANY (doc_a, doc_b) pair DataFrame —
+    * [[clusters]] wires it to the LSH candidates; the property spec feeds
+    * it random graphs against a union-find ground truth. */
+  def clustersOfPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()

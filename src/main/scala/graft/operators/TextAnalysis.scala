@@ -150,4 +150,42 @@ object TextAnalysis {
     s"""SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
        |FROM (SELECT doc_id, unnest(${TextOps.tokensSql}) AS term FROM documents)
        |GROUP BY term ORDER BY df DESC, term LIMIT $topK""".stripMargin
+
+  /** EXACT per-language document-length quartiles by rank (value at
+    * `ceil(q·n)`): the deterministic, engine-portable profiling op —
+    * `approx_percentile` sketches are cheaper at 100 TB but neither
+    * reproducible across engines nor across partition layouts, so the
+    * exact-by-rank form is what a correctness-gated pipeline reports.
+    * Plan: one stratum shuffle, per-stratum sort for row_number, then a
+    * conditional-max aggregate picks the quartile ranks; all outputs
+    * integral. (0.25/0.5/0.75 are exact binary fractions and n < 2^53, so
+    * ceil(n·q) is identical arithmetic in both engines.) */
+  def lengthQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars").asc, col("doc_id").asc)
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(counts, Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(
+        max(col("n")).as("n_docs"),
+        max(when(col("rn") === ceil(col("n") * 0.25).cast("long"), col("n_chars"))).as("p25"),
+        max(when(col("rn") === ceil(col("n") * 0.5).cast("long"), col("n_chars"))).as("p50"),
+        max(when(col("rn") === ceil(col("n") * 0.75).cast("long"), col("n_chars"))).as("p75"),
+        max(when(col("rn") === col("n"), col("n_chars"))).as("p100"))
+  }
+
+  val lengthQuantilesSql: String =
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |r AS (SELECT lang, n_chars, doc_id,
+      |        row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn
+      |      FROM documents)
+      |SELECT r.lang, max(n) AS n_docs,
+      |  max(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN n_chars END) AS p25,
+      |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN n_chars END) AS p50,
+      |  max(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN n_chars END) AS p75,
+      |  max(CASE WHEN rn = n THEN n_chars END) AS p100
+      |FROM r JOIN c ON r.lang = c.lang GROUP BY r.lang""".stripMargin
 }

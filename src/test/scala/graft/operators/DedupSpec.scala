@@ -56,4 +56,34 @@ class DedupSpec extends AnyFunSuite {
     val truth = label.keys.map(d => d -> find(d)).toMap
     assert(label === truth)
   }
+
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    for ((a, b) <- pairs) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    pairs.flatMap(p => Seq(p._1, p._2)).distinct.map(d => d -> find(d)).toMap
+  }
+
+  test("clustersOfPairs matches union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val pairs = Seq.fill(40 + rnd.nextInt(30)) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val got = Dedup.clustersOfPairs(pairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === unionFind(pairs))
+    }
+  }
+
+  test("clustersOfPairs converges on a worst-case 50-node chain (diameter = rounds bound)") {
+    import spark.implicits._
+    val chain = (0L until 49L).map(i => (i, i + 1))
+    val got = Dedup.clustersOfPairs(chain.toDF("doc_a", "doc_b"), maxIters = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 49L).map(_ -> 0L).toMap)
+  }
 }
