@@ -44,6 +44,7 @@ object SparkEntry {
     "events_stream_hourly" -> ((s, d) => graft.streaming.StreamingOps.streamingHourly(s, d)),
     "events_stream_sessionize" -> ((s, d) => graft.streaming.StreamingOps.streamingSessionize(s, d)),
     "docs_stream_dedup" -> ((s, d) => graft.streaming.StreamingOps.streamingDedup(s, d)),
+    "events_stream_join" -> ((s, d) => graft.streaming.StreamingOps.streamingIntervalJoin(s, d)),
     // Deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_fingerprint" -> ((s, d) => Dedup.fingerprint(s, d)),
@@ -94,6 +95,7 @@ object SparkEntry {
     "events_stream_hourly" -> EventOps.hourlySql,
     "events_stream_sessionize" -> EventOps.sessionizeSql(),
     "docs_stream_dedup" -> "SELECT DISTINCT md5(text) AS content_hash FROM documents",
+    "events_stream_join" -> graft.streaming.StreamingOps.streamingIntervalJoinSql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_fingerprint" -> Dedup.fingerprintSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),

@@ -193,6 +193,69 @@ object StreamingOps {
   }
 
   case class Doc(doc_id: Long, text: String)
+  case class TypedEv(user_id: Long, event_id: Long, us: Long)
+
+  /** Watermarked STREAM-STREAM interval join: clicks and purchases arrive
+    * on separate streams; each purchase joins the same user's clicks from
+    * the preceding hour. Inner stream-stream joins emit a pair as soon as
+    * both rows have arrived; the watermarks plus the two-sided time
+    * condition are what let the engine EVICT buffered rows once the other
+    * side's watermark passes their join range — bounded state, the
+    * production requirement for an unbounded ingest. Feeding time-split
+    * chunks keeps eviction exact (a row is only evictable once every
+    * possible partner is, by sort order, already ingested), so the DuckDB
+    * interval-join oracle checks this path value-for-value. */
+  def streamingIntervalJoin(spark: SparkSession, sfDir: String,
+      numChunks: Int = 2): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def side(tpe: String) = Tables.events(spark, sfDir)
+      .filter(col("event_type") === tpe)
+      .selectExpr("user_id", "event_id", "ts div 1000 AS us").as[TypedEv]
+      .collect().sortBy(_.us)
+    val clickRows = side("click")
+    val purchRows = side("purchase")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clickSrc = MemoryStream[TypedEv]
+    val purchSrc = MemoryStream[TypedEv]
+    val clicks = clickSrc.toDS()
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        timestamp_micros(col("us")).as("c_time"))
+      .withWatermark("c_time", "0 seconds")
+    val purchases = purchSrc.toDS()
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        timestamp_micros(col("us")).as("p_time"))
+      .withWatermark("p_time", "0 seconds")
+    val joined = purchases.join(clicks, expr(
+      "p_user = c_user AND c_time >= p_time - INTERVAL 1 HOUR AND c_time <= p_time"))
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("click_id"))
+    val name = "graft_stream_ivjoin"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", ckptDir(name)).start()
+      try {
+        val cSize = math.max(1, math.ceil(clickRows.length.toDouble / numChunks).toInt)
+        val pSize = math.max(1, math.ceil(purchRows.length.toDouble / numChunks).toInt)
+        clickRows.grouped(cSize).zipAll(purchRows.grouped(pSize), Array.empty[TypedEv], Array.empty[TypedEv])
+          .foreach { case (cs, ps) =>
+            if (cs.nonEmpty) clickSrc.addData(cs.toSeq)
+            if (ps.nonEmpty) purchSrc.addData(ps.toSeq)
+            q.processAllAvailable()
+          }
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(name)
+  }
+
+  val streamingIntervalJoinSql: String =
+    """SELECT p.purchase_id, p.user_id, c.click_id
+      |FROM (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+      |      FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+      |      FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.cus BETWEEN p.pus - 3600000000 AND p.pus""".stripMargin
 
   /** Streaming EXACT dedup — the continuous-ingest twin of
     * [[graft.operators.Dedup.exact]]: hash each arriving document and

@@ -97,6 +97,23 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingOps.streamingIntervalJoin(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = graft.Tables.events(spark, Sf).withColumn("us", expr("ts div 1000"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("us").as("pus"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("us").as("cus"))
+    val batch = p.join(c, col("user_id") === col("cu") &&
+        col("cus") >= col("pus") - 3600000000L && col("cus") <= col("pus"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming sessionize (chunked feed) equals the batch sessionize rows") {
     val streamed = StreamingOps.streamingSessionize(spark, Sf)
       .collect().map(_.toSeq).toSet
