@@ -282,6 +282,12 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).localCheckpoint()
+    // Labels only ever decrease, so the label sum is a monotone convergence
+    // witness — ONE scalar action per round (the previous round's sum is
+    // carried over). coalesce: an empty pair graph sums to NULL.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).first().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -290,12 +296,9 @@ object Dedup {
       val next = labels.select(col("doc_id"), col("label")).union(prop)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      // Labels only ever decrease, so the label sum is a monotone
-      // convergence witness — one scalar action per round. (coalesce: an
-      // empty pair graph sums to NULL.)
-      val before = labels.agg(coalesce(sum(col("label")), lit(0L))).first().getLong(0)
-      val after = next.agg(coalesce(sum(col("label")), lit(0L))).first().getLong(0)
-      converged = before == after
+      val after = labelSum(next)
+      converged = prevSum == after
+      prevSum = after
       labels = next
       iter += 1
     }
