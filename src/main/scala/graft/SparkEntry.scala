@@ -51,6 +51,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_embedding_ivf" -> ((s, d) => Similarity.embeddingNearDupIvf(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
@@ -101,6 +102,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "dedup_minhash_lsh" -> Dedup.minhashLshSql,
     "dedup_simhash" -> Dedup.simhashSql,
+    "dedup_simhash_pairs" -> Dedup.simhashPairsSql(),
     "dedup_embedding" -> Dedup.embeddingNearDupSql(),
     "dedup_embedding_ivf" -> Similarity.embeddingNearDupIvfSql(),
     "dedup_clusters" -> Dedup.clustersSql,

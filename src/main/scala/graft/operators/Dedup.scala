@@ -327,9 +327,16 @@ object Dedup {
 
   // ---- SimHash ------------------------------------------------------------
 
-  val SimhashBits = 16
+  /** 32 bits: one per md5 hex digit — the widest fingerprint whose bit
+    * votes derive from a single md5 AND whose `pow(2,j)` set-bit
+    * arithmetic stays exactly representable in doubles for both engines.
+    * Width matters for the PAIRS step: in a 2^16 space a 5000-doc corpus
+    * already collides at hamming ≤ 2 by the birthday effect (measured
+    * ~880k coincidental pairs at sf0.1 — output quadratic in n), while at
+    * 2^32 surviving pairs are genuine near-dups. */
+  val SimhashBits = 32
 
-  /** 16-bit SimHash fingerprint per document. Bit j's vote for a token is
+  /** SimHash fingerprint per document. Bit j's vote for a token is
     * the parity of hex digit j of md5(token) (portable across engines);
     * votes are weighted by token frequency; bit j is set when the vote sum
     * is positive. Narrow map + one doc_id shuffle. */
@@ -354,6 +361,59 @@ object Dedup {
        |SELECT doc_id,
        |  CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
        |FROM votes GROUP BY doc_id""".stripMargin
+
+  /** SimHash near-duplicate PAIRS: hamming distance ≤ `maxDist` between
+    * 16-bit fingerprints. Scale shape = pigeonhole blocking: the 16 bits
+    * split into `maxDist + 1` blocks, and two fingerprints within
+    * `maxDist` flips MUST agree on at least one whole block — so
+    * candidates come from equality-bucket joins on (block index, block
+    * value), exactly the bucket-bounded shuffle of the LSH path, and the
+    * survivors verify with one `bit_count(xor)` per pair. No all-pairs
+    * term anywhere; this is how simhash dedup runs at web scale. */
+  def simhashPairs(spark: SparkSession, sfDir: String, maxDist: Int = 2): DataFrame = {
+    val fp = simhash(spark, sfDir).localCheckpoint() // shared by both join sides
+    val nBlocks = maxDist + 1
+    val bits = SimhashBits / nBlocks // 16 bits / 3 blocks: 5,5,6 via shift+mask
+    val blocks = fp.select(col("doc_id"), col("simhash"),
+        explode(array((0 until nBlocks).map { b =>
+          val shifted = shiftright(col("simhash"), b * bits)
+          val blockVal = if (b == nBlocks - 1) shifted // top block keeps the rest
+            else shifted.bitwiseAND(lit((1L << bits) - 1))
+          struct(lit(b).as("blk"), blockVal.as("bv"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.blk").as("blk"), col("bb.bv").as("bv"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  def simhashPairsSql(maxDist: Int = 2): String = {
+    val nBlocks = maxDist + 1
+    val bits = SimhashBits / nBlocks
+    val blockExprs = (0 until nBlocks).map { b =>
+      val bv = if (b == nBlocks - 1) s"(simhash >> ${b * bits})"
+        else s"((simhash >> ${b * bits}) & ${(1L << bits) - 1})"
+      s"SELECT doc_id, simhash, $b AS blk, $bv AS bv FROM fp"
+    }.mkString(" UNION ALL ")
+    s"""WITH occ AS (SELECT doc_id, unnest(${TextOps.tokensSql}) AS tok FROM documents),
+       |bits AS (SELECT doc_id, j,
+       |    (strpos('0123456789abcdef', substr(md5(tok), j + 1, 1)) - 1) % 2 AS bit
+       |  FROM occ, LATERAL (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS j) s),
+       |votes AS (SELECT doc_id, j, sum(bit * 2 - 1) AS vote FROM bits GROUP BY doc_id, j),
+       |fp AS (SELECT doc_id,
+       |  CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id),
+       |blocks AS ($blockExprs)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM blocks a JOIN blocks b
+       |  ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist""".stripMargin
+  }
 
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold, a < b).
     * Pairwise here (the corpus is small); the bucketed scale path is

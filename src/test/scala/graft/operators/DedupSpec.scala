@@ -57,6 +57,19 @@ class DedupSpec extends AnyFunSuite {
     assert(label === truth)
   }
 
+  test("simhash blocking finds EXACTLY the brute-force hamming<=2 pairs (pigeonhole completeness)") {
+    val fps = Dedup.simhash(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, ha) <- fps; (b, hb) <- fps if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    val blocked = Dedup.simhashPairs(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked === brute)
+    assert(blocked.nonEmpty)
+  }
+
   private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
