@@ -20,6 +20,8 @@ object SparkTestSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // tmpfs-by-default shuffle dirs (GRAFT_LOCAL_DIR overrides; see LocalDirs)
       .config("spark.local.dir", LocalDirs.sparkLocalDir)
+      // saveAsTable targets (BucketingSpec) go to scratch, not the repo
+      .config("spark.sql.warehouse.dir", s"${LocalDirs.scratchRoot}/graft-warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
