@@ -339,15 +339,24 @@ object Dedup {
   /** SimHash fingerprint per document. Bit j's vote for a token is
     * the parity of hex digit j of md5(token) (portable across engines);
     * votes are weighted by token frequency; bit j is set when the vote sum
-    * is positive. Narrow map + one doc_id shuffle. */
+    * is positive.
+    *
+    * Shape: occurrences collapse to (doc, token, count) FIRST, and the
+    * md5 is projected once per surviving row BEFORE the ×bits explode —
+    * vs hashing per (occurrence × bit), that is ~(dup-factor × 32)× less
+    * md5 work for identical integer votes (`cnt·(2·bit−1)` sums to the
+    * same total as per-occurrence ±1s, so the oracle is unchanged). */
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), col("tok"), explode(expr(s"sequence(0, ${SimhashBits - 1})")).as("j"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5(col("tok")))
+      .select(col("doc_id"), col("cnt"), col("h"),
+        explode(expr(s"sequence(0, ${SimhashBits - 1})")).as("j"))
       .withColumn("bit",
-        (instr(lit("0123456789abcdef"), substring(md5(col("tok")), col("j") + 1, lit(1))) - 1) % 2)
+        (instr(lit("0123456789abcdef"), substring(col("h"), col("j") + 1, lit(1))) - 1) % 2)
       .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("bit") * 2 - 1).as("vote"))
+      .agg(sum(col("cnt") * (col("bit") * 2 - 1)).as("vote"))
       .groupBy(col("doc_id"))
       .agg(sum(when(col("vote") > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(lit(0L)))
         .cast("long").as("simhash"))
