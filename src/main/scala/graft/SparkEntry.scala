@@ -67,6 +67,10 @@ object SparkEntry {
     // Curation / sampling
     "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "training_mix" -> ((s, d) => Sampling.trainingMix(s, d)),
+    "contamination" -> ((s, d) => Curation.contamination(s, d)),
+    "quality_repetition" -> ((s, d) => Curation.repetition(s, d)),
+    "doc_winnow" -> ((s, d) => Curation.winnow(s, d)),
+    "pii_redact" -> ((s, d) => Curation.piiRedact(s, d)),
     // Multimodal plumbing (stub decoder, real pipeline)
     "multimodal_media" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "multimodal_frames" -> ((s, d) => Multimodal.frameSamples(s, d)),
@@ -115,6 +119,10 @@ object SparkEntry {
     "length_quantiles" -> TextAnalysis.lengthQuantilesSql,
     "sample_stratified" -> Sampling.stratifiedSampleSql(),
     "training_mix" -> Sampling.trainingMixSql(),
+    "contamination" -> Curation.contaminationSql,
+    "quality_repetition" -> Curation.repetitionSql,
+    "doc_winnow" -> Curation.winnowSql,
+    "pii_redact" -> Curation.piiRedactSql,
     "multimodal_media" -> Multimodal.mediaFeaturesSql,
     "multimodal_frames" -> Multimodal.frameSamplesSql,
   )

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-hygiene operators a training-data pipeline runs before any model
+  * sees the data: benchmark-contamination measurement, boilerplate/repetition
+  * scoring, winnowing fingerprints, and PII redaction. Like every operator in
+  * this engine they are DataFrame → DataFrame expressions with DuckDB oracle
+  * twins, and their plans are shaped for the 100 TB case:
+  *
+  *  - [[contamination]]: corpus shingles are map-side hashed to int64 and the
+  *    (small, fixed) benchmark shingle set is broadcast — the corpus itself is
+  *    never shuffled by the membership probe, only by the final per-doc agg.
+  *  - [[repetition]]: one (doc, bigram) partial-agg shuffle, then a per-doc
+  *    rollup — shuffle volume bounded by distinct bigrams, not tokens.
+  *  - [[winnow]]: a pure per-document map (array lambdas, zero shuffle) — at
+  *    scale it runs at scan speed like the quality/token operators.
+  *  - [[piiRedact]]: pure map, codegen'd regexes, no shuffle at all.
+  */
+object Curation {
+
+  /** "Benchmark" membership for the contamination check: doc_id ≡ 0 (mod 97)
+    * simulates the held-out eval set. In production the benchmark shingle set
+    * comes from a separate fixed-size table (MMLU/GSM8K/... dumps), which is
+    * exactly why the plan broadcasts it: the eval side does NOT grow with the
+    * training corpus. */
+  val BenchmarkMod = 97
+
+  /** Per-document benchmark contamination: the fraction of a candidate
+    * document's distinct word-3-gram shingles that also occur anywhere in the
+    * benchmark set (the n-gram-overlap decontamination test from the GPT-3 /
+    * PaLM data papers, as one DataFrame expression).
+    *
+    * Shingles are hashed to int64 (14 hex chars of md5 — the same portable
+    * hash used by MinHash) before the membership join, so the broadcast holds
+    * longs, not 3-word strings, and the probe is a hash lookup inside the
+    * scan stage. Output: one row per non-benchmark doc that has ≥1 shingle.
+    */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame =
+    contaminationOfShingles(Dedup.shingles(spark, sfDir))
+
+  /** Core of [[contamination]] over any (doc_id, shingle) set — split out so
+    * specs can feed crafted corpora. */
+  def contaminationOfShingles(shingles: DataFrame): DataFrame = {
+    val hs = shingles.select(col("doc_id"),
+      conv(substring(md5(col("shingle")), 1, 14), 16, 10).cast("long").as("h"))
+    val bench = hs.filter(col("doc_id") % BenchmarkMod === 0)
+      .select(col("h")).distinct().withColumn("hit", lit(1L))
+    hs.filter(col("doc_id") % BenchmarkMod =!= 0)
+      .join(broadcast(bench), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_frac",
+        round(col("n_contaminated").cast("double") / col("n_shingles").cast("double"), 6))
+  }
+
+  def contaminationSql: String =
+    s"""WITH ${Dedup.shinglesSql(3)},
+       |hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h FROM sh),
+       |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id % $BenchmarkMod = 0),
+       |doc AS (SELECT doc_id, hs.h, bench.h AS bh FROM hs LEFT JOIN bench ON hs.h = bench.h
+       |        WHERE doc_id % $BenchmarkMod <> 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN bh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |  round(CAST(sum(CASE WHEN bh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS contamination_frac
+       |FROM doc GROUP BY doc_id""".stripMargin
+
+  /** Gopher-style repetition signals over word bigrams: the fraction of the
+    * document covered by its single most frequent bigram, and the fraction of
+    * bigram occurrences that are repeats (1 − distinct/total). High values
+    * flag boilerplate / template spam for the quality gate. Docs need ≥ 2
+    * tokens to have a bigram. */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionOfDocs(Tables.documents(spark, sfDir))
+
+  def repetitionOfDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.ShinglesExpression.word_shingles(col("t"), 2)).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        max(col("cnt")).as("top_cnt"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("top_cnt").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("top_bigram_frac"),
+        round((col("n_bigrams") - col("n_distinct")).cast("double")
+          / col("n_bigrams").cast("double"), 6).as("dup_bigram_frac"))
+
+  val repetitionSql: String =
+    s"""WITH toks AS (SELECT doc_id, ${TextOps.tokensSql} AS t FROM documents),
+       |bg AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS b
+       |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+       |       WHERE len(t) >= 2),
+       |c AS (SELECT doc_id, b, count(*) AS cnt FROM bg GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       |  round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS top_bigram_frac,
+       |  round(CAST(sum(cnt) - count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS dup_bigram_frac
+       |FROM c GROUP BY doc_id""".stripMargin
+
+  /** Winnowing parameters (Schleimer, Wilkerson, Aiken — SIGMOD'03, the MOSS
+    * algorithm): hash every word [[WinnowK]]-gram in POSITION order, then
+    * keep the minimum hash of each sliding window of [[WinnowW]] consecutive
+    * k-gram hashes. Guarantees: any shared run of ≥ K+W−1 tokens between two
+    * documents yields a shared fingerprint, with ~2/(W+1) of the hashes kept. */
+  val WinnowK = 3
+  val WinnowW = 4
+
+  /** Winnowing document fingerprints: (doc_id, fp) where fp is a selected
+    * k-gram hash. Unlike the MinHash *signature* (fixed-width, whole-doc
+    * similarity), winnowing fingerprints localize MATCHING SUBSTRINGS — the
+    * shape used for plagiarism / partial-overlap detection and for
+    * train-test overlap audits of long documents.
+    *
+    * The whole selection runs inside per-row array lambdas — hash list,
+    * sliding-window minima, distinct — so the operator is a zero-shuffle
+    * narrow map; an inverted index on fp (one groupBy away) is how the
+    * pairwise audit runs at scale, with join fan-out bounded per fingerprint
+    * exactly like the LSH band buckets. Short docs (fewer than W windows)
+    * keep the min of what they have — never zero fingerprints. */
+  def winnow(spark: SparkSession, sfDir: String): DataFrame =
+    winnowOfDocs(Tables.documents(spark, sfDir))
+
+  def winnowOfDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= WinnowK)
+      .select(col("doc_id"),
+        transform(graft.functions.ShinglesExpression.word_shingles(col("t"), WinnowK),
+          s => conv(substring(md5(s), 1, 14), 16, 10).cast("long")).as("h"))
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), greatest(size(col("h")) - (WinnowW - 1), lit(1))),
+          i => array_min(slice(col("h"), i, lit(WinnowW)))))).as("fp"))
+
+  val winnowSql: String =
+    s"""WITH toks AS (SELECT doc_id, ${TextOps.tokensSql} AS t FROM documents),
+       |hs AS (SELECT doc_id, list_transform(generate_series(1, len(t) - ${WinnowK - 1}),
+       |         i -> ('0x' || substr(md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]), 1, 14))::BIGINT) AS h
+       |       FROM toks WHERE len(t) >= $WinnowK)
+       |SELECT doc_id, unnest(list_distinct(list_transform(
+       |         generate_series(1, greatest(len(h) - ${WinnowW - 1}, 1)),
+       |         i -> list_min(h[i:i + ${WinnowW - 1}])))) AS fp
+       |FROM hs""".stripMargin
+
+  /** PII patterns: RFC-5322-ish emails and digit runs long enough to be
+    * phone numbers / account ids. Both stay inside the regex subset that
+    * Java's engine and DuckDB's RE2 interpret identically (character
+    * classes, bounded repetition — no backrefs, no lookaround). */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val NumberRe = "[0-9]{7,}"
+
+  /** PII redaction: count and mask emails, then count and mask long digit
+    * runs in the email-masked text (ordering matters — digits inside an
+    * email are the email's, not a phone number). Emits match counts plus the
+    * md5 of the redacted text, so the oracle verifies the exact redacted
+    * bytes without shipping full text through the compare. Pure codegen'd
+    * map — at 100 TB this is a scan-speed pass, and the same expression
+    * drops into [[graft.streaming.StreamingOps]] sources unchanged for
+    * redact-on-ingest. */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    piiRedactOfDocs(Tables.documents(spark, sfDir))
+
+  def piiRedactOfDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        regexp_replace(col("text"), EmailRe, "<EMAIL>").as("t1"))
+      .select(col("doc_id"), col("n_emails"),
+        size(regexp_extract_all(col("t1"), lit(NumberRe), lit(0))).cast("long").as("n_numbers"),
+        md5(regexp_replace(col("t1"), NumberRe, "<NUM>")).as("clean_hash"))
+
+  val piiRedactSql: String =
+    s"""WITH r1 AS (SELECT doc_id,
+       |    len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+       |    regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS t1
+       |  FROM documents)
+       |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t1, '$NumberRe')) AS BIGINT) AS n_numbers,
+       |  md5(regexp_replace(t1, '$NumberRe', '<NUM>', 'g')) AS clean_hash
+       |FROM r1""".stripMargin
+}

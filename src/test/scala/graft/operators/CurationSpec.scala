@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("pii redaction: crafted emails and digit runs mask exactly") {
+    val d = docs(
+      1L -> "mail a.b@x.co.uk and call 12345678 or 123 end",
+      2L -> "two mails x@y.io z@w.org, id 9999999",
+      3L -> "clean text no pii at all")
+    val out = Curation.piiRedactOfDocs(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(1L) === ((1L, 1L, md5hex("mail <EMAIL> and call <NUM> or 123 end"))))
+    assert(out(2L) === ((2L, 1L, md5hex("two mails <EMAIL> <EMAIL>, id <NUM>"))))
+    assert(out(3L) === ((0L, 0L, md5hex("clean text no pii at all"))))
+  }
+
+  test("repetition: hand-computed bigram fractions on a crafted corpus") {
+    // doc 1: tokens a b a b a -> bigrams [ab, ba, ab, ba] -> top 2/4, dup (4-2)/4
+    // doc 2: all distinct bigrams -> top 1/3, dup 0
+    // doc 3: single token -> filtered out
+    val d = docs(1L -> "a b a b a", 2L -> "w x y z", 3L -> "solo")
+    val out = Curation.repetitionOfDocs(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((4L, 0.5, 0.5)))
+    assert(out(2L) === ((3L, 0.333333, 0.0)))
+  }
+
+  test("winnow: identical docs share all fingerprints; fingerprints come from own shingles") {
+    val d = docs(
+      10L -> "the quick brown fox jumps over the lazy dog today",
+      11L -> "the quick brown fox jumps over the lazy dog today", // exact copy
+      12L -> "a completely different set of words goes right here")
+    val fps = Curation.winnowOfDocs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fps(10L) === fps(11L))
+    assert((fps(10L) & fps(12L)).isEmpty)
+    // every fingerprint is the hash of one of the doc's own 3-gram shingles
+    import org.apache.spark.sql.functions._
+    val allHashes = d.select(col("doc_id"), explode(
+        graft.functions.ShinglesExpression.word_shingles(TextOps.tokens(col("text")), 3)).as("s"))
+      .select(col("doc_id"), conv(substring(md5(col("s")), 1, 14), 16, 10).cast("long").as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((id, s) <- fps) assert(s.subsetOf(allHashes(id)), s"doc $id fingerprint not from own shingles")
+  }
+
+  test("winnow: short doc (fewer shingles than the window) keeps the global min") {
+    val d = docs(20L -> "alpha beta gamma delta") // 2 shingles < W=4 -> one fp = min of both
+    val fps = Curation.winnowOfDocs(d).collect().map(_.getLong(1)).toSet
+    import org.apache.spark.sql.functions._
+    val hs = d.select(explode(
+        graft.functions.ShinglesExpression.word_shingles(TextOps.tokens(col("text")), 3)).as("s"))
+      .select(conv(substring(md5(col("s")), 1, 14), 16, 10).cast("long").as("h"))
+      .collect().map(_.getLong(0))
+    assert(hs.length === 2)
+    assert(fps === Set(hs.min))
+  }
+
+  test("winnow: shared token runs of length >= K+W-1 yield a shared fingerprint") {
+    // Winnowing guarantee (SIGMOD'03): a common substring of K+W-1 = 6 tokens
+    // spans a full window in both docs, so at least one fp must coincide.
+    val shared = "one two three four five six"
+    val d = docs(
+      30L -> s"unrelated prefix words here $shared trailing stuff",
+      31L -> s"$shared other suffix tokens entirely distinct ending")
+    val fps = Curation.winnowOfDocs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(30L) & fps(31L)).nonEmpty)
+  }
+
+  test("contamination: hashed membership equals a string-join recomputation at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val sh = Dedup.shingles(spark, Sf)
+    val bench = sh.filter(col("doc_id") % Curation.BenchmarkMod === 0)
+      .select(col("shingle")).distinct().withColumn("hit", lit(1L))
+    val expected = sh.filter(col("doc_id") % Curation.BenchmarkMod =!= 0)
+      .join(bench, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("hit")), lit(0L)).as("c"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = Curation.contamination(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    assert(got.values.exists(_._2 > 0), "corpus should show some benchmark overlap")
+    // frac is consistent and bounded
+    Curation.contamination(spark, Sf).collect().foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
+}
