@@ -54,6 +54,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_embedding_ivf" -> ((s, d) => Similarity.embeddingNearDupIvf(s, d)),
+    "dedup_embedding_srp" -> ((s, d) => Similarity.embeddingNearDupSrp(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     // Similarity search
     "knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
@@ -109,6 +110,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> Dedup.simhashPairsSql(),
     "dedup_embedding" -> Dedup.embeddingNearDupSql(),
     "dedup_embedding_ivf" -> Similarity.embeddingNearDupIvfSql(),
+    "dedup_embedding_srp" -> Similarity.embeddingNearDupSrpSql(),
     "dedup_clusters" -> Dedup.clustersSql,
     "knn_brute" -> Similarity.knnBruteSql(),
     "knn_ivf" -> Similarity.knnIvfSql(),

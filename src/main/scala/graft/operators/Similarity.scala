@@ -170,6 +170,100 @@ object Similarity {
        |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
        |WHERE ${cosineSql("a", "b")} >= $threshold""".stripMargin
 
+  // ---- sign-random-projection LSH (centroid-free scale path) --------------
+
+  /** SRP-LSH geometry: 32 hyperplanes = 4 bands × 8 bits. Bit j of a vector
+    * is the sign of its projection onto pseudo-random hyperplane j; two
+    * vectors at angle θ agree on a bit with probability 1 − θ/π (Charikar,
+    * STOC'02), so requiring a full 8-bit band match keeps the random
+    * collision rate at ~4/256 of all pairs while catching genuine near-dups
+    * (cos ≥ 0.9 → ≥1-band hit ≈ 76%, rising steeply toward cos 1). */
+  val SrpBits = 32
+  val SrpBands = 4
+  val EmbeddingDim = 64 // embeddings.embedding is FLOAT[64] (TESTDATA.md)
+
+  /** Hyperplane component signs, derived from md5 so the DuckDB oracle
+    * reproduces them from SQL alone: sign(j,d) = +1 iff the first hex digit
+    * of md5("j:d") is odd (d is 1-based to match SQL list indexing). The
+    * matrix is materialized driver-side as 32 literal arrays — at execution
+    * time each projection is one codegen'd [[dot]] against a constant
+    * vector, never an interpreted lambda. */
+  private[operators] def srpSignVec(j: Int, dim: Int = EmbeddingDim): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to dim).map { d =>
+      md.reset()
+      val hex = md.digest(s"$j:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      ((Integer.parseInt(hex.substring(0, 1), 16) % 2) * 2 - 1).toDouble
+    }
+  }
+
+  /** Embedding near-dup pairs via SRP-LSH: the scale path that needs NO
+    * centroid set at all — where IVF recall depends on a trained codebook,
+    * SRP's collision probability is a pure function of the pair's angle.
+    * Candidates share at least one (band, 8-bit code) bucket; survivors are
+    * verified with the exact cosine, so precision is 1 against the
+    * exhaustive baseline ([[Dedup.embeddingNearDup]]) and only recall is
+    * approximate. Plan shape mirrors the MinHash path exactly: per-row code
+    * computation (map-only, 32 constant-vector dots), one shuffle on the
+    * bucket key, in-bucket pair expansion, then a hash-join verify against
+    * the checkpointed vectors — no corpus² term anywhere. */
+  def embeddingNearDupSrp(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame =
+    embeddingNearDupSrpOf(Tables.embeddings(spark, sfDir), threshold)
+
+  def embeddingNearDupSrpOf(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val rows = SrpBits / SrpBands
+    val e = embeddings
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", graft.functions.VectorExpressions.vec_norm(col("v")))
+      .localCheckpoint() // feeds code computation AND both verify sides
+    val codeCols = (0 until SrpBands).map { b =>
+      (0 until rows).map { k =>
+        val j = b * rows + k
+        when(dot(col("v"), typedLit(srpSignVec(j))) > 0.0, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"c$b")
+    }
+    val bands = e.select((col("vec_id") +: codeCols): _*)
+      .select(col("vec_id"), explode(array((0 until SrpBands).map(b =>
+        struct(lit(b).as("band"), col(s"c$b").as("code"))): _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.code").as("code"))
+    val pairs = bands.groupBy(col("band"), col("code"))
+      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS vec_a, y AS vec_b))))"
+      )).as("p"))
+      .select(col("p.vec_a"), col("p.vec_b"))
+      .distinct()
+    pairs
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vec_b"))
+      .withColumn("cos", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  def embeddingNearDupSrpSql(threshold: Double = 0.4): String = {
+    val rows = SrpBits / SrpBands
+    s"""WITH proj AS (
+       |  SELECT vec_id, j,
+       |    list_sum(list_transform(generate_series(1, len(embedding)),
+       |      i -> CAST((((('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1))::INT % 2) * 2) - 1) AS DOUBLE)
+       |           * CAST(embedding[i] AS DOUBLE))) AS p
+       |  FROM embeddings, LATERAL (SELECT unnest(generate_series(0, ${SrpBits - 1})) AS j) jj),
+       |codes AS (
+       |  SELECT vec_id, j // $rows AS band,
+       |    CAST(sum(CASE WHEN p > 0 THEN (1 << (j % $rows)) ELSE 0 END) AS BIGINT) AS code
+       |  FROM proj GROUP BY vec_id, band),
+       |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |          FROM codes a JOIN codes b
+       |            ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, round(cos, 6) AS cos_sim FROM (
+       |  SELECT vec_a, vec_b, ${cosineSql("ea", "eb")} AS cos
+       |  FROM pairs JOIN embeddings ea ON ea.vec_id = vec_a
+       |             JOIN embeddings eb ON eb.vec_id = vec_b)
+       |WHERE cos >= $threshold""".stripMargin
+  }
+
   def knnIvfSql(k: Int = 3): String =
     s"""WITH cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < $NumCentroids),
        |assigned AS (

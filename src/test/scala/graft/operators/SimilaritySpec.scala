@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("SRP-LSH output is a verified subset of the exhaustive near-dup baseline") {
+    val srp = pairSet(Similarity.embeddingNearDupSrp(spark, Sf))
+    val exhaustive = pairSet(Dedup.embeddingNearDup(spark, Sf))
+    // precision 1: every surviving pair is a true pair with the exact score
+    assert(srp.subsetOf(exhaustive), s"false positives: ${srp -- exhaustive}")
+  }
+
+  test("SRP-LSH is deterministic across runs") {
+    val a = pairSet(Similarity.embeddingNearDupSrp(spark, Sf))
+    val b = pairSet(Similarity.embeddingNearDupSrp(spark, Sf))
+    assert(a === b)
+  }
+
+  test("SRP-LSH finds exact duplicates and strong near-dups (crafted corpus)") {
+    import spark.implicits._
+    val base = Array.tabulate(Similarity.EmbeddingDim)(i => math.sin(i + 1.0).toFloat)
+    val nearDup = base.clone(); nearDup(0) = base(0) + 0.001f
+    val other = Array.tabulate(Similarity.EmbeddingDim)(i => math.cos(3.0 * i + 1.0).toFloat)
+    val e = Seq((0L, base), (1L, base), (2L, nearDup), (3L, other)).toDF("vec_id", "embedding")
+    val got = pairSet(Similarity.embeddingNearDupSrpOf(e, 0.9))
+      .map(t => (t._1, t._2))
+    // identical vectors share every band; the tiny perturbation flips no sign
+    assert(got.contains((0L, 1L)))
+    assert(got.contains((0L, 2L)) && got.contains((1L, 2L)))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L), "unrelated vector paired")
+  }
+
+  test("sign matrix is md5-derived and ±1 only") {
+    val v = Similarity.srpSignVec(7)
+    assert(v.length === Similarity.EmbeddingDim)
+    assert(v.forall(x => x == 1.0 || x == -1.0))
+    // spot-check one entry against an independent digest computation
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("7:1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (Integer.parseInt(hex.substring(0, 1), 16) % 2) * 2 - 1
+    assert(v.head === expected.toDouble)
+  }
+}
