@@ -71,6 +71,7 @@ object SparkEntry {
     "contamination" -> ((s, d) => Curation.contamination(s, d)),
     "quality_repetition" -> ((s, d) => Curation.repetition(s, d)),
     "doc_winnow" -> ((s, d) => Curation.winnow(s, d)),
+    "doc_winnow_pairs" -> ((s, d) => Curation.winnowPairs(s, d)),
     "pii_redact" -> ((s, d) => Curation.piiRedact(s, d)),
     // Multimodal plumbing (stub decoder, real pipeline)
     "multimodal_media" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
@@ -124,6 +125,7 @@ object SparkEntry {
     "contamination" -> Curation.contaminationSql,
     "quality_repetition" -> Curation.repetitionSql,
     "doc_winnow" -> Curation.winnowSql,
+    "doc_winnow_pairs" -> Curation.winnowPairsSql(),
     "pii_redact" -> Curation.piiRedactSql,
     "multimodal_media" -> Multimodal.mediaFeaturesSql,
     "multimodal_frames" -> Multimodal.frameSamplesSql,

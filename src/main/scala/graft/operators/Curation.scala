@@ -149,6 +149,47 @@ object Curation {
        |         i -> list_min(h[i:i + ${WinnowW - 1}])))) AS fp
        |FROM hs""".stripMargin
 
+  /** Hot-fingerprint cap for [[winnowPairs]]: fingerprints shared by more
+    * documents than this are boilerplate (license headers, templates), and
+    * their buckets would expand quadratically — production n-gram-overlap
+    * systems drop them exactly like stop-words. Far above any df in the
+    * test corpora, so the oracle is unaffected; at 100 TB it is the bound
+    * that keeps every bucket's pair expansion constant-size. */
+  val WinnowMaxDf = 1000
+
+  /** Partial-overlap audit: document pairs sharing ≥ `minShared` winnowing
+    * fingerprints — the inverted-index companion to [[winnow]] that turns
+    * localized fingerprints into "these two docs share actual token runs"
+    * evidence (train/test overlap auditing, clone detection).
+    *
+    * Same bucket discipline as the LSH paths: fingerprints are the ONLY
+    * join key, buckets above [[WinnowMaxDf]] are dropped before any pair
+    * materializes, and pairs expand inside each bucket — shuffle is one
+    * pass of the fingerprint table, never doc². */
+  def winnowPairs(spark: SparkSession, sfDir: String, minShared: Int = 2): DataFrame =
+    winnowPairsOfDocs(Tables.documents(spark, sfDir), minShared)
+
+  def winnowPairsOfDocs(docs: DataFrame, minShared: Int = 2): DataFrame =
+    winnowOfDocs(docs)
+      .groupBy(col("fp"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= WinnowMaxDf)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
+      )).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
+  def winnowPairsSql(minShared: Int = 2): String =
+    s"""WITH fpt AS ($winnowSql),
+       |df AS (SELECT fp, count(*) AS c FROM fpt GROUP BY 1),
+       |keep AS (SELECT fpt.doc_id, fpt.fp FROM fpt JOIN df USING (fp)
+       |         WHERE c > 1 AND c <= $WinnowMaxDf)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared""".stripMargin
+
   /** PII patterns: RFC-5322-ish emails and digit runs long enough to be
     * phone numbers / account ids. Both stay inside the regex subset that
     * Java's engine and DuckDB's RE2 interpret identically (character

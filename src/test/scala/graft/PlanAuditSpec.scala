@@ -87,6 +87,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"term_df must not globally sort the vocabulary:\n$p")
   }
 
+  test("doc_winnow and pii_redact: zero-shuffle narrow maps") {
+    for (q <- Seq("doc_winnow", "pii_redact")) {
+      val p = plan(q)
+      assert(nodes(p, "Exchange") === 0, s"$q must stay a pure map:\n$p")
+    }
+  }
+
+  test("contamination: benchmark probe is a broadcast join (corpus not shuffled by membership)") {
+    val p = plan("contamination")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // exactly one Exchange pair for the final per-doc agg + the tiny bench-side
+    // distinct; the big corpus side must not shuffle before the probe
+    assert(nodes(p, "SortMergeJoin") === 0, s"membership must not sort-merge the corpus:\n$p")
+  }
+
+  test("dedup_embedding_srp: no cartesian, checkpointed vectors reused (single parquet lineage)") {
+    val p = plan("dedup_embedding_srp")
+    assert(!p.contains("CartesianProduct"), s"SRP path must stay bucket-bounded:\n$p")
+    assert(p.contains("ExistingRDD"), "verify joins must read the checkpointed vectors")
+    assert(!p.contains("embeddings.parquet"), s"scan+project must not re-run per join side:\n$p")
+  }
+
+  test("doc_winnow_pairs and quality_repetition: shuffle bounded by keys, no cartesian") {
+    for (q <- Seq("doc_winnow_pairs", "quality_repetition")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q contains a cartesian:\n$p")
+    }
+    // repetition: (doc,bigram) partial-agg exchange + per-doc rollup exchange
+    assert(nodes(plan("quality_repetition"), "Exchange") === 2)
+  }
+
   test("grep_product: scan pruned to the referenced columns") {
     val p = plan("grep_product")
     val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString

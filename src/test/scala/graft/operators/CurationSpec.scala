@@ -82,6 +82,32 @@ class CurationSpec extends AnyFunSuite {
     assert((fps(30L) & fps(31L)).nonEmpty)
   }
 
+  test("winnow pairs: bucket expansion equals a naive fp self-join at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val fp = Curation.winnow(spark, Sf)
+    val naive = fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Curation.winnowPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === naive)
+    assert(got.nonEmpty, "corpus should contain overlapping docs")
+  }
+
+  test("winnow pairs: docs sharing a long token run are paired; disjoint docs are not") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = docs(
+      40L -> s"prefix words before $shared and then some trailing text",
+      41L -> s"$shared closing with completely different final token mix",
+      42L -> "nothing in common with the others whatsoever in any way")
+    val pairs = Curation.winnowPairsOfDocs(d, minShared = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((40L, 41L)))
+  }
+
   test("contamination: hashed membership equals a string-join recomputation at sf0.001") {
     import org.apache.spark.sql.functions._
     val sh = Dedup.shingles(spark, Sf)
