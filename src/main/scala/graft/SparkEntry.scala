@@ -41,6 +41,7 @@ object SparkEntry {
     "events_sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
     "events_click_no_purchase" -> ((s, d) => EventOps.clickNoPurchase(s, d)),
     "events_asof_click" -> ((s, d) => EventOps.asofClickBeforePurchase(s, d)),
+    "events_user_counts_salted" -> ((s, d) => Skew.userEventCountsSalted(s, d)),
     "events_stream_hourly" -> ((s, d) => graft.streaming.StreamingOps.streamingHourly(s, d)),
     "events_stream_sessionize" -> ((s, d) => graft.streaming.StreamingOps.streamingSessionize(s, d)),
     "docs_stream_dedup" -> ((s, d) => graft.streaming.StreamingOps.streamingDedup(s, d)),
@@ -99,6 +100,7 @@ object SparkEntry {
     "events_sessionize" -> EventOps.sessionizeSql(),
     "events_click_no_purchase" -> EventOps.clickNoPurchaseSql,
     "events_asof_click" -> EventOps.asofClickBeforePurchaseSql,
+    "events_user_counts_salted" -> Skew.userEventCountsSaltedSql,
     "events_stream_hourly" -> EventOps.hourlySql,
     "events_stream_sessionize" -> EventOps.sessionizeSql(),
     "docs_stream_dedup" -> "SELECT DISTINCT md5(text) AS content_hash FROM documents",

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Skew tooling for 100 TB joins and aggregations.
   *
@@ -43,4 +44,15 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("cnt"))
   }
+
+  /** Per-user event counts through the salted two-phase aggregation — the
+    * skew pattern as a first-class, oracle-checked query (the DuckDB twin is
+    * the PLAIN group-by, proving the salted plan is result-identical). The
+    * event_id salt spreads any power-law user across 8 partial groups; the
+    * final aggregate moves one row per (user, salt). */
+  def userEventCountsSalted(spark: SparkSession, sfDir: String): DataFrame =
+    saltedCount(Tables.events(spark, sfDir), "user_id", col("event_id"), 8)
+
+  val userEventCountsSaltedSql: String =
+    "SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY user_id"
 }
