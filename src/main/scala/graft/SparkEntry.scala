@@ -31,6 +31,8 @@ object SparkEntry {
     // Relational coverage (bench headliners)
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q1_rollup" -> ((s, d) => Relational.q1Rollup(s, d)),
+    "q1_cube" -> ((s, d) => Relational.q1Cube(s, d)),
+    "top_customers_per_nation" -> ((s, d) => Relational.topCustomersPerNation(s, d)),
     "q3_topk" -> ((s, d) => Relational.q3Topk(s, d)),
     "q5_region" -> ((s, d) => Relational.q5Region(s, d)),
     "customers_no_urgent" -> ((s, d) => Relational.customersNoOrders(s, d)),
@@ -40,6 +42,8 @@ object SparkEntry {
     "events_first_per_user" -> ((s, d) => EventOps.firstEventsPerUser(s, d)),
     "events_sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
     "events_click_no_purchase" -> ((s, d) => EventOps.clickNoPurchase(s, d)),
+    "events_click_and_purchase" -> ((s, d) => EventOps.clickAndPurchase(s, d)),
+    "events_value_ntile" -> ((s, d) => EventOps.valueNtile(s, d)),
     "events_asof_click" -> ((s, d) => EventOps.asofClickBeforePurchase(s, d)),
     "events_user_counts_salted" -> ((s, d) => Skew.userEventCountsSalted(s, d)),
     "events_stream_hourly" -> ((s, d) => graft.streaming.StreamingOps.streamingHourly(s, d)),
@@ -91,6 +95,8 @@ object SparkEntry {
     "mr_grep" -> graft.mr.MrQueries.mrGrepSql(),
     "q1_agg" -> Relational.q1AggSql,
     "q1_rollup" -> Relational.q1RollupSql,
+    "q1_cube" -> Relational.q1CubeSql,
+    "top_customers_per_nation" -> Relational.topCustomersPerNationSql(),
     "q3_topk" -> Relational.q3TopkSql,
     "q5_region" -> Relational.q5RegionSql,
     "customers_no_urgent" -> Relational.customersNoOrdersSql,
@@ -99,6 +105,8 @@ object SparkEntry {
     "events_first_per_user" -> EventOps.firstEventsPerUserSql,
     "events_sessionize" -> EventOps.sessionizeSql(),
     "events_click_no_purchase" -> EventOps.clickNoPurchaseSql,
+    "events_click_and_purchase" -> EventOps.clickAndPurchaseSql,
+    "events_value_ntile" -> EventOps.valueNtileSql,
     "events_asof_click" -> EventOps.asofClickBeforePurchaseSql,
     "events_user_counts_salted" -> Skew.userEventCountsSaltedSql,
     "events_stream_hourly" -> EventOps.hourlySql,

@@ -64,6 +64,54 @@ object Relational {
        | ${sqlSum("l_extendedprice", 24, 2)} AS sum_base_price, count(*) AS n_rows
        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** CUBE over (returnflag, linestatus): the full grouping-sets lattice —
+    * all four combinations including both one-dimension subtotals, where
+    * [[q1Rollup]] only descends the hierarchy. Spark expands the lattice
+    * BEFORE the exchange (one Expand + one partial HashAggregate), so the
+    * shuffle still carries ≤ 4 × (#flags × #status) pre-aggregated rows —
+    * the multi-dimensional report shape at 100 TB. */
+  def q1Cube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice"), 24, 2).as("sum_base_price"),
+        count(lit(1)).as("n_rows"))
+
+  val q1CubeSql: String =
+    s"""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+       | ${sqlSum("l_extendedprice", 24, 2)} AS sum_base_price, count(*) AS n_rows
+       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Top-3 customers per nation by order count: join + window rank with the
+    * rank filter compiled to WindowGroupLimit (each shuffle partition keeps
+    * only its local top-3 per nation BEFORE the final sort — never a global
+    * or even per-nation full sort). nation is the only broadcast (fixed 25
+    * rows); orders pre-aggregates to one row per customer before any join. */
+  def topCustomersPerNation(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val perCust = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_name")).orderBy(col("n_orders").desc, col("c_custkey").asc)
+    Tables.customer(spark, sfDir)
+      .join(perCust, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("n_name"), col("c_custkey"), col("n_orders"), col("rank"))
+  }
+
+  def topCustomersPerNationSql(k: Int = 3): String =
+    s"""SELECT n_name, c_custkey, n_orders, rank FROM (
+       |  SELECT n_name, c_custkey, n_orders,
+       |    row_number() OVER (PARTITION BY n_name
+       |      ORDER BY n_orders DESC, c_custkey ASC) AS rank
+       |  FROM customer
+       |  JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) o
+       |    ON c_custkey = o_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey)
+       |WHERE rank <= $k""".stripMargin
+
   /** TPC-H Q3 analog: 3-way join + agg + top-10. orders⋈lineitem shuffles
     * on the shared orderkey so the join and the groupBy reuse one
     * partitioning. Top-k runs as a partial TakeOrdered per partition — no

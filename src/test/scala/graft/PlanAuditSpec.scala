@@ -119,6 +119,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nodes(plan("quality_repetition"), "Exchange") === 2)
   }
 
+  test("top_customers_per_nation: rank filter runs as WindowGroupLimit, nation broadcast") {
+    val p = plan("top_customers_per_nation")
+    assert(p.contains("WindowGroupLimit"), s"per-nation top-k must push the rank limit:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "nation must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q1_cube: lattice expansion before ONE exchange (partial agg on expanded rows)") {
+    val p = plan("q1_cube")
+    assert(nodes(p, "Expand") === 1, s"cube must expand once:\n$p")
+    assert(nodes(p, "Exchange") === 1, s"only pre-aggregated lattice rows may shuffle:\n$p")
+  }
+
   test("grep_product: scan pruned to the referenced columns") {
     val p = plan("grep_product")
     val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
