@@ -18,6 +18,10 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the cluster-config wiring for the custom SQL functions (static conf,
+      // must be set when the SparkContext is created); GraftExtensionsSpec
+      // verifies the injection on fresh sessions
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // tmpfs-by-default shuffle dirs (GRAFT_LOCAL_DIR overrides; see LocalDirs)
       .config("spark.local.dir", LocalDirs.sparkLocalDir)
       // saveAsTable targets (BucketingSpec) go to scratch, not the repo
