@@ -78,6 +78,7 @@ object SparkEntry {
     "doc_winnow" -> ((s, d) => Curation.winnow(s, d)),
     "doc_winnow_pairs" -> ((s, d) => Curation.winnowPairs(s, d)),
     "pii_redact" -> ((s, d) => Curation.piiRedact(s, d)),
+    "pack_sequences" -> ((s, d) => Sampling.packSequences(s, d)),
     // Multimodal plumbing (stub decoder, real pipeline)
     "multimodal_media" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "multimodal_frames" -> ((s, d) => Multimodal.frameSamples(s, d)),
@@ -137,6 +138,7 @@ object SparkEntry {
     "doc_winnow" -> Curation.winnowSql,
     "doc_winnow_pairs" -> Curation.winnowPairsSql(),
     "pii_redact" -> Curation.piiRedactSql,
+    "pack_sequences" -> Sampling.packSequencesSql(),
     "multimodal_media" -> Multimodal.mediaFeaturesSql,
     "multimodal_frames" -> Multimodal.frameSamplesSql,
   )

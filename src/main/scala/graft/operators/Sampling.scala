@@ -37,6 +37,44 @@ object Sampling {
        |  FROM documents)
        |WHERE rn <= $perStratum""".stripMargin
 
+  /** Tokens per training bin for [[packSequences]] — small against the test
+    * corpus so bins actually fill and roll over at sf0.001. */
+  val PackBinTokens = 512
+
+  /** Sequence packing: assign each document to a fixed-token-budget
+    * training bin, greedily in a deterministic per-source order — the step
+    * between curation and batching that turns a corpus into
+    * constant-length training examples. A doc lands in the bin its RUNNING
+    * token offset starts in (`offset div binTokens`), so assignment needs
+    * only a running sum, no driver state.
+    *
+    * Scale shape: the window partitions by `source`, so the running sums
+    * are computed per shard in parallel — one shuffle on source, one
+    * within-partition sort. (A single GLOBAL packing order would serialize
+    * the window into one partition; per-shard packing is what training
+    * pipelines do anyway, because readers consume shards independently.)
+    * Integer `div` keeps bin ids exact in both engines. */
+  def packSequences(spark: SparkSession, sfDir: String, binTokens: Int = PackBinTokens): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("start_offset"),
+        expr(s"start_offset div $binTokens").as("bin_id"))
+  }
+
+  def packSequencesSql(binTokens: Int = PackBinTokens): String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len(${graft.operators.TextOps.tokensSql}) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |o AS (SELECT doc_id, source, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS start_offset
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+       |  CAST(start_offset // $binTokens AS BIGINT) AS bin_id
+       |FROM o""".stripMargin
+
   /** The end-to-end CURATION composite the individual operators exist for:
     *
     * {{{ documents → quality gate → drop non-canonical near-dups
