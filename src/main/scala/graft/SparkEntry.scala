@@ -73,6 +73,7 @@ object SparkEntry {
     // Curation / sampling
     "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "training_mix" -> ((s, d) => Sampling.trainingMix(s, d)),
+    "training_mix_full" -> ((s, d) => Sampling.trainingMixFull(s, d)),
     "contamination" -> ((s, d) => Curation.contamination(s, d)),
     "quality_repetition" -> ((s, d) => Curation.repetition(s, d)),
     "doc_winnow" -> ((s, d) => Curation.winnow(s, d)),
@@ -133,6 +134,7 @@ object SparkEntry {
     "length_quantiles" -> TextAnalysis.lengthQuantilesSql,
     "sample_stratified" -> Sampling.stratifiedSampleSql(),
     "training_mix" -> Sampling.trainingMixSql(),
+    "training_mix_full" -> Sampling.trainingMixFullSql(),
     "contamination" -> Curation.contaminationSql,
     "quality_repetition" -> Curation.repetitionSql,
     "doc_winnow" -> Curation.winnowSql,

@@ -106,6 +106,74 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"), col("rn"))
   }
 
+  /** The COMPLETE curation draw — every hygiene gate this engine ships,
+    * chained as one DataFrame expression:
+    *
+    * {{{ documents → quality gate → repetition gate (boilerplate) →
+    *     contamination gate (also drops the benchmark docs themselves) →
+    *     drop non-canonical near-dups (LSH → connected components) →
+    *     per-language quota → pack into fixed-token training bins }}}
+    *
+    * Each ingredient keeps its own scale shape (narrow maps, broadcast
+    * probe, bounded bucket joins, WindowGroupLimit quota, per-shard packing
+    * windows) — composing them adds joins on doc_id, never a new shuffle
+    * class. The quota and packing windows share the `lang` partitioning, so
+    * the tail of the plan is one exchange with two sorts. Docs too short to
+    * shingle (< 3 tokens) have no contamination row and drop at the gate —
+    * same rule in both engines. */
+  def trainingMixFull(spark: SparkSession, sfDir: String, minQuality: Double = 0.5,
+      maxRep: Double = 0.1, maxContam: Double = 0.1, perLang: Int = 30,
+      binTokens: Int = PackBinTokens): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val quality = TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val rep = Curation.repetition(spark, sfDir).select(col("doc_id"), col("top_bigram_frac"))
+    val contam = Curation.contamination(spark, sfDir)
+      .select(col("doc_id"), col("contamination_frac"))
+    val nonCanonical = Dedup.clusters(spark, sfDir)
+      .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+    val wQuota = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    val wPack = Window.partitionBy(col("lang")).orderBy(col("rn").asc)
+    docs.join(quality, Seq("doc_id")).filter(col("quality_score") >= minQuality)
+      .join(rep, Seq("doc_id")).filter(col("top_bigram_frac") <= maxRep)
+      .join(contam, Seq("doc_id")).filter(col("contamination_frac") <= maxContam)
+      .join(nonCanonical, Seq("doc_id"), "left_anti")
+      .withColumn("rn", row_number().over(wQuota).cast("long"))
+      .filter(col("rn") <= perLang)
+      .withColumn("start_offset", sum(col("n_tokens")).over(wPack) - col("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality_score"),
+        col("rn"), expr(s"start_offset div $binTokens").as("bin_id"))
+  }
+
+  def trainingMixFullSql(minQuality: Double = 0.5, maxRep: Double = 0.1,
+      maxContam: Double = 0.1, perLang: Int = 30, binTokens: Int = PackBinTokens): String =
+    s"""WITH RECURSIVE ${Dedup.clusterCtes},
+       |q AS (${TextAnalysis.qualitySql}),
+       |rep AS (${Curation.repetitionSql}),
+       |con AS (${Curation.contaminationSql}),
+       |kept AS (
+       |  SELECT d.doc_id, d.lang, q.n_tokens, q.quality_score
+       |  FROM documents d
+       |  JOIN q ON d.doc_id = q.doc_id
+       |  JOIN rep ON d.doc_id = rep.doc_id
+       |  JOIN con ON d.doc_id = con.doc_id
+       |  WHERE q.quality_score >= $minQuality
+       |    AND rep.top_bigram_frac <= $maxRep
+       |    AND con.contamination_frac <= $maxContam
+       |    AND NOT EXISTS (SELECT 1 FROM comp c
+       |                    WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id)),
+       |sampled AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |    FROM kept)
+       |  WHERE rn <= $perLang)
+       |SELECT doc_id, lang, n_tokens, quality_score, CAST(rn AS BIGINT) AS rn,
+       |  CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY rn) - n_tokens)
+       |    // $binTokens AS BIGINT) AS bin_id
+       |FROM sampled""".stripMargin
+
   def trainingMixSql(minQuality: Double = 0.5, perLang: Int = 30): String =
     s"""WITH RECURSIVE ${Dedup.clusterCtes},
        |q AS (${TextAnalysis.qualitySql}),

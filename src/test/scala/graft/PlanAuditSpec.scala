@@ -132,6 +132,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nodes(p, "Exchange") === 1, s"only pre-aggregated lattice rows may shuffle:\n$p")
   }
 
+  test("pack_sequences: one source-partitioned window exchange, pruned scan") {
+    val p = plan("pack_sequences")
+    assert(nodes(p, "Exchange") === 1, s"packing must be one shuffle:\n$p")
+    assert(!p.contains("n_chars") && !p.contains("lang"),
+      "documents scan must prune to doc_id+source+text")
+  }
+
   test("grep_product: scan pruned to the referenced columns") {
     val p = plan("grep_product")
     val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString

@@ -108,6 +108,27 @@ class CurationSpec extends AnyFunSuite {
     assert(pairs === Set((40L, 41L)))
   }
 
+  test("pii redaction drops into a streaming pipeline unchanged (redact-on-ingest)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, "mail a.b@x.co.uk and call 12345678 today"),
+      (2L, "clean text"),
+      (3L, "id 9999999 then x@y.io"))
+    val src = MemoryStream[(Long, String)]
+    val q = Curation.piiRedactOfDocs(src.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("pii_stream_test").start()
+    try {
+      src.addData(rows.take(2): _*); q.processAllAvailable()
+      src.addData(rows.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(asSet(spark.table("pii_stream_test"))
+      === asSet(Curation.piiRedactOfDocs(rows.toDF("doc_id", "text"))))
+  }
+
   test("contamination: hashed membership equals a string-join recomputation at sf0.001") {
     import org.apache.spark.sql.functions._
     val sh = Dedup.shingles(spark, Sf)
