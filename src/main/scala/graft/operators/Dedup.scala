@@ -191,13 +191,20 @@ object Dedup {
     * This is THE 100 TB dedup path: cost is linear in total shingles plus
     * the within-bucket pair expansion (controlled by band/row choice), with
     * no quadratic term. */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    minhashLshOfShingles(shingles(spark, sfDir))
+
+  /** Core of [[minhashLsh]] over any (doc_id, shingle) set — lets callers
+    * that ALSO consume shingles (e.g. the full curation composite, which
+    * feeds the same set to the contamination gate) materialize the
+    * shingling once instead of re-running the corpus scan per consumer. */
+  def minhashLshOfShingles(sh0: DataFrame): DataFrame = {
     val rows = MinhashHashes / MinhashBands
     // h is projected ONCE per row before the aggregate (referenced by all
     // 16 slots; unprojected it would re-evaluate the md5 per slot).
     val slotCols = (0 until MinhashHashes).map(i =>
       min((lit(MinhashA(i)) * col("h") + lit(MinhashB(i))) % MinhashM).as(s"s$i"))
-    val sigs = shingles(spark, sfDir)
+    val sigs = sh0
       .select(col("doc_id"),
         (conv(substring(md5(col("shingle")), 1, 14), 16, 10).cast("long") % MinhashM).as("h"))
       .groupBy(col("doc_id"))

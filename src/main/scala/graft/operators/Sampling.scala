@@ -128,9 +128,14 @@ object Sampling {
     val quality = TextAnalysis.quality(spark, sfDir)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
     val rep = Curation.repetition(spark, sfDir).select(col("doc_id"), col("top_bigram_frac"))
-    val contam = Curation.contamination(spark, sfDir)
+    // The contamination gate and the LSH cluster graph consume the SAME
+    // (doc, shingle) set; materialize the shingling once so the composite
+    // runs ONE corpus tokenize+shingle pass, not one per consumer (at
+    // 100 TB each re-run is a full scan).
+    val sh = Dedup.shingles(spark, sfDir).localCheckpoint()
+    val contam = Curation.contaminationOfShingles(sh)
       .select(col("doc_id"), col("contamination_frac"))
-    val nonCanonical = Dedup.clusters(spark, sfDir)
+    val nonCanonical = Dedup.clustersOfPairs(Dedup.minhashLshOfShingles(sh))
       .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
     val wQuota = Window.partitionBy(col("lang"))
       .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
