@@ -44,6 +44,8 @@ object SparkEntry {
     "events_click_no_purchase" -> ((s, d) => EventOps.clickNoPurchase(s, d)),
     "events_click_and_purchase" -> ((s, d) => EventOps.clickAndPurchase(s, d)),
     "events_value_ntile" -> ((s, d) => EventOps.valueNtile(s, d)),
+    "events_type_pivot" -> ((s, d) => EventOps.typePivot(s, d)),
+    "events_funnel" -> ((s, d) => EventOps.funnel(s, d)),
     "events_asof_click" -> ((s, d) => EventOps.asofClickBeforePurchase(s, d)),
     "events_user_counts_salted" -> ((s, d) => Skew.userEventCountsSalted(s, d)),
     "events_stream_hourly" -> ((s, d) => graft.streaming.StreamingOps.streamingHourly(s, d)),
@@ -109,6 +111,8 @@ object SparkEntry {
     "events_click_no_purchase" -> EventOps.clickNoPurchaseSql,
     "events_click_and_purchase" -> EventOps.clickAndPurchaseSql,
     "events_value_ntile" -> EventOps.valueNtileSql,
+    "events_type_pivot" -> EventOps.typePivotSql,
+    "events_funnel" -> EventOps.funnelSql,
     "events_asof_click" -> EventOps.asofClickBeforePurchaseSql,
     "events_user_counts_salted" -> Skew.userEventCountsSaltedSql,
     "events_stream_hourly" -> EventOps.hourlySql,
