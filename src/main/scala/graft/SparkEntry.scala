@@ -63,6 +63,7 @@ object SparkEntry {
     "dedup_embedding_ivf" -> ((s, d) => Similarity.embeddingNearDupIvf(s, d)),
     "dedup_embedding_srp" -> ((s, d) => Similarity.embeddingNearDupSrp(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
+    "graph_pagerank" -> ((s, d) => Dedup.pagerank(s, d)),
     // Similarity search
     "knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
@@ -129,6 +130,7 @@ object SparkEntry {
     "dedup_embedding_ivf" -> Similarity.embeddingNearDupIvfSql(),
     "dedup_embedding_srp" -> Similarity.embeddingNearDupSrpSql(),
     "dedup_clusters" -> Dedup.clustersSql,
+    "graph_pagerank" -> Dedup.pagerankSql(),
     "knn_brute" -> Similarity.knnBruteSql(),
     "knn_ivf" -> Similarity.knnIvfSql(),
     "text_quality" -> TextAnalysis.qualitySql,

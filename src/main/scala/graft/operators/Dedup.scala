@@ -332,6 +332,73 @@ object Dedup {
     s"""WITH RECURSIVE $clusterCtes
        |SELECT doc_id, cluster_id FROM comp""".stripMargin
 
+  // ---- PageRank over the duplicate graph ----------------------------------
+
+  /** Fixed-point scale for [[pagerank]]: ranks are BIGINTs in units of
+    * 10^-12. Floating-point PageRank cannot hash-match across engines (the
+    * neighbor-sum order differs), and decimal division scale rules differ
+    * between Spark and DuckDB — integer floor-division arithmetic is
+    * identical in both (`div` ≡ `//` for non-negative operands), so the
+    * iteration is bit-reproducible everywhere at ~1e-12 granularity. */
+  val PagerankScale = 1000000000000L
+  val PagerankIters = 5
+
+  /** PageRank (d = 0.85, fixed [[PagerankIters]] iterations) over the
+    * undirected LSH near-dup graph — graph centrality as a first-class
+    * operator: which documents sit at the center of a duplication cluster
+    * (template sources, canonical pages) vs its periphery.
+    *
+    * Scale shape = exactly the connected-components loop: each iteration is
+    * one edge join + one destination-keyed aggregate, shuffle bounded by
+    * |edges|, rounds localCheckpoint'ed so lineage stays flat, and the only
+    * driver value is the node count (one scalar action, computed once).
+    * r_{t+1}(v) = teleport + (85 · Σ_{u~v} (r_t(u) div deg(u))) div 100,
+    * teleport = ((15 · SCALE) div 100) div N — all int64. */
+  def pagerank(spark: SparkSession, sfDir: String, iters: Int = PagerankIters): DataFrame =
+    pagerankOfPairs(minhashLsh(spark, sfDir), iters)
+
+  def pagerankOfPairs(pairs: DataFrame, iters: Int = PagerankIters): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    val n = deg.count() // the single driver-side scalar (node count)
+    require(n > 0, "pagerank needs a non-empty pair graph")
+    val teleport = (PagerankScale * 15L / 100L) / n
+    var r = deg.select(col("node"), lit(PagerankScale / n).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = r.join(deg, Seq("node"))
+        .select(col("node").as("src"), expr("r div d").as("c"))
+      r = edges.join(contrib, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("node"), (lit(teleport) + expr("(85 * s) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("node").as("doc_id"), col("r").as("rank_fp"))
+  }
+
+  def pagerankSql(iters: Int = PagerankIters): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+         |  (SELECT t FROM tele) + (85 * sum(c.c)) // 100 AS r
+         |  FROM edges e JOIN (SELECT r.node, r.r // deg.d AS c
+         |                     FROM r${i - 1} r JOIN deg ON r.node = deg.node) c
+         |    ON e.src = c.node
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $minhashCtes,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |tele AS (SELECT ((15 * $PagerankScale) // 100) // n AS t FROM nn),
+       |r0 AS (SELECT node, $PagerankScale // (SELECT n FROM nn) AS r FROM deg),
+       |$steps
+       |SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_fp FROM r$iters""".stripMargin
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   /** 32 bits: one per md5 hex digit — the widest fingerprint whose bit

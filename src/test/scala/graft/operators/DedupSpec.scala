@@ -57,6 +57,26 @@ class DedupSpec extends AnyFunSuite {
     assert(label === truth)
   }
 
+  test("pagerank: fixed-point iteration matches a driver-side BigInt-free reference") {
+    val pairs = Dedup.minhashLsh(spark, Sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val got = Dedup.pagerank(spark, Sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n = deg.size.toLong
+    val scale = Dedup.PagerankScale
+    val teleport = (scale * 15L / 100L) / n
+    var r = deg.keys.map(_ -> scale / n).toMap
+    for (_ <- 1 to Dedup.PagerankIters) {
+      val contrib = r.map { case (u, ru) => u -> ru / deg(u) }
+      val sums = edges.groupBy(_._2).view.mapValues(_.map(e => contrib(e._1)).sum).toMap
+      r = sums.map { case (v, sv) => v -> (teleport + (85L * sv) / 100L) }
+    }
+    assert(got === r)
+    // mass is conserved up to floor-division leakage
+    assert(got.values.sum <= scale && got.values.sum > scale * 8 / 10)
+  }
+
   test("simhash blocking finds EXACTLY the brute-force hamming<=2 pairs (pigeonhole completeness)") {
     val fps = Dedup.simhash(spark, Sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
