@@ -45,6 +45,8 @@ object SparkEntry {
     "events_click_and_purchase" -> ((s, d) => EventOps.clickAndPurchase(s, d)),
     "events_value_ntile" -> ((s, d) => EventOps.valueNtile(s, d)),
     "events_type_pivot" -> ((s, d) => EventOps.typePivot(s, d)),
+    "events_props_json" -> ((s, d) => EventOps.propsJson(s, d)),
+    "events_date_parts" -> ((s, d) => EventOps.dateParts(s, d)),
     "events_funnel" -> ((s, d) => EventOps.funnel(s, d)),
     "events_asof_click" -> ((s, d) => EventOps.asofClickBeforePurchase(s, d)),
     "events_user_counts_salted" -> ((s, d) => Skew.userEventCountsSalted(s, d)),
@@ -113,6 +115,8 @@ object SparkEntry {
     "events_click_and_purchase" -> EventOps.clickAndPurchaseSql,
     "events_value_ntile" -> EventOps.valueNtileSql,
     "events_type_pivot" -> EventOps.typePivotSql,
+    "events_props_json" -> EventOps.propsJsonSql,
+    "events_date_parts" -> EventOps.datePartsSql,
     "events_funnel" -> EventOps.funnelSql,
     "events_asof_click" -> EventOps.asofClickBeforePurchaseSql,
     "events_user_counts_salted" -> Skew.userEventCountsSaltedSql,
