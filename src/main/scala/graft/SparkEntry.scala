@@ -35,6 +35,7 @@ object SparkEntry {
     "top_customers_per_nation" -> ((s, d) => Relational.topCustomersPerNation(s, d)),
     "q3_topk" -> ((s, d) => Relational.q3Topk(s, d)),
     "q5_region" -> ((s, d) => Relational.q5Region(s, d)),
+    "q14_promo" -> ((s, d) => Relational.q14Promo(s, d)),
     "customers_no_urgent" -> ((s, d) => Relational.customersNoOrders(s, d)),
     // Event analytics (windows / sessions)
     "events_hourly" -> ((s, d) => EventOps.hourly(s, d)),
@@ -106,6 +107,7 @@ object SparkEntry {
     "top_customers_per_nation" -> Relational.topCustomersPerNationSql(),
     "q3_topk" -> Relational.q3TopkSql,
     "q5_region" -> Relational.q5RegionSql,
+    "q14_promo" -> Relational.q14PromoSql,
     "customers_no_urgent" -> Relational.customersNoOrdersSql,
     "events_hourly" -> EventOps.hourlySql,
     "events_sliding" -> EventOps.slidingCountsSql,

@@ -163,6 +163,36 @@ object Relational {
       |WHERE NOT EXISTS (SELECT 1 FROM orders
       |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
 
+  /** TPC-H Q14 analog: promotion revenue share for one ship month. The
+    * part dimension grows with sf so (like customer/supplier) it carries NO
+    * broadcast hint — AQE decides; the date filter reaches the lineitem
+    * scan as a PushedFilter, so the join probe side is one month of the
+    * fact table, not the whole thing. The conditional revenue goes through
+    * the DECIMAL-exact sum and the final ratio is ONE IEEE divide of two
+    * deterministic doubles — reproducible on any cluster layout. */
+  def q14Promo(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-02-01").cast("timestamp"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))).as("promo_revenue"),
+        dsum(rev).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6).as("promo_pct"))
+  }
+
+  val q14PromoSql: String =
+    s"""SELECT promo_revenue, total_revenue,
+       |  round(100.0 * promo_revenue / total_revenue, 6) AS promo_pct
+       |FROM (SELECT
+       |  ${sqlSum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS promo_revenue,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1998-02-01 00:00:00')""".stripMargin
+
   /** TPC-H Q5 analog: 6-way star join. nation/region are fixed-cardinality
     * dimensions (25/5 rows at every sf) and keep explicit broadcast hints;
     * customer/supplier GROW with sf, so their join strategy is left to AQE
