@@ -139,6 +139,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "documents scan must prune to doc_id+source+text")
   }
 
+  test("q14_promo: date filter pushed to the fact scan, no cartesian") {
+    val p = plan("q14_promo")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "ship-month filter must reach lineitem's PushedFilters")
+    assert(p.contains("LessThan(l_shipdate"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("l_comment") && !p.contains("p_name"),
+      "both scans must be column-pruned")
+  }
+
   test("grep_product: scan pruned to the referenced columns") {
     val p = plan("grep_product")
     val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
