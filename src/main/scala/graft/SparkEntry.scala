@@ -13,9 +13,12 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full curation composite — quality ∧ repetition ∧ contamination
+    * gates, LSH+CC canonical dedup, per-language quota, token-bin packing —
+    * i.e. the engine's whole reason to exist in one expression. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    Sampling.trainingMixFull(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
