@@ -44,8 +44,7 @@ object Curation {
   /** Core of [[contamination]] over any (doc_id, shingle) set — split out so
     * specs can feed crafted corpora. */
   def contaminationOfShingles(shingles: DataFrame): DataFrame = {
-    val hs = shingles.select(col("doc_id"),
-      conv(substring(md5(col("shingle")), 1, 14), 16, 10).cast("long").as("h"))
+    val hs = shingles.select(col("doc_id"), Hashing.md5Long(col("shingle")).as("h"))
     val bench = hs.filter(col("doc_id") % BenchmarkMod === 0)
       .select(col("h")).distinct().withColumn("hit", lit(1L))
     hs.filter(col("doc_id") % BenchmarkMod =!= 0)
@@ -59,7 +58,7 @@ object Curation {
 
   def contaminationSql: String =
     s"""WITH ${Dedup.shinglesSql(3)},
-       |hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h FROM sh),
+       |hs AS (SELECT doc_id, ${Hashing.md5LongSql("shingle")} AS h FROM sh),
        |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id % $BenchmarkMod = 0),
        |doc AS (SELECT doc_id, hs.h, bench.h AS bh FROM hs LEFT JOIN bench ON hs.h = bench.h
        |        WHERE doc_id % $BenchmarkMod <> 0)
@@ -78,8 +77,12 @@ object Curation {
     repetitionOfDocs(Tables.documents(spark, sfDir))
 
   def repetitionOfDocs(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    repetitionOfTokenized(docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t")))
+
+  /** Core of [[repetition]] over a pre-tokenized (doc_id, t) frame. */
+  def repetitionOfTokenized(d: DataFrame): DataFrame =
+    d
+      .select(col("doc_id"), col("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"),
         explode(graft.functions.ShinglesExpression.word_shingles(col("t"), 2)).as("b"))
@@ -134,20 +137,22 @@ object Curation {
       .filter(size(col("t")) >= WinnowK)
       .select(col("doc_id"),
         transform(graft.functions.ShinglesExpression.word_shingles(col("t"), WinnowK),
-          s => conv(substring(md5(s), 1, 14), 16, 10).cast("long")).as("h"))
+          s => Hashing.md5Long(s)).as("h"))
       .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(1), greatest(size(col("h")) - (WinnowW - 1), lit(1))),
           i => array_min(slice(col("h"), i, lit(WinnowW)))))).as("fp"))
 
-  val winnowSql: String =
+  val winnowSql: String = {
+    val kgram = (0 until WinnowK).map(k => s"t[i + $k]").mkString(" || ' ' || ")
     s"""WITH toks AS (SELECT doc_id, ${TextOps.tokensSql} AS t FROM documents),
        |hs AS (SELECT doc_id, list_transform(generate_series(1, len(t) - ${WinnowK - 1}),
-       |         i -> ('0x' || substr(md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]), 1, 14))::BIGINT) AS h
+       |         i -> ${Hashing.md5LongSql(s"($kgram)")}) AS h
        |       FROM toks WHERE len(t) >= $WinnowK)
        |SELECT doc_id, unnest(list_distinct(list_transform(
        |         generate_series(1, greatest(len(h) - ${WinnowW - 1}, 1)),
        |         i -> list_min(h[i:i + ${WinnowW - 1}])))) AS fp
        |FROM hs""".stripMargin
+  }
 
   /** Hot-fingerprint cap for [[winnowPairs]]: fingerprints shared by more
     * documents than this are boilerplate (license headers, templates), and
@@ -170,14 +175,13 @@ object Curation {
     winnowPairsOfDocs(Tables.documents(spark, sfDir), minShared)
 
   def winnowPairsOfDocs(docs: DataFrame, minShared: Int = 2): DataFrame =
-    winnowOfDocs(docs)
-      .groupBy(col("fp"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= WinnowMaxDf)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
-      )).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    BucketPairs.expand(
+      winnowOfDocs(docs)
+        .groupBy(col("fp"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= WinnowMaxDf),
+      "doc_a", "doc_b")
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
 

@@ -51,15 +51,18 @@ object Dedup {
     * transform(sequence(...)) builds the shingle list without a join;
     * explode + distinct is one narrow pass, so the only shuffle downstream
     * is on the shingle key itself. */
-  def shingles(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
-    val t = TextOps.tokens(col("text"))
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), t.as("t"))
+  def shingles(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame =
+    shinglesOfTokenized(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t")), n)
+
+  /** Core of [[shingles]] over a pre-tokenized (doc_id, t) frame. */
+  def shinglesOfTokenized(d: DataFrame, n: Int = 3): DataFrame =
+    d.select(col("doc_id"), col("t"))
       .filter(size(col("t")) >= n)
       .select(col("doc_id"),
         explode(graft.functions.ShinglesExpression.word_shingles(col("t"), n)).as("shingle"))
       .distinct()
-  }
 
   /** DuckDB twin of [[shingles]] as a WITH-clause body (1-based lists). */
   def shinglesSql(n: Int = 3): String = {
@@ -205,8 +208,7 @@ object Dedup {
     val slotCols = (0 until MinhashHashes).map(i =>
       min((lit(MinhashA(i)) * col("h") + lit(MinhashB(i))) % MinhashM).as(s"s$i"))
     val sigs = sh0
-      .select(col("doc_id"),
-        (conv(substring(md5(col("shingle")), 1, 14), 16, 10).cast("long") % MinhashM).as("h"))
+      .select(col("doc_id"), (Hashing.md5Long(col("shingle")) % MinhashM).as("h"))
       .groupBy(col("doc_id"))
       .agg(slotCols.head, slotCols.tail: _*)
     // Band keys in one projection; explode to (doc, band, key). Candidate
@@ -222,14 +224,11 @@ object Dedup {
         explode(array((0 until MinhashBands).map(b =>
           struct(lit(b).as("band"), bandKey(b).as("bk"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
-    bands
-      .groupBy(col("band"), col("bk"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
-      )).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+    BucketPairs.expand(
+      bands.groupBy(col("band"), col("bk"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1),
+      "doc_a", "doc_b")
       .distinct()
   }
 
@@ -246,7 +245,7 @@ object Dedup {
       if (b < MinhashBands - 1) s"WHEN $b THEN $key" else s"ELSE $key"
     }.mkString(" ")
     s"""${shinglesSql(3)},
-       |hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 14))::BIGINT % $MinhashM AS h FROM sh),
+       |hashed AS (SELECT doc_id, ${Hashing.md5LongSql("shingle")} % $MinhashM AS h FROM sh),
        |sigs AS (SELECT doc_id, $slotExprs FROM hashed GROUP BY doc_id),
        |bands AS (SELECT doc_id, band, CASE band $bandCases END AS bk
        |          FROM sigs, LATERAL (SELECT unnest(generate_series(0, ${MinhashBands - 1})) AS band) b),

@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The portable md5-prefix-to-int64 hash used everywhere a hash must be
+  * bit-identical between Spark and the DuckDB oracle (MinHash shingle
+  * hashing, the contamination membership probe, winnowing fingerprints):
+  * the first 14 hex chars (56 bits — safely inside int64) of md5, parsed
+  * base-16. ONE definition with ONE SQL twin, so the cross-operator
+  * assumption "contamination hashes exactly like MinHash" is enforced by
+  * construction rather than by three copies staying in sync. */
+object Hashing {
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+
+  def md5LongSql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 14))::BIGINT"
+}
+
+/** In-bucket pair expansion shared by every LSH-family operator (MinHash
+  * bands, SRP codes, winnowing fingerprints): a bucket's sorted member
+  * array expands to its (i < j) pairs INSIDE the bucket — the shape whose
+  * shuffle is bounded by bucket keys, never by corpus². One definition so
+  * a future change (fan-out cap, indexing) cannot silently diverge across
+  * the three paths. */
+object BucketPairs {
+  /** `buckets` must carry a sorted array column `ids`; returns one row per
+    * unordered pair, columns named (`aName`, `bName`). */
+  def expand(buckets: DataFrame, aName: String, bName: String): DataFrame =
+    buckets.select(explode(expr(
+      s"flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS $aName, y AS $bName))))"
+    )).as("p"))
+      .select(col(s"p.$aName"), col(s"p.$bName"))
+}

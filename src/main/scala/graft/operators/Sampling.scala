@@ -124,15 +124,23 @@ object Sampling {
   def trainingMixFull(spark: SparkSession, sfDir: String, minQuality: Double = 0.5,
       maxRep: Double = 0.1, maxContam: Double = 0.1, perLang: Int = 30,
       binTokens: Int = PackBinTokens): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
-    val quality = TextAnalysis.quality(spark, sfDir)
+    // ONE scan+tokenize pass feeds every text consumer: the quality and
+    // repetition gates read the shared tokenized projection, and the
+    // shingle set derived from it feeds both the contamination gate and
+    // the LSH cluster graph. The naive composition ran the scan+tokenize
+    // once PER consumer — 3× the most expensive narrow stage at 100 TB;
+    // the checkpoint trades scratch storage for those repeat scans,
+    // exactly what a production pipeline does by materializing its gate
+    // columns.
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("t", TextOps.tokens(col("text")))
+      .localCheckpoint()
+    val docs = base.select(col("doc_id"), col("lang"))
+    val quality = TextAnalysis.qualityOfTokenized(base)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-    val rep = Curation.repetition(spark, sfDir).select(col("doc_id"), col("top_bigram_frac"))
-    // The contamination gate and the LSH cluster graph consume the SAME
-    // (doc, shingle) set; materialize the shingling once so the composite
-    // runs ONE corpus tokenize+shingle pass, not one per consumer (at
-    // 100 TB each re-run is a full scan).
-    val sh = Dedup.shingles(spark, sfDir).localCheckpoint()
+    val rep = Curation.repetitionOfTokenized(base).select(col("doc_id"), col("top_bigram_frac"))
+    val sh = Dedup.shinglesOfTokenized(base).localCheckpoint()
     val contam = Curation.contaminationOfShingles(sh)
       .select(col("doc_id"), col("contamination_frac"))
     val nonCanonical = Dedup.clustersOfPairs(Dedup.minhashLshOfShingles(sh))

@@ -226,13 +226,11 @@ object Similarity {
       .select(col("vec_id"), explode(array((0 until SrpBands).map(b =>
         struct(lit(b).as("band"), col(s"c$b").as("code"))): _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.code").as("code"))
-    val pairs = bands.groupBy(col("band"), col("code"))
-      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS vec_a, y AS vec_b))))"
-      )).as("p"))
-      .select(col("p.vec_a"), col("p.vec_b"))
+    val pairs = BucketPairs.expand(
+      bands.groupBy(col("band"), col("code"))
+        .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
+        .filter(size(col("ids")) > 1),
+      "vec_a", "vec_b")
       .distinct()
     pairs
       .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), Seq("vec_a"))

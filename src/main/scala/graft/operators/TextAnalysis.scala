@@ -17,10 +17,16 @@ object TextAnalysis {
 
   /** Per-document quality features + a composite score. Pure map — no
     * shuffle at all; every expression is codegen'd (no UDFs). */
-  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+  def quality(spark: SparkSession, sfDir: String): DataFrame =
+    qualityOfTokenized(Tables.documents(spark, sfDir)
+      .withColumn("t", TextOps.tokens(col("text"))))
+
+  /** Core of [[quality]] over any (doc_id, text, t) frame — callers that
+    * tokenize once for several consumers (the curation composite) feed
+    * their shared projection here. */
+  def qualityOfTokenized(d: DataFrame): DataFrame = {
     val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
-    Tables.documents(spark, sfDir)
-      .withColumn("t", TextOps.tokens(col("text")))
+    d
       .withColumn("n_tokens", size(col("t")).cast("long"))
       .withColumn("sum_tok_len", expr("aggregate(transform(t, x -> length(x)), 0, (acc, x) -> acc + x)"))
       .withColumn("n_stop", expr(s"size(filter(t, x -> x IN ($stopList)))"))
