@@ -54,6 +54,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("md5_mod", args, 2)
         Md5Mod(args(0), intLit(args(1), "md5_mod", "numPartitions"))
+      }),
+    (FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fps"),
+      (args: Seq[Expression]) => {
+        arity("winnow_fps", args, 3)
+        WinnowFingerprints(args(0), intLit(args(1), "winnow_fps", "k"),
+          intLit(args(2), "winnow_fps", "w"))
       }))
 
   /** Register into an already-running session. */

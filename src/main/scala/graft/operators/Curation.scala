@@ -135,12 +135,8 @@ object Curation {
     docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= WinnowK)
-      .select(col("doc_id"),
-        transform(graft.functions.ShinglesExpression.word_shingles(col("t"), WinnowK),
-          s => Hashing.md5Long(s)).as("h"))
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), greatest(size(col("h")) - (WinnowW - 1), lit(1))),
-          i => array_min(slice(col("h"), i, lit(WinnowW)))))).as("fp"))
+      .select(col("doc_id"), explode(
+        graft.functions.WinnowExpression.winnow_fps(col("t"), WinnowK, WinnowW)).as("fp"))
 
   val winnowSql: String = {
     val kgram = (0 until WinnowK).map(k => s"t[i + $k]").mkString(" || ' ' || ")

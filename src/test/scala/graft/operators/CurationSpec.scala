@@ -58,6 +58,24 @@ class CurationSpec extends AnyFunSuite {
     for ((id, s) <- fps) assert(s.subsetOf(allHashes(id)), s"doc $id fingerprint not from own shingles")
   }
 
+  test("winnow: native expression equals the interpreted lambda formulation at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val lambda = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= Curation.WinnowK)
+      .select(col("doc_id"),
+        transform(graft.functions.ShinglesExpression.word_shingles(col("t"), Curation.WinnowK),
+          s => Hashing.md5Long(s)).as("h"))
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), greatest(size(col("h")) - (Curation.WinnowW - 1), lit(1))),
+          i => array_min(slice(col("h"), i, lit(Curation.WinnowW)))))).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val native = Curation.winnow(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native === lambda)
+    assert(native.nonEmpty)
+  }
+
   test("winnow: short doc (fewer shingles than the window) keeps the global min") {
     val d = docs(20L -> "alpha beta gamma delta") // 2 shingles < W=4 -> one fp = min of both
     val fps = Curation.winnowOfDocs(d).collect().map(_.getLong(1)).toSet
