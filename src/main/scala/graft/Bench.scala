@@ -57,17 +57,26 @@ object Bench {
       val good = passes.filter(_._2).map(_._1).sorted
       if (good.isEmpty) Q(name, 0.0, 0.0, ok = false)
       else {
-        val med = good(good.size / 2)
+        // True median: average the two middle samples when the good-pass
+        // count is even (a failed pass leaves 2 samples; upper-middle
+        // alone would report the max).
+        val med =
+          if (good.size % 2 == 1) good(good.size / 2)
+          else (good(good.size / 2 - 1) + good(good.size / 2)) / 2.0
         val spread = if (med > 0) (good.max - good.min) / med * 100 else 0.0
         Q(name, med, spread, ok = passes.forall(_._2))
       }
     }
     def fmt(d: Double) = f"$d%.4f"
     val qs = results.map(r => "\"" + r.name + "\":" + fmt(r.median)).mkString("{", ",", "}")
-    val spreads = results.map(r => "\"" + r.name + "\":" + fmt(r.spreadPct)).mkString("{", ",", "}")
+    val spreads = results.map(r => "\"" + r.name + "\":" + f"${r.spreadPct}%.1f").mkString("{", ",", "}")
     val failed = results.filterNot(_.ok).map("\"" + _.name + "\"").mkString("[", ",", "]")
     val total = results.map(_.median).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":3,"estimator":"median","spread_pct":$spreads,"failed":$failed}""")
+    // Stdout carries ONE machine-readable JSON line (the driver's contract);
+    // per-query spread diagnostics go to stderr so the stdout line stays
+    // small enough for tail-buffer consumers.
+    System.err.println(s"""[bench] spread_pct=$spreads""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":3,"estimator":"median","failed":$failed}""")
     spark.stop()
   }
 }

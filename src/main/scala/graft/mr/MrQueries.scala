@@ -47,27 +47,34 @@ object MrQueries {
   /** Directory holding the wc exec pair. Primary: vendored copies of the
     * public course-skeleton scripts (src/main/resources/graft/exec/,
     * byte-equivalent pipelines — proven against the reference's own
-    * binaries and goldens in MrJobSpec) extracted to scratch so the query
-    * runs with NO reference checkout mounted. Fallback: the mounted
-    * reference fixtures. Fails loudly only when neither exists. */
+    * binaries and goldens in MrJobSpec) extracted to `java.io.tmpdir` so
+    * the query runs with NO reference checkout mounted. NOT extracted to
+    * [[graft.LocalDirs.scratchRoot]]: that defaults to tmpfs, which
+    * hardened hosts mount noexec — scratch stays data-only. A post-extract
+    * `canExecute` probe catches a noexec tmpdir too; fallback is the
+    * mounted reference fixtures. Fails loudly only when neither works. */
   private lazy val wcExecDir: String = {
     val names = Seq("wc_map.sh", "wc_reduce.sh")
+    val ref = "/root/reference/tests/testdata/exec"
     val streams = names.map(n => Option(getClass.getResourceAsStream(s"/graft/exec/$n")))
-    if (streams.forall(_.isDefined)) {
-      val dir = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(graft.LocalDirs.scratchRoot), "graft-exec-")
-      dir.toFile.deleteOnExit()
-      names.zip(streams.flatten).foreach { case (n, in) =>
-        val p = dir.resolve(n)
-        try java.nio.file.Files.copy(in, p) finally in.close()
-        p.toFile.setExecutable(true)
-        p.toFile.deleteOnExit()
+    val extracted: Option[String] =
+      if (!streams.forall(_.isDefined)) { streams.flatten.foreach(_.close()); None }
+      else {
+        val dir = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(sys.props("java.io.tmpdir")), "graft-exec-")
+        dir.toFile.deleteOnExit()
+        names.zip(streams.flatten).foreach { case (n, in) =>
+          val p = dir.resolve(n)
+          try java.nio.file.Files.copy(in, p) finally in.close()
+          p.toFile.setExecutable(true)
+          p.toFile.deleteOnExit()
+        }
+        // setExecutable lies on noexec mounts; trust only the probe.
+        if (names.forall(n => dir.resolve(n).toFile.canExecute)) Some(dir.toString) else None
       }
-      dir.toString
-    } else {
-      val ref = "/root/reference/tests/testdata/exec"
+    extracted.getOrElse {
       require(new java.io.File(s"$ref/wc_map.sh").canExecute,
-        s"wc exec pair neither on the classpath nor under $ref")
+        s"wc exec pair not extractable to an executable tmpdir and not under $ref")
       ref
     }
   }

@@ -445,7 +445,8 @@ object Dedup {
        |FROM votes GROUP BY doc_id""".stripMargin
 
   /** SimHash near-duplicate PAIRS: hamming distance ≤ `maxDist` between
-    * 16-bit fingerprints. Scale shape = pigeonhole blocking: the 16 bits
+    * [[SimhashBits]]-bit (32) fingerprints. Scale shape = pigeonhole
+    * blocking: the 32 bits
     * split into `maxDist + 1` blocks, and two fingerprints within
     * `maxDist` flips MUST agree on at least one whole block — so
     * candidates come from equality-bucket joins on (block index, block
@@ -455,7 +456,7 @@ object Dedup {
   def simhashPairs(spark: SparkSession, sfDir: String, maxDist: Int = 2): DataFrame = {
     val fp = simhash(spark, sfDir).localCheckpoint() // shared by both join sides
     val nBlocks = maxDist + 1
-    val bits = SimhashBits / nBlocks // 16 bits / 3 blocks: 5,5,6 via shift+mask
+    val bits = SimhashBits / nBlocks // 32 bits / 3 blocks: 10,10,12 via shift+mask
     val blocks = fp.select(col("doc_id"), col("simhash"),
         explode(array((0 until nBlocks).map { b =>
           val shifted = shiftright(col("simhash"), b * bits)

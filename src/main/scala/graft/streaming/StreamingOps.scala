@@ -16,7 +16,6 @@ import graft.operators.Exact._
   */
 object StreamingOps {
 
-  private val NsPerHour = 3600L * 1000000000L
 
   /** Streaming state/offset checkpoints on fast scratch (tmpfs by default,
     * GRAFT_LOCAL_DIR overrides — see [[graft.LocalDirs]]): state-store and
@@ -39,7 +38,9 @@ object StreamingOps {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
     val agg = stream
-      .groupBy((expr(s"ts div $NsPerHour") * 3600).as("hour_epoch"), col("event_type"))
+      // Floor-division hour bucket, shared with the batch twin (see
+      // EventOps.hourEpochExpr for the pre-1970 parity rationale).
+      .groupBy(expr(graft.operators.EventOps.hourEpochExpr).as("hour_epoch"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value"), 24, 6).as("sum_value"))
     val name = "graft_stream_hourly"
     // Same local-mode state-partition tuning as streamingSessionize.
