@@ -79,8 +79,12 @@ object SparkEntry {
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "term_df" -> ((s, d) => TextAnalysis.termDf(s, d)),
     "length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(s, d)),
+    "tfidf_top_terms" -> ((s, d) => Ranking.tfIdfTopTerms(s, d)),
+    "bm25_rank" -> ((s, d) => Ranking.bm25Rank(s, d)),
     // Curation / sampling
     "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    "shard_assign" -> ((s, d) => Sampling.shardAssign(s, d)),
+    "doc_novelty" -> ((s, d) => Curation.novelty(s, d)),
     "training_mix" -> ((s, d) => Sampling.trainingMix(s, d)),
     "training_mix_full" -> ((s, d) => Sampling.trainingMixFull(s, d)),
     "contamination" -> ((s, d) => Curation.contamination(s, d)),
@@ -147,7 +151,11 @@ object SparkEntry {
     "token_count" -> TextAnalysis.tokenCountSql,
     "term_df" -> TextAnalysis.termDfSql(),
     "length_quantiles" -> TextAnalysis.lengthQuantilesSql,
+    "tfidf_top_terms" -> Ranking.tfIdfTopTermsSql(),
+    "bm25_rank" -> Ranking.bm25RankSql(),
     "sample_stratified" -> Sampling.stratifiedSampleSql(),
+    "shard_assign" -> Sampling.shardAssignSql(),
+    "doc_novelty" -> Curation.noveltySql,
     "training_mix" -> Sampling.trainingMixSql(),
     "training_mix_full" -> Sampling.trainingMixFullSql(),
     "contamination" -> Curation.contaminationSql,

@@ -68,6 +68,43 @@ object Curation {
        |    / CAST(count(*) AS DOUBLE), 6) AS contamination_frac
        |FROM doc GROUP BY doc_id""".stripMargin
 
+  /** Per-document shingle NOVELTY: the fraction of a doc's distinct
+    * word-3-gram shingles whose globally FIRST occurrence (min doc_id over
+    * the corpus) is this document. Low novelty = the doc's content is
+    * mostly restatement of earlier documents — the cross-document
+    * complement to [[repetition]] (which is within-document), used to
+    * down-weight late near-copies during curation.
+    *
+    * Fixed-point output (novelty_fp = (Scale·n_novel) div n_shingles) so
+    * the engines hash-match. Shingles move as the shared portable int64
+    * hash ([[Hashing.md5Long]]) — a collision merges the same two shingles
+    * in both engines, so parity is unaffected. Shape: one shuffle on the
+    * shingle hash for the min-doc aggregation, one shingle-keyed join back
+    * (both bounded by |distinct shingles|), one doc_id aggregation. */
+  def novelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val hs = Dedup.shingles(spark, sfDir)
+      .select(col("doc_id"), Hashing.md5Long(col("shingle")).as("h"))
+    val first = hs.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    hs.join(first, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr(s"(${Ranking.Scale} * n_novel) div n_shingles").as("novelty_fp"))
+  }
+
+  def noveltySql: String =
+    s"""WITH ${Dedup.shinglesSql(3)},
+       |hs AS (SELECT doc_id, ${Hashing.md5LongSql("shingle")} AS h FROM sh),
+       |first AS (SELECT h, min(doc_id) AS first_doc FROM hs GROUP BY 1)
+       |SELECT hs.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN f.first_doc = hs.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  CAST((${Ranking.Scale} * sum(CASE WHEN f.first_doc = hs.doc_id THEN 1 ELSE 0 END))
+       |    // count(*) AS BIGINT) AS novelty_fp
+       |FROM hs JOIN first f ON hs.h = f.h
+       |GROUP BY hs.doc_id""".stripMargin
+
   /** Gopher-style repetition signals over word bigrams: the fraction of the
     * document covered by its single most frequent bigram, and the fraction of
     * bigram occurrences that are repeats (1 − distinct/total). High values

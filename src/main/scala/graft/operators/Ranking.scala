@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Term-weighting / retrieval scoring over `documents` — the ranking side
+  * of a data pipeline (keyword extraction for corpus exploration, BM25
+  * retrieval for contamination auditing and eval-set mining).
+  *
+  * Cross-engine discipline: every score is FIXED-POINT int64 — the idf and
+  * length-normalization ratios are computed with integer multiply +
+  * floor-division (Spark `div` ≡ DuckDB `//` on non-negative operands)
+  * instead of `ln`/double division, because libm doubles do not hash-match
+  * across engines (see operators/Exact.scala). The integer transforms are
+  * strictly monotone in the classical formulas at fixed corpus stats, so
+  * rankings are the ones BM25/TF-IDF would produce; only the absolute
+  * scale differs, and the scale is part of the operator's contract.
+  */
+object Ranking {
+
+  /** Fixed-point scale for score ratios: 1e6 ≈ 20 bits of fraction.
+    * Headroom: contributions stay < 2^60 for corpora up to ~10^7 docs; a
+    * larger corpus shrinks the scale (one constant, both engines). */
+  val Scale = 1000000L
+
+  /** Per-document top-k terms by tf·idf with idf_fp = (N·Scale) div df —
+    * the monotone integer transform of N/df (log omitted: it preserves
+    * per-document ranking at fixed N and keeps the score exact).
+    *
+    * Shape: one (doc, term) aggregation with map-side partials; df derives
+    * from the ALREADY-AGGREGATED tf rows (a vocabulary-sized shuffle, not
+    * a token-stream one); N arrives as a broadcast 1-row aggregate; the
+    * per-doc top-k compiles to WindowGroupLimit so each task keeps ≤k rows
+    * per doc before the final exchange. No stage carries more than
+    * |distinct (doc, term)| rows — the right 100 TB shape. */
+  def tfIdfTopTerms(spark: SparkSession, sfDir: String, topK: Int = 3): DataFrame = {
+    val occ = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+    val tf = occ.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // tf is distinct per (doc, term), so df = plain row count per term.
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_fp").desc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .join(broadcast(nDocs))
+      .withColumn("tfidf_fp", expr(s"tf * (($Scale * n_docs) div df)"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf_fp"), col("rnk"))
+  }
+
+  def tfIdfTopTermsSql(topK: Int = 3): String =
+    s"""WITH occ AS (SELECT doc_id, unnest(${TextOps.tokensSql}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM occ GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    tf.tf * (($Scale * (SELECT n_docs FROM n)) // df.df) AS tfidf_fp
+       |  FROM tf JOIN df ON tf.term = df.term)
+       |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       |  CAST(tfidf_fp AS BIGINT) AS tfidf_fp, CAST(rnk AS BIGINT) AS rnk
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY doc_id ORDER BY tfidf_fp DESC, term) AS rnk
+       |      FROM scored)
+       |WHERE rnk <= $topK""".stripMargin
+
+  /** The retrieval query the BM25 bench scores against — fixed so the
+    * Spark plan and the oracle agree by construction. */
+  val Bm25Query = Seq("spark", "hash", "merge")
+
+  /** BM25 document ranking for [[Bm25Query]], k1 = 1.2, b = 0.75, top-20.
+    *
+    * Fixed-point form (Scale = 1e6, every op integer):
+    * {{{ idf_fp   = ((2(N − df) + 1) · Scale) div (2·df + 1)        // (N−df+½)/(df+½) ×Scale
+    *     denom_fp = tf·Scale + 0.3·Scale + (0.75·1.2·Scale · dl · N) div Σdl
+    *     contrib  = (idf_fp · tf · 22 · 10^4) div denom_fp          // ×10 k1+1=2.2 }}}
+    *
+    * Shape: the token stream is filtered to the query's terms BEFORE any
+    * shuffle — matched (doc, term, tf) rows are ~|query| · |matching
+    * docs|, corpus stats (N, Σdl) are one broadcast 1-row aggregate, df
+    * derives from the matched tf rows, and the final top-20 compiles to
+    * TakeOrderedAndProject (no global sort). At 100 TB this is a scan +
+    * three tiny aggregations. */
+  def bm25Rank(spark: SparkSession, sfDir: String, topK: Int = 20): DataFrame = {
+    val tokd = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+    val dl = tokd.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = tokd
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .filter(col("term").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(stats))
+      .withColumn("idf_fp", expr(s"((2 * (n_docs - df) + 1) * $Scale) div (2 * df + 1)"))
+      .withColumn("denom_fp",
+        expr(s"tf * $Scale + 300000 + (900000 * dl * n_docs) div sum_dl"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("(idf_fp * tf * 22 * 10000) div denom_fp")).cast("long").as("bm25_fp"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25_fp").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
+  def bm25RankSql(topK: Int = 20): String = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH tokd AS (SELECT doc_id, ${TextOps.tokensSql} AS t FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tokd WHERE len(t) > 0),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+       |occ AS (SELECT doc_id, unnest(t) AS term FROM tokd),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM occ
+       |       WHERE term IN ($terms) GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |contrib AS (
+       |  SELECT tf.doc_id,
+       |    ((2 * ((SELECT n_docs FROM stats) - df.df) + 1) * $Scale // (2 * df.df + 1)) AS idf_fp,
+       |    tf.tf,
+       |    (tf.tf * $Scale + 300000
+       |      + (900000 * dl.dl * (SELECT n_docs FROM stats)) // (SELECT sum_dl FROM stats)) AS denom_fp
+       |  FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id)
+       |SELECT doc_id, CAST(sum((idf_fp * tf * 22 * 10000) // denom_fp) AS BIGINT) AS bm25_fp,
+       |  CAST(count(*) AS BIGINT) AS n_terms
+       |FROM contrib GROUP BY doc_id
+       |ORDER BY bm25_fp DESC, doc_id LIMIT $topK""".stripMargin
+  }
+}

@@ -75,6 +75,40 @@ object Sampling {
        |  CAST(start_offset // $binTokens AS BIGINT) AS bin_id
        |FROM o""".stripMargin
 
+  /** Number of output shards for [[shardAssign]] — small against the test
+    * corpus so every shard is non-trivially populated; production uses
+    * O(1k–100k) shards independent of corpus size. */
+  val NumShards = 16
+
+  /** Deterministic GLOBAL training shuffle: assign every document a shard
+    * (`md5_int64(doc_id) mod N`) and a within-shard position (rank by the
+    * md5 permutation). This is the writer-side step that turns a curated
+    * corpus into randomized, reproducible training shards — same
+    * shard/position in Spark, DuckDB, any cluster layout.
+    *
+    * Shape: one shuffle on the shard key; within-shard ranks come from the
+    * per-shard sort that shuffle already pays for. A TRUE global
+    * `orderBy(rand())` would cost a global sort and be unreproducible —
+    * hash-permutation sharding is how training pipelines actually shuffle
+    * at 100 TB (each shard is an independent reader unit). */
+  def shardAssign(spark: SparkSession, sfDir: String, nShards: Int = NumShards): DataFrame = {
+    val h = Hashing.md5Long(col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (h % nShards).as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
+  def shardAssignSql(nShards: Int = NumShards): String = {
+    val h = Hashing.md5LongSql("CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, CAST($h % $nShards AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (
+       |    PARTITION BY $h % $nShards
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+       |FROM documents""".stripMargin
+  }
+
   /** The end-to-end CURATION composite the individual operators exist for:
     *
     * {{{ documents → quality gate → drop non-canonical near-dups

@@ -149,6 +149,35 @@ class PlanAuditSpec extends AnyFunSuite {
       "both scans must be column-pruned")
   }
 
+  test("tfidf_top_terms: per-doc top-k via WindowGroupLimit, df joined without a cartesian") {
+    val p = plan("tfidf_top_terms")
+    assert(p.contains("WindowGroupLimit"), s"per-doc top-k must push the rank limit:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("n_chars") && !p.contains("lang"),
+      "documents scan must prune to doc_id+text")
+  }
+
+  test("bm25_rank: top-k via TakeOrderedAndProject, corpus stats broadcast") {
+    val p = plan("bm25_rank")
+    assert(p.contains("TakeOrderedAndProject"), s"bm25 must not globally sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row stats aggregate must broadcast")
+  }
+
+  test("doc_novelty: shingle-keyed join, shuffles bounded by shingle/doc keys") {
+    val p = plan("doc_novelty")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("n_chars") && !p.contains("lang"),
+      "documents scan must prune to doc_id+text")
+  }
+
+  test("shard_assign: one shard-keyed exchange, scan pruned to doc_id") {
+    val p = plan("shard_assign")
+    assert(nodes(p, "Exchange") === 1, s"sharding must be one shuffle:\n$p")
+    assert(!p.contains("text") && !p.contains("lang"),
+      "documents scan must prune to doc_id")
+  }
+
   test("grep_product: scan pruned to the referenced columns") {
     val p = plan("grep_product")
     val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString

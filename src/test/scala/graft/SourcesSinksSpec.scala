@@ -56,6 +56,40 @@ class SourcesSinksSpec extends AnyFunSuite {
       docs.collect().map(_.getString(0)).sorted.toSeq)
   }
 
+  test("ORC round-trip with predicate pushdown reaching the ORC scan") {
+    val dir = scratch("orc")
+    val docs = Tables.documents(spark, Sf)
+    docs.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(docRows(back) === docRows(docs))
+    // ORC scans take pushed filters just like parquet — the operators are
+    // format-agnostic, the IO layer keeps the scan-level optimizations.
+    val q = back.filter(col("n_chars") > 100L).select(col("doc_id"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_chars"),
+      s"n_chars filter must reach the ORC scan:\n$plan")
+    assert(q.count() === docs.filter(col("n_chars") > 100L).count())
+  }
+
+  test("sortWithinPartitions parquet layout: row-group min/max enables range-pruned scans") {
+    val dir = scratch("sorted")
+    // The write-side layout step a 100 TB corpus ships with: range-partition
+    // by the filter column, sort within files, so low-selectivity scans can
+    // skip whole row groups on min/max stats.
+    Tables.documents(spark, Sf)
+      .repartitionByRange(4, col("n_chars"))
+      .sortWithinPartitions(col("n_chars"))
+      .write.parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(docRows(back) === docRows(Tables.documents(spark, Sf)))
+    val q = back.filter(col("n_chars") > 400L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(n_chars,400)"),
+      s"range filter must reach PushedFilters for stats-based skipping:\n$plan")
+    assert(q.count() ===
+      Tables.documents(spark, Sf).filter(col("n_chars") > 400L).count())
+  }
+
   test("partitioned parquet sink: lang=... directories, filters become PartitionFilters (no data read from other partitions)") {
     val dir = scratch("part")
     Tables.documents(spark, Sf).write.partitionBy("lang").parquet(dir)

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Ground-truth checks for the fixed-point ranking operators: an
+  * independent driver-side reimplementation (plain Scala collections, Long
+  * arithmetic) over the sf0.001 corpus must produce identical rows. */
+class RankingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def tokenize(text: String): Seq[String] =
+    "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+
+  private lazy val corpus: Seq[(Long, Seq[String])] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, Sf).select("doc_id", "text").as[(Long, String)]
+      .collect().toSeq.map { case (id, t) => (id, tokenize(t)) }
+  }
+
+  test("tfidf_top_terms equals the driver-side reimplementation") {
+    val n = corpus.size.toLong
+    val tf = corpus.flatMap { case (id, toks) =>
+      toks.groupBy(identity).map { case (t, os) => (id, t, os.size.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (t, rows) => (t, rows.size.toLong) }
+    val expected = tf.groupBy(_._1).flatMap { case (id, rows) =>
+      rows.map { case (_, t, f) => (id, t, f, df(t), f * ((Ranking.Scale * n) / df(t))) }
+        .toSeq.sortBy { case (_, t, _, _, s) => (-s, t) }
+        .take(3).zipWithIndex
+        .map { case ((i, t, f, d, s), k) => (i, t, f, d, s, k + 1L) }
+    }.toSet
+    val got = Ranking.tfIdfTopTerms(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === expected)
+  }
+
+  test("bm25_rank equals the driver-side fixed-point reimplementation") {
+    val docs = corpus.filter(_._2.nonEmpty)
+    val nDocs = docs.size.toLong
+    val sumDl = docs.map(_._2.size.toLong).sum
+    val tf = docs.flatMap { case (id, toks) =>
+      toks.filter(Ranking.Bm25Query.contains).groupBy(identity)
+        .map { case (t, os) => (id, t, os.size.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (t, rows) => (t, rows.size.toLong) }
+    val dl = docs.map { case (id, toks) => id -> toks.size.toLong }.toMap
+    val S = Ranking.Scale
+    val expected = tf.groupBy(_._1).map { case (id, rows) =>
+      val score = rows.map { case (_, t, f) =>
+        val idf = ((2 * (nDocs - df(t)) + 1) * S) / (2 * df(t) + 1)
+        val denom = f * S + 300000L + (900000L * dl(id) * nDocs) / sumDl
+        (idf * f * 22 * 10000) / denom
+      }.sum
+      (id, score, rows.size.toLong)
+    }.toSeq.sortBy { case (id, s, _) => (-s, id) }.take(20)
+    val got = Ranking.bm25Rank(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
+  test("doc_novelty: first doc is fully novel, a duplicated doc's shingles are owned by the earlier one") {
+    val shingles: Seq[(Long, Set[String])] = corpus.map { case (id, toks) =>
+      (id, toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet)
+    }.filter(_._2.nonEmpty)
+    val firstDoc = shingles.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).map { case (s, rows) => (s, rows.map(_._2).min) }
+    val expected = shingles.map { case (id, ss) =>
+      val novel = ss.count(s => firstDoc(s) == id).toLong
+      (id, ss.size.toLong, novel, (Ranking.Scale * novel) / ss.size)
+    }.toSet
+    val got = Curation.novelty(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    // the corpus's earliest shingled doc must be fully novel
+    val minId = shingles.map(_._1).min
+    assert(got.find(_._1 == minId).get._4 === Ranking.Scale)
+  }
+
+  test("shard_assign: md5-derived shards, contiguous positions per shard") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val ids = corpus.map(_._1)
+    val expected = ids.map { id =>
+      val hex = md5hex(id.toString)
+      (id, java.lang.Long.parseLong(hex.take(14), 16) % Sampling.NumShards, hex)
+    }.groupBy(_._2).flatMap { case (shard, rows) =>
+      rows.sortBy { case (id, _, hex) => (hex, id) }.zipWithIndex
+        .map { case ((id, _, _), i) => (id, shard, i + 1L) }
+    }.toSet
+    val got = Sampling.shardAssign(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+}

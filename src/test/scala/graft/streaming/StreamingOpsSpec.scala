@@ -86,6 +86,41 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked dedup bounds state: expired hashes are evicted, in-horizon dups suppressed") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val name = "graft_stream_dedup_wm"
+    // (event-time µs, text); 1-hour dedup horizon — the production form of
+    // streamingDedup whose state does NOT grow with the corpus.
+    val source = MemoryStream[(Long, String)]
+    val q = source.toDS().toDF("us", "text")
+      .withColumn("event_time", timestamp_micros(col("us")))
+      .select(col("event_time"), md5(col("text")).as("content_hash"))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", graft.LocalDirs.streamingCkpt(name)).start()
+    val hr = 3600L * 1000000L
+    try {
+      // batch 1: two distinct docs + an in-batch dup; watermark → t=2h-1h=1h
+      source.addData((1L * hr, "alpha"), (1L * hr, "beta"), (2L * hr, "alpha"))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 2, "in-horizon duplicate must be suppressed")
+      // batch 2: far future advances the watermark past every stored hash
+      source.addData((10L * hr, "gamma"))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 2, s"expired dedup state must be evicted (state=$stateRows)")
+      // batch 3: "alpha" again, far outside the horizon → re-emitted (the
+      // documented watermark-dedup contract: exact within the horizon)
+      source.addData((11L * hr, "alpha"))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 4)
+    } finally q.stop()
+  }
+
   test("streaming dedup (chunked feed) equals batch distinct hashes") {
     val streamed = StreamingOps.streamingDedup(spark, Sf)
       .collect().map(_.getString(0)).toSet
