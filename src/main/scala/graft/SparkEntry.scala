@@ -73,6 +73,7 @@ object SparkEntry {
     // Similarity search
     "knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
+    "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     // Text analysis
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -81,6 +82,7 @@ object SparkEntry {
     "length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(s, d)),
     "tfidf_top_terms" -> ((s, d) => Ranking.tfIdfTopTerms(s, d)),
     "bm25_rank" -> ((s, d) => Ranking.bm25Rank(s, d)),
+    "token_histogram" -> ((s, d) => TextAnalysis.tokenHistogram(s, d)),
     // Curation / sampling
     "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "shard_assign" -> ((s, d) => Sampling.shardAssign(s, d)),
@@ -146,6 +148,7 @@ object SparkEntry {
     "graph_pagerank" -> Dedup.pagerankSql(),
     "knn_brute" -> Similarity.knnBruteSql(),
     "knn_ivf" -> Similarity.knnIvfSql(),
+    "embedding_centroids" -> Similarity.embeddingCentroidsSql,
     "text_quality" -> TextAnalysis.qualitySql,
     "lang_id" -> TextAnalysis.langIdSql,
     "token_count" -> TextAnalysis.tokenCountSql,
@@ -153,6 +156,7 @@ object SparkEntry {
     "length_quantiles" -> TextAnalysis.lengthQuantilesSql,
     "tfidf_top_terms" -> Ranking.tfIdfTopTermsSql(),
     "bm25_rank" -> Ranking.bm25RankSql(),
+    "token_histogram" -> TextAnalysis.tokenHistogramSql(),
     "sample_stratified" -> Sampling.stratifiedSampleSql(),
     "shard_assign" -> Sampling.shardAssignSql(),
     "doc_novelty" -> Curation.noveltySql,

@@ -279,4 +279,41 @@ object Similarity {
        |    round(${cosineSql("q", "e")}, 6) AS cos_sim
        |  FROM assigned e JOIN q ON e.cluster = q.cluster AND e.vec_id <> q.query_id)
        |WHERE rank <= $k""".stripMargin
+
+  /** Per-label centroid of the embedding corpus in FIXED-POINT int64: each
+    * component maps to `floor(x · 10^6)` (floor of identical IEEE doubles —
+    * bit-portable, unlike rounding whose half-way rule differs across
+    * engines), sums are exact int64, and the mean divides with `div`
+    * (truncation toward zero — DuckDB `//` truncates too, so negative sums
+    * agree). This is the aggregation step of a k-means/IVF TRAINER — the
+    * reduce side of Lloyd's iteration — expressed as one exact, portable
+    * DataFrame aggregation.
+    *
+    * Shape: posexplode ×dims (narrow), then ONE (label, dim) aggregation
+    * with map-side partials — the shuffle carries |labels|·|dims| partial
+    * rows per task, independent of corpus size. At 100 TB the centroid
+    * update is scan-bound, exactly like a production k-means step. */
+  def embeddingCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * 1000000).cast("long").as("fp"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("fp")).as("sum_fp"))
+      .select(col("label"), col("dim"), col("n_vecs"), col("sum_fp"),
+        expr("sum_fp div n_vecs").as("centroid_fp"))
+
+  val embeddingCentroidsSql: String =
+    """WITH comp AS (
+      |  SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS fp
+      |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s),
+      |agg AS (
+      |  SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vecs,
+      |    CAST(sum(fp) AS BIGINT) AS sum_fp
+      |  FROM comp GROUP BY 1, 2)
+      |SELECT label, CAST(dim AS BIGINT) AS dim, n_vecs, sum_fp,
+      |  CAST(sum_fp // n_vecs AS BIGINT) AS centroid_fp
+      |FROM agg""".stripMargin
 }

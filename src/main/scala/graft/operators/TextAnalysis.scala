@@ -157,6 +157,22 @@ object TextAnalysis {
        |FROM (SELECT doc_id, unnest(${TextOps.tokensSql}) AS term FROM documents)
        |GROUP BY term ORDER BY df DESC, term LIMIT $topK""".stripMargin
 
+  /** Token-count histogram with fixed integer-width bins (`n_tokens div
+    * 32`): the length-distribution profile a curation pipeline reports
+    * before choosing truncation/packing budgets. One aggregation whose
+    * output is |bins| rows — scan-bound at any scale, all-integer. */
+  def tokenHistogram(spark: SparkSession, sfDir: String, binWidth: Int = 32): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(expr(s"n_tokens div $binWidth").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+
+  def tokenHistogramSql(binWidth: Int = 32): String =
+    s"""WITH t AS (SELECT CAST(len(${TextOps.tokensSql}) AS BIGINT) AS n_tokens FROM documents)
+       |SELECT n_tokens // $binWidth AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM t GROUP BY 1""".stripMargin
+
   /** EXACT per-language document-length quartiles by rank (value at
     * `ceil(q·n)`): the deterministic, engine-portable profiling op —
     * `approx_percentile` sketches are cheaper at 100 TB but neither

@@ -178,6 +178,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "documents scan must prune to doc_id")
   }
 
+  test("embedding_centroids: one (label, dim) exchange after map-side partial aggregation") {
+    val p = plan("embedding_centroids")
+    assert(nodes(p, "Exchange") === 1, s"centroid update must be one shuffle:\n$p")
+    assert(nodes(p, "HashAggregate") >= 2, "expect partial + final HashAggregate")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("token_histogram: single exchange, scan pruned to text") {
+    val p = plan("token_histogram")
+    assert(nodes(p, "Exchange") === 1, s"histogram must be one shuffle:\n$p")
+    assert(!p.contains("lang") && !p.contains("n_chars"),
+      "documents scan must prune to text")
+  }
+
   test("grep_product: scan pruned to the referenced columns") {
     val p = plan("grep_product")
     val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString

@@ -80,6 +80,33 @@ class RankingSpec extends AnyFunSuite {
     assert(got.find(_._1 == minId).get._4 === Ranking.Scale)
   }
 
+  test("embedding_centroids equals the driver-side fixed-point reimplementation") {
+    import spark.implicits._
+    val vecs = graft.Tables.embeddings(spark, Sf)
+      .select("label", "embedding").as[(Int, Array[Float])].collect().toSeq
+    val expected = vecs.flatMap { case (label, v) =>
+      v.zipWithIndex.map { case (x, dim) =>
+        ((label.toLong, dim.toLong), math.floor(x.toDouble * 1000000).toLong)
+      }
+    }.groupBy(_._1).map { case ((label, dim), rows) =>
+      val sum = rows.map(_._2).sum
+      val n = rows.size.toLong
+      (label, dim, n, sum, sum / n) // Long / truncates toward zero, like div and //
+    }.toSet
+    val got = Similarity.embeddingCentroids(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got === expected)
+    assert(got.exists(_._4 < 0), "corpus must exercise the negative-sum division path")
+  }
+
+  test("token_histogram equals the driver-side binning") {
+    val expected = corpus.map(_._2.size.toLong).groupBy(_ / 32)
+      .map { case (bin, ns) => (bin, ns.size.toLong, ns.sum) }.toSet
+    val got = TextAnalysis.tokenHistogram(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
   test("shard_assign: md5-derived shards, contiguous positions per shard") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
