@@ -74,6 +74,7 @@ object SparkEntry {
     "knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
+    "kmeans_train" -> ((s, d) => Similarity.kmeansTrain(s, d)),
     // Text analysis
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -149,6 +150,7 @@ object SparkEntry {
     "knn_brute" -> Similarity.knnBruteSql(),
     "knn_ivf" -> Similarity.knnIvfSql(),
     "embedding_centroids" -> Similarity.embeddingCentroidsSql,
+    "kmeans_train" -> Similarity.kmeansTrainSql(),
     "text_quality" -> TextAnalysis.qualitySql,
     "lang_id" -> TextAnalysis.langIdSql,
     "token_count" -> TextAnalysis.tokenCountSql,

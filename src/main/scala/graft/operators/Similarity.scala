@@ -280,6 +280,98 @@ object Similarity {
        |  FROM assigned e JOIN q ON e.cluster = q.cluster AND e.vec_id <> q.query_id)
        |WHERE rank <= $k""".stripMargin
 
+  val KmeansK = 8
+  val KmeansIters = 3
+
+  /** K-MEANS TRAINING (Lloyd's iterations) with exact cross-engine parity —
+    * the engine trains its own IVF codebook instead of assuming one:
+    *
+    * {{{ c_0 = first K vectors;  repeat T times:
+    *       assign: cluster(v) = argmax_c dot(v, c)/|c|   (≡ cosine ranking)
+    *       update: c[dim] = (Σ floor(v[dim]·10^6)) div n  (fixed-point mean) }}}
+    *
+    * Assignment scores are doubles, but every input double is bit-identical
+    * across engines (float→double widening, fixed-point centroid decode,
+    * left-to-right dot folds), so the argmax — all that matters — agrees
+    * exactly; centroid updates stay in int64. The DuckDB oracle unrolls the
+    * T iterations as CTEs and reproduces every round bit-for-bit.
+    *
+    * Scale shape per iteration: the K-row codebook BROADCASTS (the corpus
+    * is never shuffled by assignment), the argmax compiles to
+    * WindowGroupLimit (top-1 per vector pre-reduced before its exchange),
+    * and the update is the [[embeddingCentroids]] single-aggregation shape.
+    * Between iterations only the K·dims centroid table returns to the
+    * driver — O(K·d) independent of corpus size, the same structure Spark
+    * MLlib's KMeans uses. Vectors are localCheckpoint'ed once; iterations
+    * re-read the materialized blocks, not the parquet scan. */
+  def kmeansTrain(spark: SparkSession, sfDir: String,
+      k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    def centDf(cents: Seq[(Long, Seq[Double])]) =
+      broadcast(cents.toDF("cluster", "cvec"))
+    var cents: Seq[(Long, Seq[Double])] = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id"), toDoubleVec(col("embedding")))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    var update: DataFrame = null
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy((dot(toDoubleVec(col("embedding")), col("cvec")) /
+          sqrt(dot(col("cvec"), col("cvec")))).desc, col("cluster").asc)
+      val assigned = vecs.crossJoin(centDf(cents))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("cluster"), col("embedding"))
+      update = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("cluster"), col("dim").cast("long").as("dim"),
+          floor(col("x").cast("double") * 1000000).cast("long").as("fp"))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("fp")).as("sum_fp"))
+      cents = update
+        .select(col("cluster"), col("dim"),
+          expr("(sum_fp div n_vecs) / CAST(1000000 AS DOUBLE)").as("cv"))
+        .as[(Long, Long, Double)].collect().toSeq
+        .groupBy(_._1).toSeq
+        .map { case (cl, rows) => (cl, rows.sortBy(_._2).map(_._3)) }
+        .sortBy(_._1)
+    }
+    update.select(col("cluster"), col("dim"), col("n_vecs"),
+      expr("sum_fp div n_vecs").as("centroid_fp"))
+  }
+
+  def kmeansTrainSql(k: Int = KmeansK, iters: Int = KmeansIters): String = {
+    def d(e: String, c: String) =
+      s"list_sum(list_transform(generate_series(1, len($e.embedding)), i -> CAST($e.embedding[i] AS DOUBLE) * $c.cvec[i]))"
+    def cn(c: String) = s"sqrt(list_sum(list_transform($c.cvec, x -> x * x)))"
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    ctes += s"""c0 AS (
+      |  SELECT vec_id AS cluster, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      |  FROM embeddings WHERE vec_id < $k)""".stripMargin
+    for (t <- 1 to iters) {
+      ctes += s"""a$t AS (
+        |  SELECT vec_id, embedding, cluster FROM (
+        |    SELECT e.vec_id, e.embedding, c.cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${d("e", "c")} / ${cn("c")} DESC, c.cluster) AS rn
+        |    FROM embeddings e CROSS JOIN c${t - 1} c)
+        |  WHERE rn = 1)""".stripMargin
+      ctes += s"""u$t AS (
+        |  SELECT cluster, i - 1 AS dim, CAST(count(*) AS BIGINT) AS n_vecs,
+        |    CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_fp
+        |  FROM a$t, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+        |  GROUP BY 1, 2)""".stripMargin
+      if (t < iters)
+        ctes += s"""c$t AS (
+          |  SELECT cluster, list(sum_fp // n_vecs / 1000000.0 ORDER BY dim) AS cvec
+          |  FROM u$t GROUP BY cluster)""".stripMargin
+    }
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(dim AS BIGINT) AS dim, n_vecs,
+       |  CAST(sum_fp // n_vecs AS BIGINT) AS centroid_fp
+       |FROM u$iters""".stripMargin
+  }
+
   /** Per-label centroid of the embedding corpus in FIXED-POINT int64: each
     * component maps to `floor(x · 10^6)` (floor of identical IEEE doubles —
     * bit-portable, unlike rounding whose half-way rule differs across

@@ -185,6 +185,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("kmeans_train: codebook broadcast, argmax via WindowGroupLimit, vectors from checkpoint blocks") {
+    val p = plan("kmeans_train")
+    assert(p.contains("BroadcastNestedLoopJoin"), "the K-row codebook must broadcast")
+    assert(p.contains("WindowGroupLimit"), "per-vector argmax must pre-reduce before its exchange")
+    assert(p.contains("ExistingRDD") && !p.contains("embeddings.parquet"),
+      s"iterations must re-read checkpointed vectors, not the parquet scan:\n$p")
+  }
+
   test("token_histogram: single exchange, scan pruned to text") {
     val p = plan("token_histogram")
     assert(nodes(p, "Exchange") === 1, s"histogram must be one shuffle:\n$p")

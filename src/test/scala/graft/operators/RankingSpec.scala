@@ -99,6 +99,40 @@ class RankingSpec extends AnyFunSuite {
     assert(got.exists(_._4 < 0), "corpus must exercise the negative-sum division path")
   }
 
+  test("kmeans_train equals a driver-side Lloyd's reimplementation (3 iterations, fixed-point updates)") {
+    import spark.implicits._
+    val vecs = graft.Tables.embeddings(spark, Sf)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    var cents: Seq[(Long, Array[Double])] = vecs.filter(_._1 < Similarity.KmeansK)
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+    var update: Map[(Long, Long), (Long, Long)] = Map.empty // (cluster, dim) -> (n, sum_fp)
+    for (_ <- 1 to Similarity.KmeansIters) {
+      val assigned = vecs.map { case (id, v) =>
+        val best = cents.map { case (cl, c) =>
+          val dot = v.indices.foldLeft(0.0)((acc, i) => acc + v(i).toDouble * c(i))
+          val norm = math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x))
+          (cl, dot / norm)
+        }.minBy { case (cl, s) => (-s, cl) }._1
+        (best, v)
+      }
+      update = assigned.flatMap { case (cl, v) =>
+        v.zipWithIndex.map { case (x, dim) =>
+          ((cl, dim.toLong), math.floor(x.toDouble * 1000000).toLong)
+        }
+      }.groupBy(_._1).map { case (key, rows) =>
+        key -> (rows.size.toLong, rows.map(_._2).sum)
+      }
+      cents = update.toSeq.groupBy(_._1._1).toSeq.map { case (cl, rows) =>
+        (cl, rows.sortBy(_._1._2).map { case (_, (n, s)) => (s / n) / 1000000.0 }.toArray)
+      }.sortBy(_._1)
+    }
+    val expected = update.map { case ((cl, dim), (n, s)) => (cl, dim, n, s / n) }.toSet
+    val got = Similarity.kmeansTrain(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    assert(got.map(_._1).toSeq.distinct.size > 1, "training must keep multiple clusters")
+  }
+
   test("token_histogram equals the driver-side binning") {
     val expected = corpus.map(_._2.size.toLong).groupBy(_ / 32)
       .map { case (bin, ns) => (bin, ns.size.toLong, ns.sum) }.toSet
