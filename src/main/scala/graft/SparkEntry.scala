@@ -75,6 +75,7 @@ object SparkEntry {
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     "kmeans_train" -> ((s, d) => Similarity.kmeansTrain(s, d)),
+    "knn_recall" -> ((s, d) => Similarity.knnRecall(s, d)),
     // Text analysis
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -151,6 +152,7 @@ object SparkEntry {
     "knn_ivf" -> Similarity.knnIvfSql(),
     "embedding_centroids" -> Similarity.embeddingCentroidsSql,
     "kmeans_train" -> Similarity.kmeansTrainSql(),
+    "knn_recall" -> Similarity.knnRecallSql(),
     "text_quality" -> TextAnalysis.qualitySql,
     "lang_id" -> TextAnalysis.langIdSql,
     "token_count" -> TextAnalysis.tokenCountSql,

@@ -280,6 +280,46 @@ object Similarity {
        |  FROM assigned e JOIN q ON e.cluster = q.cluster AND e.vec_id <> q.query_id)
        |WHERE rank <= $k""".stripMargin
 
+  /** ANN quality evaluation: recall@k of the IVF index against the exact
+    * brute-force baseline, per query — the measurement loop an ANN
+    * deployment runs before trusting its index parameters. Output is
+    * all-integer (overlap counts + fixed-point recall), so the eval itself
+    * is hash-verified cross-engine like every other operator.
+    *
+    * Shape: both inputs are the already-registered top-k plans (tiny
+    * outputs: queries × k rows); everything downstream joins those few
+    * rows. The cost IS the two index probes — the eval adds nothing. */
+  def knnRecall(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val b = knnBrute(spark, sfDir, k).select(col("query_id"), col("neighbor_id"))
+    val v = knnIvf(spark, sfDir, k)
+      .select(col("query_id").as("vq"), col("neighbor_id").as("vn"))
+    val nb = b.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
+    val nv = v.groupBy(col("vq")).agg(count(lit(1)).as("n_ivf"))
+    val ov = b.join(v, col("query_id") === col("vq") && col("neighbor_id") === col("vn"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+      .select(col("query_id").as("oq"), col("n_overlap"))
+    nb.join(nv, col("query_id") === col("vq"), "left")
+      .join(ov, col("query_id") === col("oq"), "left")
+      .select(col("query_id"), col("n_brute"),
+        coalesce(col("n_ivf"), lit(0L)).as("n_ivf"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_fp", expr("(1000000 * n_overlap) div n_brute"))
+  }
+
+  def knnRecallSql(k: Int = 5): String =
+    s"""WITH b AS (${knnBruteSql(k)}),
+       |v AS (${knnIvfSql(k)}),
+       |nb AS (SELECT query_id, count(*) AS n_brute FROM b GROUP BY 1),
+       |nv AS (SELECT query_id, count(*) AS n_ivf FROM v GROUP BY 1),
+       |ov AS (SELECT b.query_id, count(*) AS n_overlap FROM b JOIN v
+       |       ON b.query_id = v.query_id AND b.neighbor_id = v.neighbor_id GROUP BY 1)
+       |SELECT nb.query_id, CAST(n_brute AS BIGINT) AS n_brute,
+       |  CAST(coalesce(nv.n_ivf, 0) AS BIGINT) AS n_ivf,
+       |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  CAST((1000000 * coalesce(ov.n_overlap, 0)) // n_brute AS BIGINT) AS recall_fp
+       |FROM nb LEFT JOIN nv ON nb.query_id = nv.query_id
+       |        LEFT JOIN ov ON nb.query_id = ov.query_id""".stripMargin
+
   val KmeansK = 8
   val KmeansIters = 3
 

