@@ -40,9 +40,11 @@ object SparkEntry {
     "q5_region" -> ((s, d) => Relational.q5Region(s, d)),
     "q14_promo" -> ((s, d) => Relational.q14Promo(s, d)),
     "customers_no_urgent" -> ((s, d) => Relational.customersNoOrders(s, d)),
+    "orders_with_returns" -> ((s, d) => Relational.ordersWithReturns(s, d)),
     // Event analytics (windows / sessions)
     "events_hourly" -> ((s, d) => EventOps.hourly(s, d)),
     "events_sliding" -> ((s, d) => EventOps.slidingCounts(s, d)),
+    "events_rolling_1h" -> ((s, d) => EventOps.rolling1h(s, d)),
     "events_first_per_user" -> ((s, d) => EventOps.firstEventsPerUser(s, d)),
     "events_sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
     "events_click_no_purchase" -> ((s, d) => EventOps.clickNoPurchase(s, d)),
@@ -120,8 +122,10 @@ object SparkEntry {
     "q5_region" -> Relational.q5RegionSql,
     "q14_promo" -> Relational.q14PromoSql,
     "customers_no_urgent" -> Relational.customersNoOrdersSql,
+    "orders_with_returns" -> Relational.ordersWithReturnsSql,
     "events_hourly" -> EventOps.hourlySql,
     "events_sliding" -> EventOps.slidingCountsSql,
+    "events_rolling_1h" -> EventOps.rolling1hSql,
     "events_first_per_user" -> EventOps.firstEventsPerUserSql,
     "events_sessionize" -> EventOps.sessionizeSql(),
     "events_click_no_purchase" -> EventOps.clickNoPurchaseSql,

@@ -163,6 +163,28 @@ object Relational {
       |WHERE NOT EXISTS (SELECT 1 FROM orders
       |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
 
+  /** TPC-H Q4-shaped EXISTS semi-join: order counts per priority among
+    * orders with at least one returned line item. `left_semi` is the plan
+    * shape — the fact side probes and short-circuits on first match, no
+    * duplicate-producing inner join followed by a distinct. Both join
+    * inputs shuffle on orderkey once; the returned-lines filter reaches
+    * the lineitem scan. */
+  def ordersWithReturns(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(
+        Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  val ordersWithReturnsSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      |GROUP BY 1""".stripMargin
+
   /** TPC-H Q14 analog: promotion revenue share for one ship month. The
     * part dimension grows with sf so (like customer/supplier) it carries NO
     * broadcast hint — AQE decides; the date filter reaches the lineitem

@@ -200,6 +200,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "documents scan must prune to text")
   }
 
+  test("orders_with_returns: left-semi probe, returnflag filter pushed, pruned scans") {
+    val p = plan("orders_with_returns")
+    assert(p.toLowerCase.contains("leftsemi"), s"EXISTS must compile to a semi join:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"), "returned-lines filter must reach PushedFilters")
+    assert(!p.contains("o_totalprice") && !p.contains("l_quantity"),
+      "both scans must prune to the join/group columns")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("events_rolling_1h: ONE user_id exchange for the RANGE frame, pruned scan") {
+    val p = plan("events_rolling_1h")
+    assert(nodes(p, "Exchange") === 1, s"rolling window must be one shuffle:\n$p")
+    assert(!p.contains("props") && !p.contains("event_type"),
+      "events scan must prune to event_id/user_id/ts/value")
+  }
+
   test("grep_product: scan pruned to the referenced columns") {
     val p = plan("grep_product")
     val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
