@@ -78,6 +78,7 @@ object SparkEntry {
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     "kmeans_train" -> ((s, d) => Similarity.kmeansTrain(s, d)),
     "knn_recall" -> ((s, d) => Similarity.knnRecall(s, d)),
+    "knn_ivf_trained" -> ((s, d) => Similarity.knnIvfTrained(s, d)),
     // Text analysis
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -157,6 +158,7 @@ object SparkEntry {
     "embedding_centroids" -> Similarity.embeddingCentroidsSql,
     "kmeans_train" -> Similarity.kmeansTrainSql(),
     "knn_recall" -> Similarity.knnRecallSql(),
+    "knn_ivf_trained" -> Similarity.knnIvfTrainedSql(),
     "text_quality" -> TextAnalysis.qualitySql,
     "lang_id" -> TextAnalysis.langIdSql,
     "token_count" -> TextAnalysis.tokenCountSql,

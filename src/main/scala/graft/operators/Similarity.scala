@@ -380,7 +380,9 @@ object Similarity {
       expr("sum_fp div n_vecs").as("centroid_fp"))
   }
 
-  def kmeansTrainSql(k: Int = KmeansK, iters: Int = KmeansIters): String = {
+  /** The k-means iteration CTE chain (c0, a1, u1, c1, …, u`iters`) shared
+    * by [[kmeansTrainSql]] and the trained-probe oracle. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     def d(e: String, c: String) =
       s"list_sum(list_transform(generate_series(1, len($e.embedding)), i -> CAST($e.embedding[i] AS DOUBLE) * $c.cvec[i]))"
     def cn(c: String) = s"sqrt(list_sum(list_transform($c.cvec, x -> x * x)))"
@@ -401,15 +403,83 @@ object Similarity {
         |    CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_fp
         |  FROM a$t, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
         |  GROUP BY 1, 2)""".stripMargin
-      if (t < iters)
-        ctes += s"""c$t AS (
-          |  SELECT cluster, list(sum_fp // n_vecs / 1000000.0 ORDER BY dim) AS cvec
-          |  FROM u$t GROUP BY cluster)""".stripMargin
+      // cT (the decoded centroid arrays) is emitted for EVERY round
+      // including the last: kmeansTrainSql doesn't need the final one, but
+      // the trained-probe oracle assigns the corpus against it.
+      ctes += s"""c$t AS (
+        |  SELECT cluster, list(sum_fp // n_vecs / 1000000.0 ORDER BY dim) AS cvec
+        |  FROM u$t GROUP BY cluster)""".stripMargin
     }
-    s"""WITH ${ctes.mkString(",\n")}
+    ctes.mkString(",\n")
+  }
+
+  def kmeansTrainSql(k: Int = KmeansK, iters: Int = KmeansIters): String =
+    s"""WITH ${kmeansCtes(k, iters)}
        |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(dim AS BIGINT) AS dim, n_vecs,
        |  CAST(sum_fp // n_vecs AS BIGINT) AS centroid_fp
        |FROM u$iters""".stripMargin
+
+  /** IVF probe against the TRAINED codebook — [[kmeansTrain]] to build the
+    * K centroids, then the [[knnIvf]] serving shape against them: the
+    * train→serve loop closed inside the engine. Assignment mirrors
+    * training's scoring formula exactly (dot/|c|, same ranking as cosine
+    * at fixed query), uses the max_by aggregation (corpus never shuffles
+    * ×K), and the per-query search stays inside one cluster. The oracle
+    * re-runs the full unrolled training chain and probes against its final
+    * centroids — train AND serve hash-match end-to-end. */
+  def knnIvfTrained(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val cents: Seq[(Long, Seq[Double])] = kmeansTrain(spark, sfDir)
+      .select(col("cluster"), col("dim"),
+        expr("centroid_fp / CAST(1000000 AS DOUBLE)").as("cv"))
+      .as[(Long, Long, Double)].collect().toSeq
+      .groupBy(_._1).toSeq
+      .map { case (cl, rows) => (cl, rows.sortBy(_._2).map(_._3)) }
+      .sortBy(_._1)
+    val cdf = broadcast(cents.toDF("cluster", "cvec"))
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", graft.functions.VectorExpressions.vec_norm(col("v")))
+    val assigned = e.join(cdf)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cluster"),
+        (dot(col("v"), col("cvec")) / sqrt(dot(col("cvec"), col("cvec")))).as("score"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        max_by(col("cluster"), struct(col("score"), -col("cluster"))).as("cluster"))
+      .localCheckpoint()
+    val q = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cluster").as("qcluster"))
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    assigned.join(broadcast(q),
+        col("cluster") === col("qcluster") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  def knnIvfTrainedSql(k: Int = 5): String = {
+    def d(e: String, c: String) =
+      s"list_sum(list_transform(generate_series(1, len($e.embedding)), i -> CAST($e.embedding[i] AS DOUBLE) * $c.cvec[i]))"
+    def cn(c: String) = s"sqrt(list_sum(list_transform($c.cvec, x -> x * x)))"
+    s"""WITH ${kmeansCtes(KmeansK, KmeansIters)},
+       |assigned AS (
+       |  SELECT vec_id, embedding, cluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d("e", "c")} / ${cn("c")} DESC, c.cluster) AS rn
+       |    FROM embeddings e CROSS JOIN c$KmeansIters c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding, cluster FROM assigned WHERE vec_id < $NumQueries)
+       |SELECT query_id, neighbor_id, rank, cos_sim FROM (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${cosineSql("q", "e")} DESC, e.vec_id ASC) AS rank,
+       |    round(${cosineSql("q", "e")}, 6) AS cos_sim
+       |  FROM assigned e JOIN q ON e.cluster = q.cluster AND e.vec_id <> q.query_id)
+       |WHERE rank <= $k""".stripMargin
   }
 
   /** Per-label centroid of the embedding corpus in FIXED-POINT int64: each

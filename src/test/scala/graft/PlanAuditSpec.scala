@@ -193,6 +193,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"iterations must re-read checkpointed vectors, not the parquet scan:\n$p")
   }
 
+  test("knn_ivf_trained: trained codebook broadcast, checkpointed assignment reused per side") {
+    val p = plan("knn_ivf_trained")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the trained K-row codebook must broadcast")
+    assert(p.contains("ExistingRDD") && !p.contains("embeddings.parquet"),
+      s"probe must reuse the checkpointed assignment, not re-run scan+assign per join side:\n$p")
+    assert(p.contains("WindowGroupLimit"), "per-query top-k must push the rank limit")
+  }
+
   test("token_histogram: single exchange, scan pruned to text") {
     val p = plan("token_histogram")
     assert(nodes(p, "Exchange") === 1, s"histogram must be one shuffle:\n$p")
