@@ -12,7 +12,7 @@ import Similarity.{cosine, toDoubleVec}
   *  - normalized fingerprint (rolling normalization → hash groupBy)
   *  - n-gram Jaccard (shingle inverted-index self-join)
   *  - MinHash + LSH (shingle → signature → band buckets → bucket join)
-  *  - SimHash (per-bit majority vote → 16-bit fingerprint)
+  *  - SimHash (per-bit majority vote → 32-bit fingerprint)
   *  - embedding cosine near-dup (pairwise; LSH/IVF is the scale path, see
   *    [[Similarity]])
   *
