@@ -41,6 +41,9 @@ object SparkEntry {
     "q14_promo" -> ((s, d) => Relational.q14Promo(s, d)),
     "customers_no_urgent" -> ((s, d) => Relational.customersNoOrders(s, d)),
     "orders_with_returns" -> ((s, d) => Relational.ordersWithReturns(s, d)),
+    "customer_value_profile" -> ((s, d) => Relational.customerValueProfile(s, d)),
+    "orders_above_cust_avg" -> ((s, d) => Relational.ordersAboveCustAvg(s, d)),
+    "snapshot_merge" -> ((s, d) => Relational.snapshotMerge(s, d)),
     // Event analytics (windows / sessions)
     "events_hourly" -> ((s, d) => EventOps.hourly(s, d)),
     "events_sliding" -> ((s, d) => EventOps.slidingCounts(s, d)),
@@ -55,6 +58,7 @@ object SparkEntry {
     "events_date_parts" -> ((s, d) => EventOps.dateParts(s, d)),
     "events_funnel" -> ((s, d) => EventOps.funnel(s, d)),
     "events_asof_click" -> ((s, d) => EventOps.asofClickBeforePurchase(s, d)),
+    "events_session_concurrency" -> ((s, d) => EventOps.sessionConcurrency(s, d)),
     "events_user_counts_salted" -> ((s, d) => Skew.userEventCountsSalted(s, d)),
     "events_stream_hourly" -> ((s, d) => graft.streaming.StreamingOps.streamingHourly(s, d)),
     "events_stream_sessionize" -> ((s, d) => graft.streaming.StreamingOps.streamingSessionize(s, d)),
@@ -88,6 +92,8 @@ object SparkEntry {
     "tfidf_top_terms" -> ((s, d) => Ranking.tfIdfTopTerms(s, d)),
     "bm25_rank" -> ((s, d) => Ranking.bm25Rank(s, d)),
     "token_histogram" -> ((s, d) => TextAnalysis.tokenHistogram(s, d)),
+    "distinct_kmv" -> ((s, d) => TextAnalysis.distinctKmv(s, d)),
+    "lm_bigram_score" -> ((s, d) => Curation.lmScore(s, d)),
     // Curation / sampling
     "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "shard_assign" -> ((s, d) => Sampling.shardAssign(s, d)),
@@ -124,6 +130,9 @@ object SparkEntry {
     "q14_promo" -> Relational.q14PromoSql,
     "customers_no_urgent" -> Relational.customersNoOrdersSql,
     "orders_with_returns" -> Relational.ordersWithReturnsSql,
+    "customer_value_profile" -> Relational.customerValueProfileSql,
+    "orders_above_cust_avg" -> Relational.ordersAboveCustAvgSql,
+    "snapshot_merge" -> Relational.snapshotMergeSql,
     "events_hourly" -> EventOps.hourlySql,
     "events_sliding" -> EventOps.slidingCountsSql,
     "events_rolling_1h" -> EventOps.rolling1hSql,
@@ -137,6 +146,7 @@ object SparkEntry {
     "events_date_parts" -> EventOps.datePartsSql,
     "events_funnel" -> EventOps.funnelSql,
     "events_asof_click" -> EventOps.asofClickBeforePurchaseSql,
+    "events_session_concurrency" -> EventOps.sessionConcurrencySql(),
     "events_user_counts_salted" -> Skew.userEventCountsSaltedSql,
     "events_stream_hourly" -> EventOps.hourlySql,
     "events_stream_sessionize" -> EventOps.sessionizeSql(),
@@ -167,6 +177,8 @@ object SparkEntry {
     "tfidf_top_terms" -> Ranking.tfIdfTopTermsSql(),
     "bm25_rank" -> Ranking.bm25RankSql(),
     "token_histogram" -> TextAnalysis.tokenHistogramSql(),
+    "distinct_kmv" -> TextAnalysis.distinctKmvSql,
+    "lm_bigram_score" -> Curation.lmScoreSql,
     "sample_stratified" -> Sampling.stratifiedSampleSql(),
     "shard_assign" -> Sampling.shardAssignSql(),
     "doc_novelty" -> Curation.noveltySql,

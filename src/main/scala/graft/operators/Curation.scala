@@ -263,4 +263,67 @@ object Curation {
        |  CAST(len(regexp_extract_all(t1, '$NumberRe')) AS BIGINT) AS n_numbers,
        |  md5(regexp_replace(t1, '$NumberRe', '<NUM>', 'g')) AS clean_hash
        |FROM r1""".stripMargin
+
+  /** Fixed-point scale for [[lmScore]]'s smoothed transition probabilities
+    * (9 decimal digits; `LmScale·(c2+1)` stays far inside int64 for any
+    * realistic bigram count). */
+  val LmScale = 1000000000L
+
+  /** Statistical language-model quality score (the CCNet / Gopher
+    * "perplexity filtering" stage): train an add-one-smoothed bigram model
+    * ON the corpus itself, then score every document by its mean smoothed
+    * transition likelihood
+    * `mean over doc bigrams of (C(w1,w2)+1) / (C(w1)+V)`. Documents of
+    * improbable token transitions (boilerplate, mojibake, keyword stuffing)
+    * score low. Deliberate variant: the ARITHMETIC mean of probabilities
+    * replaces the geometric/log mean of true perplexity — log needs
+    * transcendental floats that never hash-match across engines, while this
+    * form is all-int64 (`p_fp = (LmScale·(C2+1)) div (C1+V)`, positive
+    * operands so trunc-div ≡ floor-div in both engines) and still orders
+    * junk below fluent text.
+    *
+    * Scale shape: training = two aggregations bounded by |distinct bigrams|
+    * and |vocab| (never token volume after the partial agg); the model
+    * joins back to per-doc bigram counts ON THE BIGRAM KEY — the corpus is
+    * re-shuffled only by its distinct-bigram projection, and the vocab
+    * size reaches every row as a broadcast 1-row aggregate. At 100 TB the
+    * model tables are the shuffle, the text is not. */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    val occ = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.ShinglesExpression.word_shingles(col("t"), 2)).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val model = occ.groupBy(col("b")).agg(sum(col("cnt")).as("c2"))
+      .withColumn("w1", split(col("b"), " ").getItem(0))
+      .join(uni, col("w1") === col("w"))
+      .crossJoin(broadcast(vocab))
+      .select(col("b"), expr(s"($LmScale * (c2 + 1)) div (c1 + v)").as("p_fp"))
+    occ.join(model, "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"), sum(col("cnt") * col("p_fp")).as("psum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("psum div n_bigrams").as("lm_score_fp"))
+  }
+
+  val lmScoreSql: String =
+    s"""WITH toks AS (SELECT doc_id, ${TextOps.tokensSql} AS t FROM documents),
+       |occ AS (SELECT doc_id, b, count(*) AS cnt FROM (
+       |    SELECT doc_id, t[i] || ' ' || t[i + 1] AS b
+       |    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+       |    WHERE len(t) >= 2) GROUP BY 1, 2),
+       |uni AS (SELECT w, count(*) AS c1
+       |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+       |v AS (SELECT count(*) AS v FROM uni),
+       |model AS (SELECT g.b, ($LmScale * (c2 + 1)) // (c1 + v.v) AS p_fp
+       |  FROM (SELECT b, sum(cnt) AS c2 FROM occ GROUP BY 1) g
+       |  JOIN uni ON split_part(g.b, ' ', 1) = uni.w
+       |  CROSS JOIN v)
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(cnt * p_fp) // sum(cnt) AS BIGINT) AS lm_score_fp
+       |FROM occ JOIN model USING (b) GROUP BY doc_id""".stripMargin
 }

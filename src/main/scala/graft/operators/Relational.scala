@@ -251,4 +251,110 @@ object Relational {
        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
        |GROUP BY n_name""".stripMargin
+
+  /** LEFT OUTER join coverage: every customer with their count/total of
+    * high-value (> 300k) orders, customers with none kept at explicit
+    * zeros via COALESCE. The fact side pre-aggregates to ≤ one row per
+    * customer BEFORE the join, so the outer join's null-extension work is
+    * bounded by |customer| — the "preserve the dimension" report shape.
+    * The price filter reaches the orders scan as a PushedFilter. */
+  def customerValueProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 300000.0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big"), dsum(col("o_totalprice"), 24, 2).as("big_spend"))
+    Tables.customer(spark, sfDir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("big_spend"), lit(0.0)).as("big_spend"))
+  }
+
+  val customerValueProfileSql: String =
+    s"""SELECT c_custkey, c_name,
+       |  coalesce(n_big, 0) AS n_big, coalesce(big_spend, 0.0) AS big_spend
+       |FROM customer LEFT JOIN (
+       |  SELECT o_custkey, count(*) AS n_big,
+       |    ${sqlSum("o_totalprice", 24, 2)} AS big_spend
+       |  FROM orders WHERE o_totalprice > 300000.0 GROUP BY 1) big
+       |ON c_custkey = o_custkey""".stripMargin
+
+  /** Correlated-scalar-subquery coverage: orders priced > 1.5× that
+    * customer's own average ("big-ticket for this account"). The
+    * correlated `(SELECT avg ... WHERE o_custkey = outer)` decorrelates to
+    * ONE window aggregate over ONE custkey exchange — no self-join, no
+    * second scan of the fact table. The mean is the [[Exact.davg]] form
+    * (exact decimal sum / exact count, one IEEE divide) so both engines
+    * agree bit-for-bit on the 1.5× threshold comparison. */
+  def ordersAboveCustAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("cust_avg",
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(24, 2))).over(w)
+          .cast("double") / count(lit(1)).over(w))
+      .filter(col("o_totalprice") > lit(1.5) * col("cust_avg"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("cust_avg"))
+  }
+
+  val ordersAboveCustAvgSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
+      |  SELECT o_orderkey, o_custkey, o_totalprice,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(24,2))) OVER w AS DOUBLE)
+      |      / count(*) OVER w AS cust_avg
+      |  FROM orders WINDOW w AS (PARTITION BY o_custkey))
+      |WHERE o_totalprice > 1.5 * cust_avg""".stripMargin
+
+  /** FULL OUTER join / MERGE-INTO (CDC upsert) coverage: a base snapshot
+    * (latest purchase per user before Jan 10) merged with an update batch
+    * (latest purchase per user from Jan 25 on). Latest-wins via COALESCE
+    * with the update side preferred, and each output row labeled with the
+    * MERGE action it took: `updated` (key in both), `inserted` (update
+    * only), `carried` (base only). This is the incremental-compaction
+    * kernel of a 100 TB table-maintenance pipeline: both sides reduce to
+    * ≤ one row per key BEFORE the merge (row_number compiled to
+    * WindowGroupLimit), so the full-outer shuffle is bounded by |keys|,
+    * never by |events|; on a real lakehouse layout both sides would
+    * additionally be bucket-co-located on the merge key. */
+  def snapshotMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    // µs instants (DuckDB reads TIMESTAMP_NS at µs): 2024-01-10 / 2024-01-25 UTC
+    val baseCutUs = 1704844800000000L
+    val updCutUs = 1706140800000000L
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("value"), col("event_id"))
+    def latest(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us").desc, col("event_id").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("us"), col("value"))
+    }
+    val base = latest(ev.filter(col("us") < baseCutUs))
+    val upd = latest(ev.filter(col("us") >= updCutUs))
+    base.as("b").join(upd.as("u"), col("b.user_id") === col("u.user_id"), "full_outer")
+      .select(
+        coalesce(col("u.user_id"), col("b.user_id")).as("user_id"),
+        coalesce(col("u.us"), col("b.us")).as("last_us"),
+        coalesce(col("u.value"), col("b.value")).as("last_value"),
+        when(col("u.user_id").isNotNull && col("b.user_id").isNotNull, "updated")
+          .when(col("u.user_id").isNotNull, "inserted")
+          .otherwise("carried").as("op"))
+  }
+
+  val snapshotMergeSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS us, value, event_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |base AS (SELECT user_id, us, value FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+      |  FROM ev WHERE us < 1704844800000000) WHERE rn = 1),
+      |upd AS (SELECT user_id, us, value FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+      |  FROM ev WHERE us >= 1706140800000000) WHERE rn = 1)
+      |SELECT coalesce(u.user_id, b.user_id) AS user_id,
+      |  coalesce(u.us, b.us) AS last_us,
+      |  coalesce(u.value, b.value) AS last_value,
+      |  CASE WHEN u.user_id IS NOT NULL AND b.user_id IS NOT NULL THEN 'updated'
+      |       WHEN u.user_id IS NOT NULL THEN 'inserted'
+      |       ELSE 'carried' END AS op
+      |FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id""".stripMargin
 }

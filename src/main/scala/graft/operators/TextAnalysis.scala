@@ -210,4 +210,67 @@ object TextAnalysis {
       |  max(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN n_chars END) AS p75,
       |  max(CASE WHEN rn = n THEN n_chars END) AS p100
       |FROM r JOIN c ON r.lang = c.lang GROUP BY r.lang""".stripMargin
+
+  /** KMV sketch size: estimate from the k smallest distinct hash values. */
+  val KmvK = 64
+
+  /** `(KmvK-1) · 2^56` — the KMV numerator for a hash uniform on
+    * [0, 2^56) ([[graft.operators.Hashing.md5Long]] keeps 56 md5 bits);
+    * 63·2^56 ≈ 4.5e18 stays inside int64, so the whole estimator is exact
+    * integer arithmetic. */
+  val KmvNumerator: Long = (KmvK - 1).toLong * (1L << 56)
+
+  /** Distinct word-3-gram (phrase) cardinality per language, exact AND by
+    * KMV (k-minimum-values) sketch — the mergeable distinct-count estimator
+    * (Bar-Yossef et al. 2002; the engine-agnostic cousin of HyperLogLog,
+    * chosen here because its estimate is a pure integer function of hash
+    * values, hence oracle-verifiable bit-for-bit, where HLL's float
+    * harmonic mean is not). Counting distinct n-grams is the 100 TB job
+    * this sketch exists for: the exact answer needs a shuffle of every
+    * distinct phrase, the sketch needs k·|groups| longs.
+    *
+    * Estimate = (k−1)·2^56 div h_(k) with h_(k) the k-th smallest distinct
+    * 56-bit hash; groups holding fewer than k distinct hashes report their
+    * exact count (the standard small-range rule). The `rn ≤ k` window
+    * filter compiles to WindowGroupLimit, so every map task forwards AT
+    * MOST k hashes per group before the exchange — exactly how the sketch
+    * merges on a 1000-executor cluster: O(groups·k) shuffle for the
+    * estimate, independent of corpus size. The exact count sits alongside
+    * as the (expensive at scale) validation column: the judge of the
+    * sketch, not part of it. */
+  def distinctKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.documents(spark, sfDir)
+      .select(col("lang"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("lang"),
+        explode(graft.functions.ShinglesExpression.word_shingles(col("t"), 3)).as("s"))
+      .select(col("lang"), Hashing.md5Long(col("s")).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h").asc)
+    val kth = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK) // WindowGroupLimit: ≤ k rows/group shuffle
+      .filter(col("rn") === KmvK)
+      .select(col("lang"), col("h").as("kth_h"))
+    pairs.groupBy(col("lang")).agg(count(lit(1)).as("n_exact"))
+      .join(kth, Seq("lang"), "left")
+      .select(col("lang"), col("n_exact"),
+        when(col("kth_h").isNull, col("n_exact"))
+          .otherwise(expr(s"$KmvNumerator div kth_h")).as("kmv_estimate"))
+  }
+
+  val distinctKmvSql: String =
+    s"""WITH toks AS (SELECT lang, ${TextOps.tokensSql} AS t FROM documents),
+       |sh AS (SELECT lang, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS s
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+       |  WHERE len(t) >= 3),
+       |pairs AS (SELECT DISTINCT lang, ${Hashing.md5LongSql("s")} AS h FROM sh),
+       |kth AS (SELECT lang, h AS kth_h FROM (
+       |    SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+       |    FROM pairs) WHERE rn = $KmvK),
+       |ex AS (SELECT lang, count(*) AS n_exact FROM pairs GROUP BY 1)
+       |SELECT ex.lang, CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(CASE WHEN kth_h IS NULL THEN n_exact
+       |            ELSE $KmvNumerator // kth_h END AS BIGINT) AS kmv_estimate
+       |FROM ex LEFT JOIN kth ON ex.lang = kth.lang""".stripMargin
 }

@@ -157,6 +157,40 @@ class PlanAuditSpec extends AnyFunSuite {
       "documents scan must prune to doc_id+text")
   }
 
+  test("events_session_concurrency: bin bucketing keeps the range join an equi-join") {
+    val p = plan("events_session_concurrency")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the interval join must bucket, not nested-loop:\n$p")
+  }
+
+  test("distinct_kmv: per-partition k-minimum pushdown via WindowGroupLimit") {
+    val p = plan("distinct_kmv")
+    assert(p.contains("WindowGroupLimit"),
+      s"the rn<=k filter must push k-smallest below the exchange:\n$p")
+  }
+
+  test("snapshot_merge: full-outer merge over WindowGroupLimit-reduced sides") {
+    val p = plan("snapshot_merge")
+    assert(p.contains("FullOuter"), s"merge must be a full outer join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      "latest-per-key must reduce each side before the merge")
+  }
+
+  test("customer_value_profile: price filter pushed, outer join preserves customer") {
+    val p = plan("customer_value_profile")
+    assert(p.contains("GreaterThan(o_totalprice"),
+      "orders price filter must reach PushedFilters")
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"),
+      s"profile must outer-join on the customer side:\n$p")
+  }
+
+  test("lm_bigram_score: model joins stay equi-joins; vocab size broadcasts") {
+    val p = plan("lm_bigram_score")
+    assert(!p.contains("CartesianProduct"))
+    // the 1-row vocab aggregate rides a broadcast, like bm25's stats row
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
   test("bm25_rank: top-k via TakeOrderedAndProject, corpus stats broadcast") {
     val p = plan("bm25_rank")
     assert(p.contains("TakeOrderedAndProject"), s"bm25 must not globally sort:\n$p")

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkTestSession, Tables}
+
+/** Semantic checks for the round-3 relational/join-shape operators: each
+  * scale-shaped formulation is proven equal to the naive formulation it
+  * replaces (bin-bucketed interval join vs raw range join, window
+  * decorrelation vs self-join), and the MERGE/sketch invariants hold. */
+class RelationalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val Sf = "/root/testdata/sf0.001"
+  private val Sf01 = "/root/testdata/sf0.01"
+
+  test("sessionConcurrency equals the naive range join it replaces") {
+    val binned = EventOps.sessionConcurrency(spark, Sf)
+    // Naive twin: same sessions, raw BETWEEN join (plans as a nested loop —
+    // fine at sf0.001, the thing the bin bucketing exists to avoid at scale).
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us").asc, col("event_id").asc)
+    val gapUs = 30 * 60L * 1000000L
+    val ev = Tables.events(spark, Sf).withColumn("us", expr("ts div 1000"))
+    val sessions = ev
+      .withColumn("prev_us", lag(col("us"), 1).over(order))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        order.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+    val naive = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("us"))
+      .join(sessions, col("us") >= col("start_us") && col("us") <= col("end_us"))
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_open_sessions"))
+    assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty)
+  }
+
+  test("ordersAboveCustAvg equals the self-join decorrelation") {
+    val windowed = Relational.ordersAboveCustAvg(spark, Sf)
+    val perCust = Tables.orders(spark, Sf)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg((sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(24, 2)))
+        .cast("double") / count(lit(1))).as("cust_avg"))
+    val joined = Tables.orders(spark, Sf)
+      .join(perCust, col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice") > lit(1.5) * col("cust_avg"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("cust_avg"))
+    assert(windowed.exceptAll(joined).isEmpty && joined.exceptAll(windowed).isEmpty)
+  }
+
+  test("snapshotMerge covers all three MERGE actions at sf0.01") {
+    val ops = Relational.snapshotMerge(spark, Sf01)
+      .groupBy(col("op")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops.keySet === Set("updated", "inserted", "carried"),
+      s"expected updated/inserted/carried all present, got $ops")
+    // keys must be unique after the merge (it IS a snapshot)
+    val merged = Relational.snapshotMerge(spark, Sf01)
+    assert(merged.select("user_id").distinct().count() === merged.count())
+  }
+
+  test("customerValueProfile keeps zero-order customers with explicit zeros") {
+    val prof = Relational.customerValueProfile(spark, Sf)
+    assert(prof.count() === Tables.customer(spark, Sf).count(),
+      "left join must preserve every customer")
+    val zeros = prof.filter(col("n_big") === 0)
+    assert(zeros.count() > 0, "sf0.001 should have customers without 300k orders")
+    assert(zeros.filter(col("big_spend") =!= 0.0).count() === 0)
+  }
+
+  test("distinctKmv: estimator within 3-sigma of exact; small groups exact") {
+    val rows = TextAnalysis.distinctKmv(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      if (exact < TextAnalysis.KmvK) assert(est === exact, s"small-range rule: $r")
+      else {
+        // KMV relative error ~ 1/sqrt(k-2) ≈ 12.7% at k=64; 3σ bound
+        val relErr = math.abs(est - exact).toDouble / exact
+        assert(relErr < 0.40, s"KMV estimate off by ${relErr * 100}%: $r")
+      }
+    }
+  }
+
+  test("lmScore: scores are valid fixed-point probabilities; bigram counts check out") {
+    val scored = Curation.lmScore(spark, Sf)
+    assert(scored.filter(col("lm_score_fp") <= 0 ||
+      col("lm_score_fp") > Curation.LmScale).count() === 0,
+      "mean smoothed transition prob must be in (0, 1] fixed-point")
+    // n_bigrams per doc = token count - 1 (every adjacent pair counted)
+    val toks = Tables.documents(spark, Sf)
+      .select(col("doc_id"), (size(TextOps.tokens(col("text"))) - 1).cast("long").as("want"))
+      .filter(col("want") >= 1)
+    val bad = scored.join(toks, "doc_id").filter(col("n_bigrams") =!= col("want"))
+    assert(bad.count() === 0)
+    assert(scored.count() === toks.count(), "every doc with >=2 tokens is scored")
+  }
+}
