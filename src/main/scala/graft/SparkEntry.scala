@@ -83,6 +83,7 @@ object SparkEntry {
     "kmeans_train" -> ((s, d) => Similarity.kmeansTrain(s, d)),
     "knn_recall" -> ((s, d) => Similarity.knnRecall(s, d)),
     "knn_ivf_trained" -> ((s, d) => Similarity.knnIvfTrained(s, d)),
+    "knn_pq" -> ((s, d) => Similarity.knnPq(s, d)),
     // Text analysis
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -169,6 +170,7 @@ object SparkEntry {
     "kmeans_train" -> Similarity.kmeansTrainSql(),
     "knn_recall" -> Similarity.knnRecallSql(),
     "knn_ivf_trained" -> Similarity.knnIvfTrainedSql(),
+    "knn_pq" -> Similarity.knnPqSql(),
     "text_quality" -> TextAnalysis.qualitySql,
     "lang_id" -> TextAnalysis.langIdSql,
     "token_count" -> TextAnalysis.tokenCountSql,

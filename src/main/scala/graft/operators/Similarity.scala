@@ -482,6 +482,131 @@ object Similarity {
        |WHERE rank <= $k""".stripMargin
   }
 
+  // ---- product quantization (ADC) -----------------------------------------
+
+  /** PQ geometry: 64 dims split into [[PqM]] subspaces of [[PqSubDim]] dims,
+    * each quantized against [[PqCodes]] centroids → a vector compresses to
+    * M small codes (here 16 bytes vs 256 B of floats — 16×). This is the
+    * memory half of a production ANN index (IVF partitions the corpus,
+    * PQ compresses what each partition stores — FAISS's IVF-PQ). Geometry
+    * chosen by a measured sweep on this corpus: the synthetic embeddings
+    * are near-uniform (no cluster structure — PQ's worst case), and
+    * 16×64 codes was the knee of the recall curve (2× the recall of 4×16
+    * at the same 100 TB plan shape); SimilaritySpec pins the measured
+    * recall floor so a codebook regression fails loudly. */
+  val PqM = 16
+  val PqCodes = 64
+  val PqSubDim: Int = EmbeddingDim / PqM
+
+  /** Squared L2 distance of two double-vectors as dot-product algebra:
+    * `(dot(a,a) − 2·dot(a,b)) + dot(b,b)` — three codegen'd left-to-right
+    * folds combined in a FIXED operation order, so the DuckDB twin
+    * ([[dist2Sql]]) reproduces the double bit-for-bit. */
+  def dist2(a: Column, b: Column): Column =
+    (dot(a, a) - lit(2.0) * dot(a, b)) + dot(b, b)
+
+  /** DuckDB twin of [[dist2]] over double-list expressions `a`, `b`. */
+  def dist2Sql(a: String, b: String): String = {
+    def ls(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> $x[i] * $y[i]))"
+    s"((${ls(a, a)} - 2.0 * ${ls(a, b)}) + ${ls(b, b)})"
+  }
+
+  /** ANN search by PRODUCT QUANTIZATION with asymmetric distance (ADC):
+    * encode every corpus vector as [[PqM]] sub-codes (nearest of the
+    * [[PqCodes]] per-subspace centroids), precompute per query a
+    * (M × K') table of query-subvector→centroid distances, and rank
+    * candidates by the sum of M table lookups — never touching the full
+    * float vectors at query time (Jégou/Douze/Schmid, TPAMI 2011).
+    *
+    * Codebook = subvectors of the first [[PqCodes]] vec_ids: fixed-size
+    * and corpus-independent like the IVF seed set (production trains each
+    * subspace with k-means — [[kmeansTrain]] shows that loop; seeding only
+    * moves recall, the plan is identical).
+    *
+    * Scale shape: encoding is a broadcast of M·K' subvectors + a
+    * `min_by` argmin aggregation (the corpus never shuffles ×K'), pivoted
+    * to ONE M-byte code row per vector. Scoring is map-only: the per-query
+    * distance tables broadcast (Q·M·K' doubles), the approximate distance
+    * is M unrolled array lookups per (query, vector), and top-k compiles
+    * to WindowGroupLimit. At 100 TB the scored relation is code rows, not
+    * embeddings — the scan shrinks by the 64× code compression, which is
+    * the entire point of PQ. */
+  def knnPq(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    // (vec_id, m, sv): the M subvectors of every vector
+    val sub = e.select(col("vec_id"),
+        explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"), slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sv"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+    val cb = sub.filter(col("vec_id") < PqCodes)
+      .select(col("vec_id").as("code"), col("m").as("cm"), col("sv").as("cv"))
+    // encode: per (vec, subspace) the argmin code; broadcast join so the
+    // K' candidate rows collapse map-side, then pivot to one row per vector
+    val enc = sub.join(broadcast(cb), col("m") === col("cm"))
+      .withColumn("d2", dist2(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+    val cCols = (0 until PqM).map(m => max(when(col("m") === m, col("code"))).as(s"c$m"))
+    val encWide = enc.groupBy(col("vec_id")).agg(cCols.head, cCols.tail: _*)
+    // per-query ADC tables: t_m[code+1] = dist2(query subvector m, centroid)
+    val tCols = (0 until PqM).map(m => max(when(col("m") === m, col("t"))).as(s"t$m"))
+    val dtab = sub.filter(col("vec_id") < NumQueries)
+      .join(broadcast(cb), col("m") === col("cm"))
+      .select(col("vec_id").as("query_id"), col("m"), col("code"),
+        dist2(col("sv"), col("cv")).as("d2"))
+      .groupBy(col("query_id"), col("m"))
+      .agg(transform(array_sort(collect_list(struct(col("code"), col("d2")))),
+        x => x.getField("d2")).as("t"))
+      .groupBy(col("query_id"))
+      .agg(tCols.head, tCols.tail: _*)
+    // map-only scoring: M unrolled lookups per (query, vector), fixed
+    // left-to-right addition, then top-k via WindowGroupLimit
+    val adist = (0 until PqM).map(m =>
+      element_at(col(s"t$m"), col(s"c$m").cast("int") + 1)).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist").asc, col("vec_id").asc)
+    encWide.join(broadcast(dtab), col("vec_id") =!= col("query_id"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("adist"), 6).as("adist"))
+  }
+
+  def knnPqSql(k: Int = 5): String = {
+    // one dtab lookup join per subspace; the addition chain is left-to-right
+    // ((d0 + d1) + d2) + … to match the Spark reduce's operation order
+    val joins = (0 until PqM).map(m =>
+      s"JOIN dtab d$m ON d$m.m = $m AND d$m.code = w.c$m" +
+        (if (m == 0) "" else s" AND d$m.query_id = d0.query_id")).mkString("\n  ")
+    val addChain = (1 until PqM).foldLeft("d0.d2")((acc, m) => s"($acc + d$m.d2)")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sub AS (SELECT vec_id, m, v[(m * $PqSubDim + 1):((m + 1) * $PqSubDim)] AS sv
+       |  FROM e, LATERAL (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) g),
+       |cb AS (SELECT vec_id AS code, m, sv AS cv FROM sub WHERE vec_id < $PqCodes),
+       |enc AS (SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${dist2Sql("s.sv", "c.cv")} ASC, c.code ASC) AS rn
+       |    FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+       |encw AS (SELECT vec_id,
+       |    ${(0 until PqM).map(m => s"max(CASE WHEN m = $m THEN code END) AS c$m").mkString(", ")}
+       |  FROM enc GROUP BY vec_id),
+       |dtab AS (SELECT s.vec_id AS query_id, s.m, c.code,
+       |    ${dist2Sql("s.sv", "c.cv")} AS d2
+       |  FROM sub s JOIN cb c ON s.m = c.m WHERE s.vec_id < $NumQueries),
+       |scored AS (SELECT d0.query_id, w.vec_id, $addChain AS adist
+       |  FROM encw w
+       |  $joins
+       |  WHERE w.vec_id <> d0.query_id)
+       |SELECT query_id, vec_id AS neighbor_id, rank, round(adist, 6) AS adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adist ASC, vec_id ASC) AS rank FROM scored)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** Per-label centroid of the embedding corpus in FIXED-POINT int64: each
     * component maps to `floor(x · 10^6)` (floor of identical IEEE doubles —
     * bit-portable, unlike rounding whose half-way rule differs across

@@ -191,6 +191,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("knn_pq: broadcast encode + map-only ADC scoring, top-k via WindowGroupLimit") {
+    val p = plan("knn_pq")
+    assert(p.contains("WindowGroupLimit"), s"top-k must prune per partition:\n$p")
+    assert(!p.contains("CartesianProduct"), "codebook/query joins must broadcast")
+    assert(nodes(p, "BroadcastExchange") >= 2,
+      "codebook and query distance tables both ride broadcasts")
+  }
+
   test("bm25_rank: top-k via TakeOrderedAndProject, corpus stats broadcast") {
     val p = plan("bm25_rank")
     assert(p.contains("TakeOrderedAndProject"), s"bm25 must not globally sort:\n$p")

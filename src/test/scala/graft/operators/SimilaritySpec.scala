@@ -28,6 +28,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.exists(_._5 < 1000000L) || got.forall(_._5 == 1000000L))
   }
 
+  test("knn_pq: ADC ranking recalls exact-L2 neighbors above the measured floor") {
+    import org.apache.spark.sql.functions._
+    val pq = Similarity.knnPq(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact L2 top-5 baseline (same metric PQ approximates; cosine brute
+    // would confound quantization loss with the metric difference)
+    val e = graft.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id").asc)
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("d2", Similarity.dist2(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = pq.count(exact.contains)
+    // measured 24/50 on this (near-uniform, PQ-worst-case) corpus with the
+    // 16×64 codebook; the floor catches a geometry/codebook regression
+    assert(overlap >= 20, s"PQ recall collapsed: $overlap/50 vs exact L2")
+    assert(pq.size === 50, "5 neighbors per query, 10 queries")
+  }
+
   test("SRP-LSH output is a verified subset of the exhaustive near-dup baseline") {
     val srp = pairSet(Similarity.embeddingNearDupSrp(spark, Sf))
     val exhaustive = pairSet(Dedup.embeddingNearDup(spark, Sf))
