@@ -98,6 +98,7 @@ object SparkEntry {
     // Curation / sampling
     "sample_stratified" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "shard_assign" -> ((s, d) => Sampling.shardAssign(s, d)),
+    "zorder_layout" -> ((s, d) => Sampling.zorderLayout(s, d)),
     "doc_novelty" -> ((s, d) => Curation.novelty(s, d)),
     "training_mix" -> ((s, d) => Sampling.trainingMix(s, d)),
     "training_mix_full" -> ((s, d) => Sampling.trainingMixFull(s, d)),
@@ -183,6 +184,7 @@ object SparkEntry {
     "lm_bigram_score" -> Curation.lmScoreSql,
     "sample_stratified" -> Sampling.stratifiedSampleSql(),
     "shard_assign" -> Sampling.shardAssignSql(),
+    "zorder_layout" -> Sampling.zorderLayoutSql,
     "doc_novelty" -> Curation.noveltySql,
     "training_mix" -> Sampling.trainingMixSql(),
     "training_mix_full" -> Sampling.trainingMixFullSql(),

@@ -235,4 +235,70 @@ object Sampling {
        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
        |  FROM kept)
        |WHERE rn <= $perLang""".stripMargin
+
+  /** Z-order (Morton-curve) geometry: each clustering column quantizes to
+    * [[ZBits]] bits, the bit-interleaved key spans 2^(2·ZBits), and rows
+    * land in [[ZBuckets]] equal z-ranges (= files, in a real OPTIMIZE
+    * ZORDER write). */
+  val ZBits = 8
+  val ZBuckets = 64
+
+  /** The bit-interleave Σ_j (bp_j << 2j+1 | bs_j << 2j) in portable
+    * integer arithmetic; `divOp` is `div` (Spark) or `//` (DuckDB) — all
+    * operands non-negative so trunc-div ≡ floor-div. */
+  private def zInterleave(divOp: String): String =
+    (0 until ZBits).map { j =>
+      val pj = 1L << j
+      s"(((bp $divOp $pj) % 2) * ${1L << (2 * j + 1)}) + (((bs $divOp $pj) % 2) * ${1L << (2 * j)})"
+    }.mkString(" + ")
+
+  /** Multi-dimensional data CLUSTERING for scan pruning (Delta/Iceberg
+    * `OPTIMIZE ZORDER BY`): map (l_partkey, l_suppkey) onto a Z-order
+    * space-filling curve and report, per target file bucket, the row count
+    * and BOTH columns' min/max — exactly the file statistics a lakehouse
+    * writer would persist, and the numbers that decide whether a filter on
+    * EITHER column can skip the file. A single-column sort makes only that
+    * column's ranges narrow (every file spans the full other column);
+    * Z-ordering makes both narrow simultaneously — ~1/√buckets of each key
+    * space per file — which is why a 100 TB table clustered this way
+    * prunes on both join/filter dimensions ([[graft.SamplingSpec]] proves
+    * the span contrast against the sorted layout on real data).
+    *
+    * The quantile map is exact and map-only here because TPC-H keys are
+    * dense integers (affine min→max scaling ≡ the quantile function); a
+    * production writer gets the same map from a range sampler. Plan: a
+    * 2-column pruned scan, one broadcast 1-row max aggregate, codegen'd
+    * integer bit-math, and ONE bucket aggregation — scan-speed layout
+    * planning, no global sort in the stats pass. */
+  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val scale = 1 << ZBits
+    val bucketWidth = (1L << (2 * ZBits)) / ZBuckets
+    val mx = Tables.lineitem(spark, sfDir)
+      .agg(max(col("l_partkey")).as("mp"), max(col("l_suppkey")).as("ms"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .crossJoin(broadcast(mx))
+      .withColumn("bp", expr(s"((l_partkey - 1) * $scale) div mp"))
+      .withColumn("bs", expr(s"((l_suppkey - 1) * $scale) div ms"))
+      .withColumn("zkey", expr(zInterleave("div")))
+      .groupBy(expr(s"zkey div $bucketWidth").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_partkey"), max(col("l_partkey")).as("max_partkey"),
+        min(col("l_suppkey")).as("min_suppkey"), max(col("l_suppkey")).as("max_suppkey"))
+  }
+
+  def zorderLayoutSql: String = {
+    val scale = 1 << ZBits
+    val bucketWidth = (1L << (2 * ZBits)) / ZBuckets
+    s"""WITH mx AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem),
+       |b AS (SELECT l_partkey, l_suppkey,
+       |    ((l_partkey - 1) * $scale) // mp AS bp,
+       |    ((l_suppkey - 1) * $scale) // ms AS bs
+       |  FROM lineitem, mx),
+       |z AS (SELECT l_partkey, l_suppkey, ${zInterleave("//")} AS zkey FROM b)
+       |SELECT zkey // $bucketWidth AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey,
+       |  min(l_suppkey) AS min_suppkey, max(l_suppkey) AS max_suppkey
+       |FROM z GROUP BY 1""".stripMargin
+  }
 }

@@ -25,4 +25,28 @@ class SamplingSpec extends AnyFunSuite {
     }
     assert(rows.map(_._5).max >= 1, "corpus should fill more than one bin")
   }
+
+  test("zorder_layout: BOTH key ranges narrow per bucket, unlike a single-column sort") {
+    import org.apache.spark.sql.functions._
+    val z = Sampling.zorderLayout(spark, Sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    def avg(xs: Seq[Long]) = xs.sum.toDouble / xs.size
+    val zPartSpan = avg(z.map(t => t._2 - t._1).toSeq)
+    val zSuppSpan = avg(z.map(t => t._4 - t._3).toSeq)
+    // the contrast layout: same bucket count, clustered by partkey ALONE
+    val li = graft.Tables.lineitem(spark, Sf).select(col("l_partkey"), col("l_suppkey"))
+    val mp = li.agg(max(col("l_partkey"))).collect()(0).getLong(0)
+    val ms = li.agg(max(col("l_suppkey"))).collect()(0).getLong(0)
+    val sorted = li
+      .groupBy(expr(s"((l_partkey - 1) * ${Sampling.ZBuckets}) div $mp").as("bucket"))
+      .agg(min(col("l_suppkey")).as("lo"), max(col("l_suppkey")).as("hi"))
+      .collect().map(r => r.getLong(2) - r.getLong(1))
+    val sortedSuppSpan = avg(sorted.toSeq)
+    // z-order: each bucket covers ~1/sqrt(64) of each dimension
+    assert(zPartSpan < mp / 4.0, s"partkey span $zPartSpan must stay narrow")
+    assert(zSuppSpan < ms / 4.0, s"suppkey span $zSuppSpan must stay narrow")
+    // the sorted layout leaves the second dimension unprunable (~full range)
+    assert(zSuppSpan < 0.3 * sortedSuppSpan,
+      s"z-order suppkey span $zSuppSpan vs sorted layout $sortedSuppSpan")
+  }
 }
