@@ -340,6 +340,40 @@ object Relational {
           .otherwise("carried").as("op"))
   }
 
+  /** The orders columns [[tableProfile]] summarizes (every column of the
+    * table, in schema order). */
+  val ProfileCols: Seq[String] = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** ANALYZE-style table statistics: per column, the null count and exact
+    * distinct count — the numbers a cost-based optimizer (and a data-quality
+    * monitor) collects per table. All distincts compute in ONE pass:
+    * Spark plans multiple count_distinct aggregates as a single Expand +
+    * aggregate (each input row fans out once per column), so the table is
+    * scanned once no matter how many columns are profiled — the ANALYZE
+    * TABLE plan shape. At 100 TB the exact distinct shuffle is the cost
+    * ceiling; [[graft.operators.TextAnalysis.distinctKmv]] is this
+    * engine's sketch alternative when approximate counts suffice. */
+  def tableProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val aggs = ProfileCols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      count_distinct(col(c)).as(s"${c}_distinct")))
+    Tables.orders(spark, sfDir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(ProfileCols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"${c}_nulls").as("n_nulls"),
+        col(s"${c}_distinct").as("n_distinct"))): _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_nulls"), col("p.n_distinct"))
+  }
+
+  val tableProfileSql: String =
+    ProfileCols.map(c =>
+      s"""SELECT '$c' AS col_name,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM orders""".stripMargin).mkString("\nUNION ALL\n")
+
   val snapshotMergeSql: String =
     """WITH ev AS (
       |  SELECT user_id, epoch_us(ts) AS us, value, event_id

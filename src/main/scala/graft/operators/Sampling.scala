@@ -236,6 +236,51 @@ object Sampling {
        |  FROM kept)
        |WHERE rn <= $perLang""".stripMargin
 
+  /** Total document budget for the temperature-weighted draw. */
+  val TempBudget = 100
+
+  /** TEMPERATURE-weighted multilingual sampling (the mC4 / XLM-R data-mix
+    * rule, α = 0.5): language l gets quota ∝ n_l^α instead of ∝ n_l, so
+    * high-resource languages stop drowning the mix and low-resource ones
+    * keep presence. n^0.5 stays exactly portable: sqrt of an
+    * integer-valued double is correctly rounded IEEE in both engines and
+    * the floor lands on the same int64; the quota split is then pure
+    * integer arithmetic `(budget · w_l) div Σw`.
+    *
+    * Scale shape: the per-language weight/quota table is a tiny broadcast
+    * (|langs| rows); the draw itself is the stratified-sample shape — one
+    * lang-partitioned rank with the constant budget as a WindowGroupLimit
+    * bound, so each map task forwards at most `budget` docs per language
+    * before the exchange. */
+  def trainingMixTemperature(spark: SparkSession, sfDir: String,
+      budget: Int = TempBudget): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val weights = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("wt", expr("CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"))
+    val total = weights.agg(sum(col("wt")).as("wsum"))
+    val quotas = weights.crossJoin(broadcast(total))
+      .select(col("lang"), expr(s"($budget * wt) div wsum").as("quota"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    docs.join(broadcast(quotas), "lang")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      // rn <= budget is the constant WindowGroupLimit bound; rn <= quota
+      // is the exact per-language cut inside it
+      .filter(col("rn") <= budget && col("rn") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("rn"), col("quota"))
+  }
+
+  def trainingMixTemperatureSql(budget: Int = TempBudget): String =
+    s"""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+       |w AS (SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt FROM n),
+       |t AS (SELECT sum(wt) AS wsum FROM w),
+       |q AS (SELECT lang, ($budget * wt) // wsum AS quota FROM w, t),
+       |r AS (SELECT doc_id, d.lang, quota, row_number() OVER (
+       |    PARTITION BY d.lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM documents d JOIN q ON d.lang = q.lang)
+       |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn, CAST(quota AS BIGINT) AS quota
+       |FROM r WHERE rn <= quota""".stripMargin
+
   /** Z-order (Morton-curve) geometry: each clustering column quantizes to
     * [[ZBits]] bits, the bit-interleaved key spans 2^(2·ZBits), and rows
     * land in [[ZBuckets]] equal z-ranges (= files, in a real OPTIMIZE

@@ -191,6 +191,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("events_time_rollup: grouping sets expand before ONE exchange") {
+    val p = plan("events_time_rollup")
+    assert(nodes(p, "Expand") === 1)
+    assert(nodes(p, "Exchange") === 1,
+      s"rollup must shuffle pre-aggregated rows only:\n$p")
+  }
+
+  test("table_profile: all column distincts in ONE scan (multi-distinct Expand)") {
+    val p = plan("table_profile")
+    assert(nodes(p, "Scan parquet") === 1, s"ANALYZE must scan the table once:\n$p")
+  }
+
   test("knn_pq: broadcast encode + map-only ADC scoring, top-k via WindowGroupLimit") {
     val p = plan("knn_pq")
     assert(p.contains("WindowGroupLimit"), s"top-k must prune per partition:\n$p")

@@ -70,6 +70,17 @@ class RelationalSpec extends AnyFunSuite {
     assert(zeros.filter(col("big_spend") =!= 0.0).count() === 0)
   }
 
+  test("tableProfile distincts equal per-column distinct counts") {
+    val prof = Relational.tableProfile(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val orders = Tables.orders(spark, Sf)
+    assert(prof.keySet === Relational.ProfileCols.toSet)
+    Relational.ProfileCols.foreach { c =>
+      assert(prof(c)._2 === orders.select(c).distinct().count(), s"n_distinct($c)")
+      assert(prof(c)._1 === orders.filter(col(c).isNull).count(), s"n_nulls($c)")
+    }
+  }
+
   test("distinctKmv: estimator within 3-sigma of exact; small groups exact") {
     val rows = TextAnalysis.distinctKmv(spark, Sf).collect()
     assert(rows.nonEmpty)

@@ -26,6 +26,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(rows.map(_._5).max >= 1, "corpus should fill more than one bin")
   }
 
+  test("trainingMixTemperature flattens the language mix toward low-resource langs") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, Sf)
+    val total = docs.count().toDouble
+    val nEn = docs.filter(col("lang") === "en").count().toDouble
+    val drawn = Sampling.trainingMixTemperature(spark, Sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val perLang = drawn.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perLang.keySet === Set("en", "de", "es", "fr", "zh"),
+      "every language keeps presence in the mix")
+    // α=0.5 must pull en's share BELOW its flat (proportional) share
+    val enShare = perLang("en").toDouble / drawn.length
+    assert(enShare < nEn / total, s"temperature must flatten: en $enShare vs flat ${nEn / total}")
+    drawn.foreach { case (_, rn, quota) => assert(rn <= quota) }
+  }
+
   test("zorder_layout: BOTH key ranges narrow per bucket, unlike a single-column sort") {
     import org.apache.spark.sql.functions._
     val z = Sampling.zorderLayout(spark, Sf).collect()
