@@ -296,6 +296,88 @@ object StreamingOps {
     spark.table(name)
   }
 
+  case class UpEv(user_id: Long, event_id: Long, us: Long, value: Double)
+
+  /** CONTINUOUS UPSERT via `foreachBatch` — the streaming twin of the batch
+    * [[graft.operators.Relational.snapshotMerge]] MERGE kernel, and the
+    * sink-side pattern Structured Streaming itself prescribes for
+    * maintaining a keyed table: each micro-batch reduces to latest-per-key
+    * (WindowGroupLimit), full-outer-merges with the current snapshot under
+    * a latest-wins (us, event_id) comparison — correct under ANY batch
+    * split, not just ordered feeds — and publishes a new snapshot version
+    * (the overwrite-and-swap a lakehouse MERGE INTO does transactionally).
+    * State lives in the TABLE, not the state store, so the stream restarts
+    * for free and the snapshot is queryable mid-stream.
+    *
+    * Scale: every merge is |keys|-bounded (both sides pre-reduced), the
+    * snapshot is partitioned storage (not driver memory), and at 100 TB
+    * the same loop runs with bucket-co-located snapshot+batch on the merge
+    * key. Returns the final snapshot; the oracle checks it equals the
+    * batch latest-purchase-per-user over the whole table. */
+  def streamingUpsert(spark: SparkSession, sfDir: String, numChunks: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("user_id", "event_id", "ts div 1000 AS us", "value").as[UpEv]
+      .collect().sortBy(e => (e.us, e.event_id))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[UpEv]
+    val baseDir = graft.LocalDirs.streamingCkpt("graft_stream_upsert_snap")
+    var currentVersion = -1L
+    def snapPath(v: Long) = s"$baseDir/v$v"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = source.toDS().writeStream
+        .option("checkpointLocation", ckptDir("graft_stream_upsert"))
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[UpEv], batchId: Long) =>
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col("us").desc, col("event_id").desc)
+          val latest = batch.toDF()
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+          val merged =
+            if (currentVersion < 0) latest
+            else {
+              val snap = spark.read.parquet(snapPath(currentVersion))
+              snap.as("s").join(latest.as("u"),
+                  col("s.user_id") === col("u.user_id"), "full_outer")
+                .select(
+                  coalesce(col("u.user_id"), col("s.user_id")).as("user_id"),
+                  when(col("s.user_id").isNull ||
+                      (col("u.user_id").isNotNull &&
+                        (col("u.us") > col("s.us") ||
+                          (col("u.us") === col("s.us") && col("u.event_id") > col("s.event_id")))),
+                    struct(col("u.us").as("us"), col("u.event_id").as("event_id"),
+                      col("u.value").as("value")))
+                    .otherwise(struct(col("s.us").as("us"), col("s.event_id").as("event_id"),
+                      col("s.value").as("value"))).as("r"))
+                .select(col("user_id"), col("r.us").as("us"),
+                  col("r.event_id").as("event_id"), col("r.value").as("value"))
+            }
+          merged.write.mode("overwrite").parquet(snapPath(batchId))
+          currentVersion = batchId
+        }
+        .start()
+      try {
+        val chunkSize = math.max(1, math.ceil(purchases.length.toDouble / numChunks).toInt)
+        purchases.grouped(chunkSize).foreach { chunk =>
+          source.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.read.parquet(snapPath(currentVersion))
+      .select(col("user_id"), col("us").as("last_us"), col("value").as("last_value"))
+  }
+
+  val streamingUpsertSql: String =
+    """SELECT user_id, us AS last_us, value AS last_value FROM (
+      |  SELECT user_id, epoch_us(ts) AS us, value, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events WHERE event_type = 'purchase') WHERE rn = 1""".stripMargin
+
   /** Windowed streaming aggregation with a watermark (append mode): used by
     * the streaming spec to pin the watermark/window semantics; not part of
     * the oracle surface because append mode intentionally withholds

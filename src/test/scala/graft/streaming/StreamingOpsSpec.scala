@@ -158,6 +158,20 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("foreachBatch upsert: chunked-feed snapshot equals the batch latest-per-user") {
+    import org.apache.spark.sql.functions._
+    val snap = StreamingOps.streamingUpsert(spark, Sf, numChunks = 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(expr("ts div 1000").desc, col("event_id").desc)
+    val batch = graft.Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), expr("ts div 1000").as("last_us"), col("value").as("last_value"))
+    assert(snap.exceptAll(batch).isEmpty && batch.exceptAll(snap).isEmpty,
+      "4-chunk continuous upsert must converge to the batch snapshot")
+  }
+
   test("watermarked window stream starts and produces a bounded-state plan") {
     val df = StreamingOps.watermarkedWindowCounts(spark, Sf)
     assert(df.isStreaming)
