@@ -191,6 +191,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("events_user_paths: step cap via WindowGroupLimit BEFORE the path aggregation") {
+    val p = plan("events_user_paths")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn<=50 must bound per-user state below the window exchange:\n$p")
+  }
+
   test("events_time_rollup: grouping sets expand before ONE exchange") {
     val p = plan("events_time_rollup")
     assert(nodes(p, "Expand") === 1)

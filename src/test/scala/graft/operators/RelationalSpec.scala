@@ -70,6 +70,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(zeros.filter(col("big_spend") =!= 0.0).count() === 0)
   }
 
+  test("clickMinusPurchaseAll has bag semantics: per-key max(0, clicks - purchases)") {
+    val got = EventOps.clickMinusPurchaseAll(spark, Sf)
+      .groupBy(col("user_id"), col("hour_epoch")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def counts(tpe: String) = Tables.events(spark, Sf)
+      .filter(col("event_type") === tpe)
+      .groupBy(col("user_id"), expr("((ts - pmod(ts, 3600000000000)) div 3600000000000) * 3600").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val clicks = counts("click"); val purchases = counts("purchase")
+    val expected = clicks.flatMap { case (k, c) =>
+      val d = c - purchases.getOrElse(k, 0L)
+      if (d > 0) Some(k -> d) else None
+    }
+    assert(got === expected)
+  }
+
   test("tableProfile distincts equal per-column distinct counts") {
     val prof = Relational.tableProfile(spark, Sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
