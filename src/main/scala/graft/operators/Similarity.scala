@@ -532,7 +532,10 @@ object Similarity {
     * to WindowGroupLimit. At 100 TB the scored relation is code rows, not
     * embeddings — the scan shrinks by the 64× code compression, which is
     * the entire point of PQ. */
-  def knnPq(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+  /** The PQ building blocks shared by [[knnPq]] and [[knnIvfPq]]:
+    * (encWide, dtab, adist) — the M-code row per vector, the per-query ADC
+    * tables, and the unrolled lookup-sum column over their join. */
+  private def pqParts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, Column) = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
     // (vec_id, m, sv): the M subvectors of every vector
@@ -561,10 +564,15 @@ object Similarity {
         x => x.getField("d2")).as("t"))
       .groupBy(col("query_id"))
       .agg(tCols.head, tCols.tail: _*)
-    // map-only scoring: M unrolled lookups per (query, vector), fixed
-    // left-to-right addition, then top-k via WindowGroupLimit
     val adist = (0 until PqM).map(m =>
       element_at(col(s"t$m"), col(s"c$m").cast("int") + 1)).reduce(_ + _)
+    (encWide, dtab, adist)
+  }
+
+  def knnPq(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val (encWide, dtab, adist) = pqParts(spark, sfDir)
+    // map-only scoring: M unrolled lookups per (query, vector), fixed
+    // left-to-right addition, then top-k via WindowGroupLimit
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist").asc, col("vec_id").asc)
     encWide.join(broadcast(dtab), col("vec_id") =!= col("query_id"))
       .withColumn("adist", adist)
@@ -574,14 +582,36 @@ object Similarity {
         col("rank").cast("long").as("rank"), round(col("adist"), 6).as("adist"))
   }
 
-  def knnPqSql(k: Int = 5): String = {
-    // one dtab lookup join per subspace; the addition chain is left-to-right
-    // ((d0 + d1) + d2) + … to match the Spark reduce's operation order
-    val joins = (0 until PqM).map(m =>
-      s"JOIN dtab d$m ON d$m.m = $m AND d$m.code = w.c$m" +
-        (if (m == 0) "" else s" AND d$m.query_id = d0.query_id")).mkString("\n  ")
-    val addChain = (1 until PqM).foldLeft("d0.d2")((acc, m) => s"($acc + d$m.d2)")
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  /** The COMPOSED production ANN index — IVF partitioning × PQ compression
+    * (FAISS's IVFPQ): the corpus is bucketed by nearest coarse centroid
+    * AND stored as M-byte PQ codes; a query probes ONLY its own cluster
+    * and ranks candidates by ADC lookups. The two scale levers multiply:
+    * the probe scans ~1/C of the corpus, and what it scans is 16×-compressed
+    * code rows, not float vectors. The cluster condition also turns the
+    * scoring join into an equi-join on cluster (vs knnPq's broadcast NLJ
+    * over the whole corpus). Recall composes both approximations — coarse
+    * bucketing (knn_recall measures it) and quantization (knn_pq's spec
+    * floor); production tunes nprobe/M/K' against exactly these
+    * measurements. */
+  def knnIvfPq(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val (encWide, dtab, adist) = pqParts(spark, sfDir)
+    val assigned = ivfAssigned(spark, sfDir).select(col("vec_id"), col("cluster"))
+    val cand = encWide.join(assigned, "vec_id")
+    val qmeta = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("cluster").as("qcluster"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist").asc, col("vec_id").asc)
+    cand.join(broadcast(dtab.join(qmeta, "query_id")),
+        col("cluster") === col("qcluster") && col("vec_id") =!= col("query_id"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("adist"), 6).as("adist"))
+  }
+
+  /** The shared PQ CTE block (encode + per-query ADC tables). */
+  private def pqCtes: String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |sub AS (SELECT vec_id, m, v[(m * $PqSubDim + 1):((m + 1) * $PqSubDim)] AS sv
        |  FROM e, LATERAL (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) g),
@@ -596,16 +626,50 @@ object Similarity {
        |  FROM enc GROUP BY vec_id),
        |dtab AS (SELECT s.vec_id AS query_id, s.m, c.code,
        |    ${dist2Sql("s.sv", "c.cv")} AS d2
-       |  FROM sub s JOIN cb c ON s.m = c.m WHERE s.vec_id < $NumQueries),
-       |scored AS (SELECT d0.query_id, w.vec_id, $addChain AS adist
+       |  FROM sub s JOIN cb c ON s.m = c.m WHERE s.vec_id < $NumQueries)""".stripMargin
+
+  // one dtab lookup join per subspace; the addition chain is left-to-right
+  // ((d0 + d1) + d2) + … to match the Spark reduce's operation order
+  private def pqJoins(): String =
+    (0 until PqM).map(m =>
+      s"JOIN dtab d$m ON d$m.m = $m AND d$m.code = w.c$m" +
+        (if (m == 0) "" else s" AND d$m.query_id = d0.query_id")).mkString("\n  ")
+  private def pqAddChain: String =
+    (1 until PqM).foldLeft("d0.d2")((acc, m) => s"($acc + d$m.d2)")
+
+  def knnPqSql(k: Int = 5): String =
+    s"""WITH $pqCtes,
+       |scored AS (SELECT d0.query_id, w.vec_id, $pqAddChain AS adist
        |  FROM encw w
-       |  $joins
+       |  ${pqJoins()}
        |  WHERE w.vec_id <> d0.query_id)
        |SELECT query_id, vec_id AS neighbor_id, rank, round(adist, 6) AS adist FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY adist ASC, vec_id ASC) AS rank FROM scored)
        |WHERE rank <= $k""".stripMargin
-  }
+
+  def knnIvfPqSql(k: Int = 5): String =
+    s"""WITH $pqCtes,
+       |cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < $NumCentroids),
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS cluster FROM (
+       |    SELECT ee.vec_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY ee.vec_id
+       |        ORDER BY ${cosineSql("ee", "c")} DESC, c.cent_id ASC) AS arn
+       |    FROM embeddings ee CROSS JOIN cent c)
+       |  WHERE arn = 1),
+       |q AS (SELECT vec_id AS query_id, cluster AS qcluster FROM assigned
+       |      WHERE vec_id < $NumQueries),
+       |scored AS (SELECT d0.query_id, w.vec_id, $pqAddChain AS adist
+       |  FROM encw w
+       |  JOIN assigned a ON a.vec_id = w.vec_id
+       |  ${pqJoins()}
+       |  JOIN q ON q.query_id = d0.query_id AND a.cluster = q.qcluster
+       |  WHERE w.vec_id <> d0.query_id)
+       |SELECT query_id, vec_id AS neighbor_id, rank, round(adist, 6) AS adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adist ASC, vec_id ASC) AS rank FROM scored)
+       |WHERE rank <= $k""".stripMargin
 
   /** Per-label centroid of the embedding corpus in FIXED-POINT int64: each
     * component maps to `floor(x · 10^6)` (floor of identical IEEE doubles —

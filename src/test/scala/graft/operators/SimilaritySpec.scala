@@ -52,6 +52,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pq.size === 50, "5 neighbors per query, 10 queries")
   }
 
+  test("knn_ivfpq: candidates stay in the query's cluster; ADC distances agree with knn_pq") {
+    import org.apache.spark.sql.functions._
+    val cluster = Similarity.ivfAssigned(spark, Sf)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivfpq = Similarity.knnIvfPq(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(ivfpq.nonEmpty)
+    ivfpq.keys.foreach { case (q, n) =>
+      assert(cluster(n) === cluster(q), s"neighbor $n outside query $q's cluster")
+    }
+    // where the unpartitioned PQ ranking surfaces the same pair, the ADC
+    // distance must be identical (same codes, same tables)
+    val pq = Similarity.knnPq(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val shared = ivfpq.keySet intersect pq.keySet
+    assert(shared.nonEmpty)
+    shared.foreach(k => assert(ivfpq(k) === pq(k)))
+  }
+
   test("SRP-LSH output is a verified subset of the exhaustive near-dup baseline") {
     val srp = pairSet(Similarity.embeddingNearDupSrp(spark, Sf))
     val exhaustive = pairSet(Dedup.embeddingNearDup(spark, Sf))
