@@ -295,8 +295,13 @@ object Curation {
       .select(col("doc_id"),
         explode(graft.functions.ShinglesExpression.word_shingles(col("t"), 2)).as("b"))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+      // model training AND doc scoring both read occ: materialize once
+      // instead of re-running tokenize+shingle+aggregate per consumer
+      .localCheckpoint()
+    // |vocab| rows; read by the model join AND the vocab-size aggregate
     val uni = toks.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
     val vocab = uni.agg(count(lit(1)).as("v"))
     val model = occ.groupBy(col("b")).agg(sum(col("cnt")).as("c2"))
       .withColumn("w1", split(col("b"), " ").getItem(0))

@@ -246,6 +246,9 @@ object TextAnalysis {
         explode(graft.functions.ShinglesExpression.word_shingles(col("t"), 3)).as("s"))
       .select(col("lang"), Hashing.md5Long(col("s")).as("h"))
       .distinct()
+      // both consumers (k-th rank and the exact count) read the distinct
+      // pairs: materialize once instead of re-running tokenize+shingle
+      .localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("h").asc)
     val kth = pairs.withColumn("rn", row_number().over(w))
