@@ -321,15 +321,18 @@ object Relational {
     val updCutUs = 1706140800000000L
     val ev = Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
-      .select(col("user_id"), expr("ts div 1000").as("us"), col("value"), col("event_id"))
+      .select(col("user_id"), col("ts"), expr("ts div 1000").as("us"),
+        col("value"), col("event_id"))
     def latest(df: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("us").desc, col("event_id").desc)
       df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("user_id"), col("us"), col("value"))
     }
-    val base = latest(ev.filter(col("us") < baseCutUs))
-    val upd = latest(ev.filter(col("us") >= updCutUs))
+    // cutoffs compare raw ts (ns), not the derived µs column, so they reach
+    // the parquet scan as PushedFilters and row-group stats prune each side
+    val base = latest(ev.filter(col("ts") < lit(baseCutUs * 1000)))
+    val upd = latest(ev.filter(col("ts") >= lit(updCutUs * 1000)))
     base.as("b").join(upd.as("u"), col("b.user_id") === col("u.user_id"), "full_outer")
       .select(
         coalesce(col("u.user_id"), col("b.user_id")).as("user_id"),

@@ -174,6 +174,8 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("FullOuter"), s"merge must be a full outer join:\n$p")
     assert(p.contains("WindowGroupLimit"),
       "latest-per-key must reduce each side before the merge")
+    assert(p.contains("LessThan(ts") && p.contains("GreaterThanOrEqual(ts"),
+      s"the time cutoffs must reach PushedFilters on the raw ts column:\n$p")
   }
 
   test("customer_value_profile: price filter pushed, outer join preserves customer") {
