@@ -252,6 +252,49 @@ object Relational {
        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
        |GROUP BY n_name""".stripMargin
 
+  /** TPC-H Q7 analog (volume shipping): revenue flowing between two
+    * specific nations by ship year, in both directions. Two `nation`
+    * broadcasts under different aliases filter BOTH endpoints early —
+    * the (supplier-nation, customer-nation) pair predicate reaches the
+    * joins as equi-conditions on broadcast dimensions, so the fact tables
+    * shuffle only on their join keys (orderkey, custkey, suppkey) and the
+    * nation filtering never forces an extra exchange. Ship-year is
+    * integer µs arithmetic on the oracle side to stay type-portable. */
+  def q7Volume(spark: SparkSession, sfDir: String,
+      nationA: String = "NATION_3", nationB: String = "NATION_7"): DataFrame = {
+    val n1 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  def q7VolumeSql(nationA: String = "NATION_3", nationB: String = "NATION_7"): String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  count(*) AS n_lines
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE (n1.n_name = '$nationA' AND n2.n_name = '$nationB')
+       |   OR (n1.n_name = '$nationB' AND n2.n_name = '$nationA')
+       |GROUP BY 1, 2, 3""".stripMargin
+
   /** LEFT OUTER join coverage: every customer with their count/total of
     * high-value (> 300k) orders, customers with none kept at explicit
     * zeros via COALESCE. The fact side pre-aggregates to ≤ one row per

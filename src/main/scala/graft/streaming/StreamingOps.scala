@@ -316,12 +316,22 @@ object StreamingOps {
     * batch latest-purchase-per-user over the whole table. */
   def streamingUpsert(spark: SparkSession, sfDir: String, numChunks: Int = 3): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import org.apache.spark.sql.expressions.Window
     val purchases = Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
       .selectExpr("user_id", "event_id", "ts div 1000 AS us", "value").as[UpEv]
       .collect().sortBy(e => (e.us, e.event_id))
+    streamingUpsertOf(spark, purchases.toIndexedSeq, numChunks)
+  }
+
+  /** Core of [[streamingUpsert]] over an explicit feed — split out so the
+    * convergence property (ANY chunking → the batch snapshot) can run on
+    * crafted/randomized event sets, including out-of-order feeds the
+    * latest-wins comparison must absorb. */
+  def streamingUpsertOf(spark: SparkSession, purchases: Seq[UpEv],
+      numChunks: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val source = MemoryStream[UpEv]
     val baseDir = graft.LocalDirs.streamingCkpt("graft_stream_upsert_snap")

@@ -172,6 +172,27 @@ class StreamingOpsSpec extends AnyFunSuite {
       "4-chunk continuous upsert must converge to the batch snapshot")
   }
 
+  test("foreachBatch upsert converges under randomized OUT-OF-ORDER feeds and chunkings") {
+    // The latest-wins comparison must make the final snapshot independent
+    // of how the feed is split AND of arrival order (the batch-always-newer
+    // assumption a naive prefer-update merge would make silently).
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val evs = (1 to 60).map { i =>
+        StreamingOps.UpEv(rnd.nextInt(8).toLong, i.toLong,
+          rnd.nextInt(1000).toLong, rnd.nextInt(100) / 10.0)
+      }
+      val shuffled = rnd.shuffle(evs) // deliberately NOT time-ordered
+      val got = StreamingOps.streamingUpsertOf(spark, shuffled, numChunks = 2 + rnd.nextInt(3))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = evs.groupBy(_.user_id).map { case (u, es) =>
+        val last = es.maxBy(e => (e.us, e.event_id))
+        (u, last.us, last.value)
+      }.toSet
+      assert(got === want, s"seed $seed: chunked out-of-order upsert diverged from batch latest")
+    }
+  }
+
   test("watermarked window stream starts and produces a bounded-state plan") {
     val df = StreamingOps.watermarkedWindowCounts(spark, Sf)
     assert(df.isStreaming)
