@@ -264,6 +264,53 @@ object Curation {
        |  md5(regexp_replace(t1, '$NumberRe', '<NUM>', 'g')) AS clean_hash
        |FROM r1""".stripMargin
 
+  /** Chunking geometry: [[ChunkTokens]]-token windows every
+    * [[ChunkStride]] tokens (16-token overlap) — the RAG / long-context
+    * training prep that turns documents into model-sized pieces without
+    * losing cross-boundary context. */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** Split every document into overlapping fixed-token CHUNKS: one output
+    * row per (doc, chunk) with its token offset, length, and an md5 content
+    * fingerprint (the id an embedding/index stage would key on). A chunk
+    * starts at every stride multiple below the token count, so adjacent
+    * chunks share `ChunkTokens − ChunkStride` tokens and the tail is kept
+    * short rather than dropped.
+    *
+    * Pure per-document map — sequence/slice/hash inside the scan stage,
+    * ZERO shuffle: at 100 TB chunking runs at scan speed like the quality
+    * gates, and the output feeds straight into the embedding/pack stages. */
+  def chunkDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), col("t"), size(col("t")).as("len"),
+        explode(expr(s"sequence(0, (size(t) + $ChunkStride - 1) div $ChunkStride - 1)"))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * ChunkStride).cast("long").as("start_tok"),
+        least(lit(ChunkTokens), col("len") - col("chunk_id") * ChunkStride)
+          .cast("long").as("n_toks"),
+        md5(concat_ws(" ",
+          slice(col("t"), col("chunk_id") * ChunkStride + 1,
+            least(lit(ChunkTokens), col("len") - col("chunk_id") * ChunkStride))))
+          .as("chunk_hash"))
+
+  val chunkDocsSql: String =
+    s"""WITH toks AS (SELECT doc_id, ${TextOps.tokensSql} AS t FROM documents),
+       |c AS (SELECT doc_id, t, len(t) AS l, g.c AS chunk_id
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(
+       |    0, (len(t) + $ChunkStride - 1) // $ChunkStride - 1)) AS c) g
+       |  WHERE len(t) >= 1)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(chunk_id * $ChunkStride AS BIGINT) AS start_tok,
+       |  CAST(least($ChunkTokens, l - chunk_id * $ChunkStride) AS BIGINT) AS n_toks,
+       |  md5(array_to_string(t[(chunk_id * $ChunkStride + 1):
+       |    (chunk_id * $ChunkStride + least($ChunkTokens, l - chunk_id * $ChunkStride))],
+       |    ' ')) AS chunk_hash
+       |FROM c""".stripMargin
+
   /** Fixed-point scale for [[lmScore]]'s smoothed transition probabilities
     * (9 decimal digits; `LmScale·(c2+1)` stays far inside int64 for any
     * realistic bigram count). */

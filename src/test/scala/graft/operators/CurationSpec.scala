@@ -167,4 +167,31 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getLong(2) <= r.getLong(1))
     }
   }
+
+  test("chunkDocs: stride/coverage/overlap invariants against driver-side tokenization") {
+    import org.apache.spark.sql.functions._
+    val chunks = Curation.chunkDocs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val toks = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"), TextOps.tokens(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val byDoc = chunks.groupBy(_._1)
+    toks.filter(_._2.nonEmpty).foreach { case (doc, t) =>
+      val cs = byDoc(doc).sortBy(_._2)
+      val expectN = (t.length + Curation.ChunkStride - 1) / Curation.ChunkStride
+      assert(cs.length === expectN, s"doc $doc: chunk count")
+      cs.foreach { case (_, cid, start, n, hash) =>
+        assert(start === cid * Curation.ChunkStride)
+        assert(n === math.min(Curation.ChunkTokens, t.length - start).toLong)
+        val expected = t.slice(start.toInt, (start + n).toInt).mkString(" ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val expectedHash = md.digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(hash === expectedHash, s"doc $doc chunk $cid content fingerprint")
+      }
+      // the final chunk always reaches the document's end
+      val last = cs.last
+      assert(last._3 + last._4 === t.length.toLong)
+    }
+    assert(byDoc.keySet === toks.filter(_._2.nonEmpty).keySet)
+  }
 }
