@@ -13,10 +13,14 @@ import graft.Tables
   * length-normalization ratios are computed with integer multiply +
   * floor-division (Spark `div` ≡ DuckDB `//` on non-negative operands)
   * instead of `ln`/double division, because libm doubles do not hash-match
-  * across engines (see operators/Exact.scala). The integer transforms are
-  * strictly monotone in the classical formulas at fixed corpus stats, so
-  * rankings are the ones BM25/TF-IDF would produce; only the absolute
-  * scale differs, and the scale is part of the operator's contract.
+  * across engines (see operators/Exact.scala). DELIBERATE VARIANT: the idf
+  * is linear (N/df), not logarithmic. Within one term the transform is
+  * monotone, but across terms the missing log up-weights rare terms more
+  * aggressively than log-idf, so multi-term rankings can differ from the
+  * textbook TF-IDF/BM25 order — that trade (a rarity-heavier weighting
+  * family, exactly portable arithmetic) is part of the operator's
+  * contract, exactly like [[Curation.lmScore]]'s arithmetic-mean variant
+  * of perplexity.
   */
 object Ranking {
 
@@ -26,8 +30,8 @@ object Ranking {
   val Scale = 1000000L
 
   /** Per-document top-k terms by tf·idf with idf_fp = (N·Scale) div df —
-    * the monotone integer transform of N/df (log omitted: it preserves
-    * per-document ranking at fixed N and keeps the score exact).
+    * linear idf (log omitted DELIBERATELY: see the object doc — rare terms
+    * weigh more than under log-idf, and the score stays exactly portable).
     *
     * Shape: one (doc, term) aggregation with map-side partials; df derives
     * from the ALREADY-AGGREGATED tf rows (a vocabulary-sized shuffle, not

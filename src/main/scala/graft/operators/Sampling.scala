@@ -258,8 +258,11 @@ object Sampling {
     val weights = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .withColumn("wt", expr("CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"))
     val total = weights.agg(sum(col("wt")).as("wsum"))
+    // greatest(1, …): floor-division can zero out a tiny language when one
+    // giant language dominates Σw — the presence guarantee is the POINT of
+    // temperature sampling, so every language keeps at least one slot
     val quotas = weights.crossJoin(broadcast(total))
-      .select(col("lang"), expr(s"($budget * wt) div wsum").as("quota"))
+      .select(col("lang"), greatest(lit(1L), expr(s"($budget * wt) div wsum")).as("quota"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
     docs.join(broadcast(quotas), "lang")
@@ -274,7 +277,7 @@ object Sampling {
     s"""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
        |w AS (SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt FROM n),
        |t AS (SELECT sum(wt) AS wsum FROM w),
-       |q AS (SELECT lang, ($budget * wt) // wsum AS quota FROM w, t),
+       |q AS (SELECT lang, greatest(1, ($budget * wt) // wsum) AS quota FROM w, t),
        |r AS (SELECT doc_id, d.lang, quota, row_number() OVER (
        |    PARTITION BY d.lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
        |  FROM documents d JOIN q ON d.lang = q.lang)

@@ -89,10 +89,12 @@ object Similarity {
     * the plan). */
   val NumCentroids = 128
 
-  /** IVF-bucketed ANN: assign every vector to its nearest of the seeded
-    * centroids, then answer each query inside its own cluster only. */
-  def knnIvf(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
-    val assigned = ivfAssigned(spark, sfDir)
+  /** The in-cluster cosine probe shared by the seeded ([[knnIvf]]) and
+    * trained ([[knnIvfTrained]]) IVF paths: broadcast the (tiny) query
+    * rows, scan only same-cluster candidates, rank per query with the
+    * (cos desc, vec_id) tie-break via WindowGroupLimit. ONE definition so
+    * a tie-break or fold change cannot desynchronize the two paths. */
+  private def probeAssigned(assigned: DataFrame, k: Int): DataFrame = {
     val q = assigned.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cluster").as("qcluster"))
@@ -105,6 +107,11 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos_sim"))
   }
+
+  /** IVF-bucketed ANN: assign every vector to its nearest of the seeded
+    * centroids, then answer each query inside its own cluster only. */
+  def knnIvf(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame =
+    probeAssigned(ivfAssigned(spark, sfDir), k)
 
   /** Cluster assignment (vec → nearest seeded centroid) shared by
     * [[knnIvf]] and the bucketed near-dup dedup.
@@ -380,12 +387,19 @@ object Similarity {
       expr("sum_fp div n_vecs").as("centroid_fp"))
   }
 
+  /** Embedding·centroid dot and centroid norm in SQL — ONE definition for
+    * the k-means CTE chain AND the trained-probe oracle (they must agree
+    * on the fold or the assignments silently diverge). */
+  private def kmDotSql(e: String, c: String): String =
+    s"list_sum(list_transform(generate_series(1, len($e.embedding)), i -> CAST($e.embedding[i] AS DOUBLE) * $c.cvec[i]))"
+  private def kmNormSql(c: String): String =
+    s"sqrt(list_sum(list_transform($c.cvec, x -> x * x)))"
+
   /** The k-means iteration CTE chain (c0, a1, u1, c1, …, u`iters`) shared
     * by [[kmeansTrainSql]] and the trained-probe oracle. */
   private def kmeansCtes(k: Int, iters: Int): String = {
-    def d(e: String, c: String) =
-      s"list_sum(list_transform(generate_series(1, len($e.embedding)), i -> CAST($e.embedding[i] AS DOUBLE) * $c.cvec[i]))"
-    def cn(c: String) = s"sqrt(list_sum(list_transform($c.cvec, x -> x * x)))"
+    def d(e: String, c: String) = kmDotSql(e, c)
+    def cn(c: String) = kmNormSql(c)
     val ctes = new scala.collection.mutable.ArrayBuffer[String]
     ctes += s"""c0 AS (
       |  SELECT vec_id AS cluster, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
@@ -447,23 +461,12 @@ object Similarity {
       .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
         max_by(col("cluster"), struct(col("score"), -col("cluster"))).as("cluster"))
       .localCheckpoint()
-    val q = assigned.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"), col("cluster").as("qcluster"))
-    val wRank = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    assigned.join(broadcast(q),
-        col("cluster") === col("qcluster") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos_sim"))
+    probeAssigned(assigned, k)
   }
 
   def knnIvfTrainedSql(k: Int = 5): String = {
-    def d(e: String, c: String) =
-      s"list_sum(list_transform(generate_series(1, len($e.embedding)), i -> CAST($e.embedding[i] AS DOUBLE) * $c.cvec[i]))"
-    def cn(c: String) = s"sqrt(list_sum(list_transform($c.cvec, x -> x * x)))"
+    def d(e: String, c: String) = kmDotSql(e, c)
+    def cn(c: String) = kmNormSql(c)
     s"""WITH ${kmeansCtes(KmeansK, KmeansIters)},
        |assigned AS (
        |  SELECT vec_id, embedding, cluster FROM (

@@ -378,8 +378,12 @@ object StreamingOps {
         }
       } finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.read.parquet(snapPath(currentVersion))
-      .select(col("user_id"), col("us").as("last_us"), col("value").as("last_value"))
+    if (currentVersion < 0) // empty feed → no batch ever fired, no snapshot
+      spark.range(0).selectExpr("id AS user_id", "id AS last_us",
+        "CAST(id AS DOUBLE) AS last_value")
+    else
+      spark.read.parquet(snapPath(currentVersion))
+        .select(col("user_id"), col("us").as("last_us"), col("value").as("last_value"))
   }
 
   val streamingUpsertSql: String =

@@ -15,23 +15,15 @@ class RelationalSpec extends AnyFunSuite {
 
   test("sessionConcurrency equals the naive range join it replaces") {
     val binned = EventOps.sessionConcurrency(spark, Sf)
-    // Naive twin: same sessions, raw BETWEEN join (plans as a nested loop —
-    // fine at sf0.001, the thing the bin bucketing exists to avoid at scale).
-    val order = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("us").asc, col("event_id").asc)
-    val gapUs = 30 * 60L * 1000000L
-    val ev = Tables.events(spark, Sf).withColumn("us", expr("ts div 1000"))
-    val sessions = ev
-      .withColumn("prev_us", lag(col("us"), 1).over(order))
-      .withColumn("new_session",
-        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1).otherwise(0))
-      .withColumn("session_id", sum(col("new_session")).over(
-        order.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)))
+    // Naive twin: the SAME shared session base (so the test isolates the
+    // join strategy), raw BETWEEN join — plans as a nested loop, fine at
+    // sf0.001, the thing the bin bucketing exists to avoid at scale.
+    val sessions = EventOps.sessionLabeled(spark, Sf, gapMinutes = 30)
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
-    val naive = ev.filter(col("event_type") === "error")
-      .select(col("event_id"), col("us"))
+    val naive = Tables.events(spark, Sf)
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), expr("ts div 1000").as("us"))
       .join(sessions, col("us") >= col("start_us") && col("us") <= col("end_us"))
       .groupBy(col("event_id")).agg(count(lit(1)).as("n_open_sessions"))
     assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty)
