@@ -104,6 +104,31 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV sketches MERGE: unioning per-group k-min sets equals sketching the union") {
+    // Mergeability is the property that makes KMV a 1000-executor sketch:
+    // each partition ships its k smallest hashes, and re-taking the k
+    // smallest of the union is EXACTLY the sketch of the combined stream.
+    val k = TextAnalysis.KmvK
+    val perLang = Tables.documents(spark, Sf)
+      .select(col("lang"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("lang"),
+        explode(graft.functions.ShinglesExpression.word_shingles(col("t"), 3)).as("s"))
+      .select(col("lang"), Hashing.md5Long(col("s")).as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    def estimate(hashes: Seq[Long]): Long = {
+      val d = hashes.distinct.sorted
+      if (d.size < k) d.size.toLong
+      else TextAnalysis.KmvNumerator / d(k - 1)
+    }
+    // merged: each language contributes ONLY its k smallest (its sketch)
+    val merged = estimate(
+      perLang.groupBy(_._1).values.flatMap(_.map(_._2).sorted.take(k)).toSeq)
+    val direct = estimate(perLang.map(_._2).toSeq)
+    assert(merged === direct,
+      "merging per-group sketches must equal sketching the union")
+  }
+
   test("lmScore: scores are valid fixed-point probabilities; bigram counts check out") {
     val scored = Curation.lmScore(spark, Sf)
     assert(scored.filter(col("lm_score_fp") <= 0 ||
