@@ -35,6 +35,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("l_comment"), "lineitem scan must be column-pruned")
   }
 
+  test("results are invariant under AQE on/off (plan-variation robustness)") {
+    // AQE re-plans joins/partitions at runtime on a real cluster; a result
+    // that depends on which physical plan won would be nondeterministic at
+    // scale. One representative per shuffle-heavy family (join / window /
+    // LSH) — the composites reuse these pieces and would triple the suite
+    // time for no new plan shapes.
+    for (q <- Seq("q5_region", "dedup_minhash_lsh", "events_sessionize")) {
+      def run() = SparkEntry.queries(q)(spark, Sf).collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val on = run()
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val off = try run() finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      assert(on === off, s"$q result changed under the AQE toggle")
+    }
+  }
+
   test("scale-path queries contain no cartesian product") {
     // dedup_embedding is the documented all-pairs exactness BASELINE and is
     // exempt; every query sold as a scale path must stay cartesian-free.
