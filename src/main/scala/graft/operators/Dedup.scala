@@ -201,7 +201,24 @@ object Dedup {
     * that ALSO consume shingles (e.g. the full curation composite, which
     * feeds the same set to the contamination gate) materialize the
     * shingling once instead of re-running the corpus scan per consumer. */
-  def minhashLshOfShingles(sh0: DataFrame): DataFrame = {
+  def minhashLshOfShingles(sh0: DataFrame): DataFrame =
+    // Candidate pairs come from grouping doc ids per (band, key) bucket and
+    // expanding pairs WITHIN each bucket — one shuffle on the bucket key,
+    // pair work bounded by bucket sizes. (A cached self-join was measured
+    // 30× slower here: InMemoryRelation build+read dominated; and at 100 TB
+    // the bucket-local expansion is the only shape that doesn't re-shuffle
+    // the full signature table twice.)
+    BucketPairs.expand(
+      minhashBands(sh0).groupBy(col("band"), col("bk"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1),
+      "doc_a", "doc_b")
+      .distinct()
+
+  /** (doc_id, band, bk) LSH band keys — the signature half of the MinHash
+    * pipeline, shared by the self-dedup pair expansion and the
+    * cross-corpus [[incremental]] probe. */
+  private[operators] def minhashBands(sh0: DataFrame): DataFrame = {
     val rows = MinhashHashes / MinhashBands
     // h is projected ONCE per row before the aggregate (referenced by all
     // 16 slots; unprojected it would re-evaluate the md5 per slot).
@@ -211,25 +228,72 @@ object Dedup {
       .select(col("doc_id"), (Hashing.md5Long(col("shingle")) % MinhashM).as("h"))
       .groupBy(col("doc_id"))
       .agg(slotCols.head, slotCols.tail: _*)
-    // Band keys in one projection; explode to (doc, band, key). Candidate
-    // pairs come from grouping doc ids per (band, key) bucket and expanding
-    // pairs WITHIN each bucket — one shuffle on the bucket key, pair work
-    // bounded by bucket sizes. (A cached self-join was measured 30× slower
-    // here: InMemoryRelation build+read dominated; and at 100 TB the
-    // bucket-local expansion is the only shape that doesn't re-shuffle the
-    // full signature table twice.)
     val bandKey = (b: Int) =>
       concat_ws("|", (0 until rows).map(k => col(s"s${b * rows + k}").cast("string")): _*)
-    val bands = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
         explode(array((0 until MinhashBands).map(b =>
           struct(lit(b).as("band"), bandKey(b).as("bk"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
-    BucketPairs.expand(
-      bands.groupBy(col("band"), col("bk"))
-        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1),
-      "doc_a", "doc_b")
-      .distinct()
+  }
+
+  /** The batch slice for [[incremental]]: documents from these sources play
+    * the "new crawl"; everything else is the already-ingested reference
+    * corpus. */
+  val IncrementalBatchSources: Seq[String] = Seq("src0", "src1", "src2", "src3")
+
+  /** INCREMENTAL (cross-corpus) dedup — the production mode every
+    * self-dedup variant above feeds into: a NEW batch is probed against the
+    * existing reference corpus, never against itself. Each batch document
+    * reports how many reference documents share an LSH band bucket with it
+    * and the smallest matching reference id; `n_ref_candidates = 0` is the
+    * novel set an ingest pipeline keeps. Zero-shingle batch docs surface
+    * with 0 matches rather than vanishing.
+    *
+    * Scale shape: band keys compute ONCE over the union (the labeled band
+    * table materializes via localCheckpoint and both probe sides read it),
+    * and the batch×reference join is keyed on (band, bucket) — candidate
+    * work is bounded by bucket co-occupancy exactly like the self-dedup
+    * path, never |batch|×|reference|. At 100 TB the reference side's band
+    * table is the persisted LSH index a crawler maintains between
+    * ingests. */
+  def incremental(spark: SparkSession, sfDir: String,
+      batchSources: Seq[String] = IncrementalBatchSources): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val labeled = minhashBands(shingles(spark, sfDir))
+      .join(docs, "doc_id")
+      .withColumn("is_batch", col("source").isin(batchSources: _*))
+      .localCheckpoint() // both probe sides read the labeled band table
+    val b = labeled.filter(col("is_batch"))
+      .select(col("doc_id").as("batch_doc"), col("band"), col("bk"))
+    val r = labeled.filter(!col("is_batch"))
+      .select(col("doc_id").as("ref_doc"), col("band"), col("bk"))
+    val matches = b.join(r, Seq("band", "bk"))
+      .select(col("batch_doc"), col("ref_doc")).distinct()
+      .groupBy(col("batch_doc"))
+      .agg(count(lit(1)).as("n_ref_candidates"), min(col("ref_doc")).as("best_ref_id"))
+    docs.filter(col("source").isin(batchSources: _*))
+      .join(matches, col("doc_id") === col("batch_doc"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_ref_candidates"), lit(0L)).as("n_ref_candidates"),
+        coalesce(col("best_ref_id"), lit(-1L)).as("best_ref_id"))
+  }
+
+  def incrementalSql(batchSources: Seq[String] = IncrementalBatchSources): String = {
+    val srcList = batchSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH $minhashCtes,
+       |lab AS (SELECT b.doc_id, b.band, b.bk, d.source IN ($srcList) AS is_batch
+       |  FROM bands b JOIN documents d USING (doc_id)),
+       |m AS (SELECT DISTINCT x.doc_id AS batch_doc, y.doc_id AS ref_doc
+       |  FROM lab x JOIN lab y ON x.band = y.band AND x.bk = y.bk
+       |  WHERE x.is_batch AND NOT y.is_batch),
+       |agg AS (SELECT batch_doc, count(*) AS n_ref_candidates,
+       |    min(ref_doc) AS best_ref_id
+       |  FROM m GROUP BY 1)
+       |SELECT d.doc_id, d.source,
+       |  CAST(coalesce(n_ref_candidates, 0) AS BIGINT) AS n_ref_candidates,
+       |  CAST(coalesce(best_ref_id, -1) AS BIGINT) AS best_ref_id
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.batch_doc
+       |WHERE d.source IN ($srcList)""".stripMargin
   }
 
   /** The MinHash pipeline as a reusable WITH-clause body ending in a

@@ -119,4 +119,35 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === (0L to 49L).map(_ -> 0L).toMap)
   }
+
+  test("incremental dedup agrees with the self-dedup pair set on cross-side pairs") {
+    import org.apache.spark.sql.functions._
+    val batch = Dedup.IncrementalBatchSources.toSet
+    val side = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> batch.contains(r.getString(1))).toMap
+    // self-dedup pairs, restricted to (batch, reference) crossings
+    val crossPairs = Dedup.minhashLsh(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        if (side(a) && !side(b)) Some(a -> b)
+        else if (side(b) && !side(a)) Some(b -> a)
+        else None
+      }.toSet
+    val inc = Dedup.incremental(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // every batch doc's candidate count and best match must equal what the
+    // corpus-wide pair set says about its cross-side neighbors
+    val byBatch = crossPairs.groupBy(_._1)
+    inc.foreach { case (doc, n, best) =>
+      val expect = byBatch.getOrElse(doc, Set.empty)
+      assert(n === expect.size.toLong, s"doc $doc candidate count")
+      assert(best === (if (expect.isEmpty) -1L else expect.map(_._2).min),
+        s"doc $doc best match")
+    }
+    assert(inc.map(_._1).toSet === side.filter(_._2).keySet,
+      "every batch doc appears exactly once, including zero-match docs")
+    assert(inc.exists(_._2 > 0) && inc.exists(_._2 === 0L),
+      "fixture should exercise both matched and novel batch docs")
+  }
 }
