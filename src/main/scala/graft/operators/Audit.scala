@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-quality audit over the star schema — the Deequ/constraint-check
+  * stage a production pipeline runs before any training-data draw trusts
+  * its joins.
+  *
+  * One row per foreign-key edge: child cardinality, distinct child keys,
+  * orphaned child rows (FK value with no parent — a join would silently
+  * drop them), and unreferenced parents (dimension rows no fact touches).
+  * A clean corpus audits to zeros in the violation columns; the point of
+  * the operator is that the *same plan* surfaces the counts when ingest
+  * breaks.
+  *
+  * 100 TB shape: per edge, child rows collapse to per-key counts FIRST
+  * (one map-side-combined aggregation bounded by |distinct keys|), so both
+  * violation checks are anti-joins between a key set and a dimension —
+  * never a fact-sized shuffle on the probe side. Dimension sides are
+  * AQE-broadcast at any realistic size; the seven per-edge profiles are
+  * independent single-row aggregates unioned at the end (each runs as its
+  * own tiny stage — on a cluster they schedule concurrently).
+  */
+object Audit {
+
+  private case class Edge(name: String, child: String, childKey: String,
+                          parent: String, parentKey: String)
+
+  private val edges = Seq(
+    Edge("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    Edge("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    Edge("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    Edge("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    Edge("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    Edge("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    Edge("nation.n_regionkey->region.r_regionkey", "nation", "n_regionkey", "region", "r_regionkey"))
+
+  /** Referential-integrity profile of every FK edge in the testdata schema. */
+  def fkIntegrity(spark: SparkSession, sfDir: String): DataFrame =
+    edges.map(edgeProfile(spark, sfDir, _)).reduce(_.unionAll(_))
+
+  private def edgeProfile(spark: SparkSession, sfDir: String, e: Edge): DataFrame =
+    edgeProfileOn(Tables.table(spark, sfDir, e.child), e.childKey,
+      Tables.table(spark, sfDir, e.parent), e.parentKey, e.name)
+
+  /** The per-edge profile over any child/parent pair (spec entry point). */
+  private[graft] def edgeProfileOn(child: DataFrame, childKey: String,
+                                   parent: DataFrame, parentKey: String,
+                                   name: String): DataFrame = {
+    // Fact side collapses to (key, row-count) before any join: the
+    // violation checks below then move |distinct keys| rows, not |fact|.
+    // Shared by all three aggregates → materialize once.
+    val perKey = child
+      .groupBy(col(childKey).as("k"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val parents = parent.select(col(parentKey).as("p"))
+    val stats = perKey.agg(
+      sum(col("n")).as("child_rows"),
+      count(col("k")).as("distinct_child_keys")) // count(col) skips a NULL-key group, matching COUNT(DISTINCT)
+    // A NULL child key never equality-matches a parent, so the anti-join
+    // counts it as orphaned — same as the oracle's NOT EXISTS.
+    val orphans = perKey.join(parents, col("k") === col("p"), "left_anti")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("orphan_rows"))
+    val unreferenced = parents.join(perKey, col("p") === col("k"), "left_anti")
+      .agg(count(lit(1)).as("unreferenced_parents"))
+    stats.crossJoin(orphans).crossJoin(unreferenced)
+      .select(lit(name).as("fk"), col("child_rows"), col("distinct_child_keys"),
+        col("orphan_rows"), col("unreferenced_parents"))
+  }
+
+  val fkIntegritySql: String = edges.map { e =>
+    s"""SELECT '${e.name}' AS fk,
+       | (SELECT count(*) FROM ${e.child}) AS child_rows,
+       | (SELECT count(DISTINCT ${e.childKey}) FROM ${e.child}) AS distinct_child_keys,
+       | (SELECT count(*) FROM ${e.child} c
+       |   WHERE NOT EXISTS (SELECT 1 FROM ${e.parent} p WHERE p.${e.parentKey} = c.${e.childKey})) AS orphan_rows,
+       | (SELECT count(*) FROM ${e.parent} p
+       |   WHERE NOT EXISTS (SELECT 1 FROM ${e.child} c WHERE c.${e.childKey} = p.${e.parentKey})) AS unreferenced_parents""".stripMargin
+  }.mkString("\nUNION ALL\n")
+}

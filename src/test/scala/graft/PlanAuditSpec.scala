@@ -310,4 +310,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!read.contains("source") && !read.contains("n_chars"),
       s"documents scan must read only doc_id+text: $read")
   }
+
+  test("fuzzy_pairs: candidate generation is an equi-join on the deletion variant, never a nested loop") {
+    val p = plan("fuzzy_pairs")
+    assert(!p.contains("CartesianProduct"), s"fuzzy join must not cross-join the corpus:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"fuzzy join must not nested-loop the corpus:\n$p")
+    // Customer scan prunes to the two referenced columns.
+    assert(!p.contains("c_acctbal") && !p.contains("c_mktsegment"),
+      "customer scan must prune to c_custkey+c_name")
+  }
 }
