@@ -276,4 +276,72 @@ object TextAnalysis {
        |  CAST(CASE WHEN kth_h IS NULL THEN n_exact
        |            ELSE $KmvNumerator // kth_h END AS BIGINT) AS kmv_estimate
        |FROM ex LEFT JOIN kth ON ex.lang = kth.lang""".stripMargin
+
+  /** Count-Min sketch geometry: depth (independent hash rows) × width
+    * (counters per row). 4×1024 longs = 32 KiB per sketch — constant
+    * regardless of corpus size, the whole point of the structure. */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+  val CmsTopK = 20
+
+  private[graft] def cmsBucket(i: org.apache.spark.sql.Column, word: org.apache.spark.sql.Column) =
+    Hashing.md5Long(concat(i.cast("string"), lit(":"), word)) % CmsWidth
+
+  private def cmsBucketSql(i: String, word: String) =
+    s"${Hashing.md5LongSql(s"$i || ':' || $word")} % $CmsWidth"
+
+  /** The (i, bucket) → counter rows of a CMS over a (word, cnt) frequency
+    * frame. Built from pre-aggregated counts (counter values are identical
+    * to streaming every occurrence — addition commutes), grouped with
+    * map-side partial aggregation, so no shuffle ever exceeds depth×width
+    * rows per task. Exposed for CmsSpec's mergeability proof. */
+  private[graft] def cmsSketch(perWord: DataFrame): DataFrame = {
+    val depths = array((0 until CmsDepth).map(lit): _*)
+    perWord.select(col("word"), col("cnt"), explode(depths).as("i"))
+      .groupBy(col("i"), cmsBucket(col("i"), col("word")).as("b"))
+      .agg(sum(col("cnt")).as("c"))
+  }
+
+  /** Count-Min-sketch frequency estimation (Cormode–Muthukrishnan 2005) —
+    * the mergeable heavy-hitter counterpart to [[distinctKmv]]'s
+    * cardinality sketch. Estimate for a word = min over the depth rows of
+    * its counter; never an underestimate (collisions only add), proven for
+    * EVERY word in CmsSpec. All arithmetic is integer (md5-derived 56-bit
+    * hashes, integer min/sum), so the oracle reproduces the sketch
+    * bit-for-bit — the same portability rule as the KMV estimator.
+    *
+    * 100 TB shape: the sketch is depth×width counters — 32 KiB — however
+    * large the corpus, and builds with ONE map-side-combined aggregation;
+    * merging shards is elementwise addition (the partial-agg combine
+    * itself). The exact top-k sits alongside as the validation column,
+    * exactly like KMV's exact twin: the judge of the sketch, not part of
+    * it. */
+  def cmsTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val perWord = Tables.documents(spark, sfDir)
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds both the sketch build and the exact top-k
+    val sketch = cmsSketch(perWord)
+    val top = perWord.orderBy(col("cnt").desc, col("word")).limit(CmsTopK)
+    val probe = top
+      .select(col("word"), col("cnt").as("exact_cnt"),
+        explode(array((0 until CmsDepth).map(lit): _*)).as("i"))
+      .withColumn("b", cmsBucket(col("i"), col("word")))
+    probe.join(sketch, Seq("i", "b"))
+      .groupBy(col("word"), col("exact_cnt"))
+      .agg(min(col("c")).as("cms_est"))
+  }
+
+  val cmsTopkSql: String =
+    s"""WITH tok AS (SELECT unnest(${TextOps.tokensSql}) AS word FROM documents),
+       |perword AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+       |ids(i) AS (VALUES ${(0 until CmsDepth).map(i => s"($i)").mkString(", ")}),
+       |sketch AS (SELECT i, ${cmsBucketSql("i", "word")} AS b,
+       |    CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM perword CROSS JOIN ids GROUP BY 1, 2),
+       |top AS (SELECT word, cnt FROM perword ORDER BY cnt DESC, word LIMIT $CmsTopK)
+       |SELECT t.word, CAST(t.cnt AS BIGINT) AS exact_cnt, CAST(min(s.c) AS BIGINT) AS cms_est
+       |FROM top t CROSS JOIN ids
+       |JOIN sketch s ON s.i = ids.i AND s.b = ${cmsBucketSql("ids.i", "t.word")}
+       |GROUP BY t.word, t.cnt""".stripMargin
 }
