@@ -378,4 +378,61 @@ object Curation {
        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
        |  CAST(sum(cnt * p_fp) // sum(cnt) AS BIGINT) AS lm_score_fp
        |FROM occ JOIN model USING (b) GROUP BY doc_id""".stripMargin
+
+  /** Per-document triangle participation in the winnow partial-overlap
+    * graph — the clustering-coefficient building block: a doc in many
+    * triangles sits inside a mutually-overlapping template family (every
+    * pairwise overlap present), where a pairwise match alone can be a
+    * one-off shared passage.
+    *
+    * Algorithm: edge orientation by the total order (degree, id) — each
+    * edge points from its lower to its higher endpoint in that order, each
+    * triangle is then enumerated EXACTLY once from its minimum vertex
+    * (wedge join on the shared source + one closing-edge membership join;
+    * Suri–Vassilvitskii's MapReduce formulation). The wedge fan-out per
+    * node is its OUT-degree in the orientation, bounded by O(sqrt(|E|))
+    * on any graph (arboricity bound) — the skew-proof property that makes
+    * this the 100 TB shape, where the naive wedge join on raw degree
+    * explodes on hub nodes. All joins are equi-joins on node/edge keys. */
+  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame =
+    trianglesOfPairs(winnowPairs(spark, sfDir))
+
+  private[graft] def trianglesOfPairs(pairs: DataFrame): DataFrame = {
+    // Canonical undirected edges (a < b), consumed by the orientation AND
+    // the closing-edge join → materialize once.
+    val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b")).localCheckpoint()
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val aLower = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(aLower, col("a")).otherwise(col("b")).as("src"),
+        when(aLower, col("b")).otherwise(col("a")).as("dst"))
+      .localCheckpoint() // both sides of the wedge self-join
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("apex"), col("e1.dst").as("w1"), col("e2.dst").as("w2"))
+    val tri = wedges.join(e,
+        least(col("w1"), col("w2")) === col("a") &&
+          greatest(col("w1"), col("w2")) === col("b"))
+      .select(col("apex"), col("w1"), col("w2"))
+    tri.select(explode(array(col("apex"), col("w1"), col("w2"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Oracle: naive one-direction enumeration over the canonical (a < b)
+    * pair list — e1=(x,y), e2=(y,z), closing (x,z); x<y<z makes each
+    * triangle appear exactly once. */
+  val graphTrianglesSql: String =
+    s"""WITH pairs AS (${winnowPairsSql()}),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |nodes AS (SELECT x AS doc_id FROM tri
+       |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM nodes GROUP BY doc_id""".stripMargin
 }
