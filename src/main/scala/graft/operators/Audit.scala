@@ -51,11 +51,15 @@ object Audit {
                                    name: String): DataFrame = {
     // Fact side collapses to (key, row-count) before any join: the
     // violation checks below then move |distinct keys| rows, not |fact|.
-    // Shared by all three aggregates → materialize once.
+    // Shared by all three aggregates → materialize once, LAZILY: an eager
+    // checkpoint would run the seven edges' fact aggregations as seven
+    // sequential driver-blocking jobs at construction time; lazy blocks
+    // materialize inside the single downstream action, where independent
+    // edges' stages schedule concurrently.
     val perKey = child
       .groupBy(col(childKey).as("k"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val parents = parent.select(col(parentKey).as("p"))
     val stats = perKey.agg(
       sum(col("n")).as("child_rows"),

@@ -45,8 +45,12 @@ object FuzzyJoin {
     fuzzyPairsOn(cust)
   }
 
-  /** The operator proper, over any (id, name) input. */
-  private[graft] def fuzzyPairsOn(records: DataFrame): DataFrame = {
+  /** The operator proper, over any (id, name) input. `materializeShared =
+    * false` skips the variants checkpoint so plan audits can see through to
+    * the source scan (checkpointing truncates lineage to an ExistingRDD,
+    * which would make a scan-pruning assertion vacuous). */
+  private[graft] def fuzzyPairsOn(records: DataFrame,
+                                  materializeShared: Boolean = true): DataFrame = {
     // D(name): the name itself plus every single-character deletion.
     // substr is 1-based: deleting position i = prefix [1, i-1] ++ suffix
     // [i+1, len]. array_distinct collapses equal deletions (repeated
@@ -61,9 +65,9 @@ object FuzzyJoin {
     // Referenced on both sides of the self-join below; materialize once
     // (same shared-subtree discipline as Dedup.ngramJaccard — Spark
     // re-executes lineage per reference otherwise).
-    val variants = records
+    val exploded = records
       .select(col("id"), col("name"), explode(deletionSet).as("v"))
-      .localCheckpoint()
+    val variants = if (materializeShared) exploded.localCheckpoint() else exploded
     // A pair can share several variants (e.g. equal names share all of
     // them) → dropDuplicates before the exact check so levenshtein runs
     // once per candidate pair, not once per shared variant.

@@ -315,8 +315,19 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("fuzzy_pairs")
     assert(!p.contains("CartesianProduct"), s"fuzzy join must not cross-join the corpus:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"fuzzy join must not nested-loop the corpus:\n$p")
-    // Customer scan prunes to the two referenced columns.
-    assert(!p.contains("c_acctbal") && !p.contains("c_mktsegment"),
-      "customer scan must prune to c_custkey+c_name")
+    // Scan pruning must be audited on the UNcheckpointed lineage: the
+    // registered query checkpoints the shared variants, which truncates the
+    // explained plan to an ExistingRDD and would make this assertion pass
+    // no matter what the scan read.
+    val full = operators.FuzzyJoin.fuzzyPairsOn(
+      Tables.customer(spark, Sf)
+        .select(org.apache.spark.sql.functions.col("c_custkey").as("id"),
+          org.apache.spark.sql.functions.col("c_name").as("name")),
+      materializeShared = false)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val read = full.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("c_custkey") && read.contains("c_name"))
+    assert(!read.contains("c_acctbal") && !read.contains("c_mktsegment"),
+      s"customer scan must prune to c_custkey+c_name: $read")
   }
 }
