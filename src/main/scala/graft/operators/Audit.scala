@@ -37,30 +37,51 @@ object Audit {
     Edge("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
     Edge("nation.n_regionkey->region.r_regionkey", "nation", "n_regionkey", "region", "r_regionkey"))
 
-  /** Referential-integrity profile of every FK edge in the testdata schema. */
+  /** Referential-integrity profile of every FK edge in the testdata schema.
+    *
+    * Each child TABLE is scanned once, not once per edge: a table's edges
+    * (lineitem carries three) explode to (edge, key) pairs inside the scan
+    * stage, and one map-side-combined aggregation yields every edge's
+    * per-key counts together. At 100 TB the fact scan is the dominant cost,
+    * so this is a 3× IO cut for lineitem vs the per-edge formulation; the
+    * shuffle is unchanged — partial aggregation collapses the exploded rows
+    * to the same |distinct keys| per edge the separate plans would move. */
   def fkIntegrity(spark: SparkSession, sfDir: String): DataFrame =
-    edges.map(edgeProfile(spark, sfDir, _)).reduce(_.unionAll(_))
-
-  private def edgeProfile(spark: SparkSession, sfDir: String, e: Edge): DataFrame =
-    edgeProfileOn(Tables.table(spark, sfDir, e.child), e.childKey,
-      Tables.table(spark, sfDir, e.parent), e.parentKey, e.name)
+    edges.groupBy(_.child).toSeq.sortBy(_._1).flatMap { case (child, es) =>
+      val pairs = es.map(e =>
+        struct(lit(e.name).as("fk"), col(e.childKey).cast("long").as("k")))
+      val perKeyAll = Tables.table(spark, sfDir, child)
+        .select(explode(array(pairs: _*)).as("x"))
+        .groupBy(col("x.fk").as("fk"), col("x.k").as("k"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = false) // one lazy block per child table, shared by its edges
+      es.map { e =>
+        profileOfPerKey(
+          perKeyAll.filter(col("fk") === e.name).select(col("k"), col("n")),
+          Tables.table(spark, sfDir, e.parent)
+            .select(col(e.parentKey).cast("long").as("p")),
+          e.name)
+      }
+    }.reduce(_.unionAll(_))
 
   /** The per-edge profile over any child/parent pair (spec entry point). */
   private[graft] def edgeProfileOn(child: DataFrame, childKey: String,
                                    parent: DataFrame, parentKey: String,
-                                   name: String): DataFrame = {
-    // Fact side collapses to (key, row-count) before any join: the
-    // violation checks below then move |distinct keys| rows, not |fact|.
-    // Shared by all three aggregates → materialize once, LAZILY: an eager
-    // checkpoint would run the seven edges' fact aggregations as seven
-    // sequential driver-blocking jobs at construction time; lazy blocks
-    // materialize inside the single downstream action, where independent
-    // edges' stages schedule concurrently.
-    val perKey = child
-      .groupBy(col(childKey).as("k"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = false)
-    val parents = parent.select(col(parentKey).as("p"))
+                                   name: String): DataFrame =
+    profileOfPerKey(
+      child.groupBy(col(childKey).as("k")).agg(count(lit(1)).as("n")),
+      parent.select(col(parentKey).as("p")), name)
+
+  /** Violation checks over an already-collapsed (key, row-count) child
+    * side: both anti-joins move |distinct keys| rows, never fact rows. */
+  private def profileOfPerKey(perKeyIn: DataFrame, parents: DataFrame,
+                              name: String): DataFrame = {
+    // Consumed by all three aggregates → materialize once, LAZILY: an eager
+    // checkpoint would run the edges' fact aggregations as sequential
+    // driver-blocking jobs at construction time; lazy blocks materialize
+    // inside the single downstream action, where independent edges' stages
+    // schedule concurrently.
+    val perKey = perKeyIn.localCheckpoint(eager = false)
     val stats = perKey.agg(
       sum(col("n")).as("child_rows"),
       count(col("k")).as("distinct_child_keys")) // count(col) skips a NULL-key group, matching COUNT(DISTINCT)
