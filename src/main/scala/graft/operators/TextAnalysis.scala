@@ -344,4 +344,81 @@ object TextAnalysis {
        |FROM top t CROSS JOIN ids
        |JOIN sketch s ON s.i = ids.i AND s.b = ${cmsBucketSql("ids.i", "t.word")}
        |GROUP BY t.word, t.cnt""".stripMargin
+
+  /** Fixed-point scale for [[langClassify]]'s smoothed class-conditional
+    * token likelihoods (9 decimal digits, same scale discipline as
+    * [[graft.operators.Curation.LmScale]]). */
+  val NbScale = 1000000000L
+
+  /** Model-based classification trained IN-ENGINE — the supervised
+    * counterpart of the [[langId]] heuristic, and the same plan a GPT-3
+    * style model-based quality filter runs (that one is a binary
+    * high/low-quality classifier over tokens; this one classifies `lang`,
+    * where the corpus carries ground truth to evaluate against). Training:
+    * add-one-smoothed class-conditional token likelihoods
+    * `p(w|l) = (C(w,l)+1)/(C(l)+V)` in fixed point. Serving: every doc
+    * scores against every class by its MEAN token likelihood (the same
+    * deliberate arithmetic-mean-for-log-mean substitution as
+    * [[graft.operators.Curation.lmScore]] — transcendental logs never
+    * hash-match across engines; the ordering junk-vs-fluent survives),
+    * argmax with a lang tie-break. Output: the confusion matrix
+    * (actual, predicted, n_docs) — train AND serve AND evaluate in one
+    * hash-verified expression, like [[kmeansTrain]] does for clustering.
+    *
+    * Scale shape: training aggregations are bounded by |vocab|·|classes|;
+    * scoring re-shuffles only the per-doc DISTINCT term projection
+    * (×|classes|), never raw token volume; class priors/defaults reach
+    * every row as a broadcast |classes|-row table. */
+  def langClassify(spark: SparkSession, sfDir: String): DataFrame =
+    langClassifyOfDocs(Tables.documents(spark, sfDir))
+
+  private[graft] def langClassifyOfDocs(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // training and scoring both read the term counts
+    val cw = tok.groupBy(col("lang").as("m_lang"), col("w"))
+      .agg(sum(col("cnt")).as("c_wl"))
+    val tot = cw.groupBy(col("m_lang")).agg(sum(col("c_wl")).as("tot_l"))
+    val vocab = cw.select(col("w")).distinct().agg(count(lit(1)).as("v"))
+    val model = cw.join(tot, "m_lang").crossJoin(broadcast(vocab))
+      .select(col("m_lang"), col("w"),
+        expr(s"($NbScale * (c_wl + 1)) div (tot_l + v)").as("p_fp"))
+    // Per-class smoothing floor for words unseen in that class.
+    val classes = tot.crossJoin(broadcast(vocab))
+      .select(col("m_lang"), expr(s"$NbScale div (tot_l + v)").as("p0"))
+    val scored = tok.crossJoin(broadcast(classes))
+      .join(model, Seq("m_lang", "w"), "left")
+      .groupBy(col("doc_id"), col("lang"), col("m_lang"))
+      .agg(sum(col("cnt")).as("n_tok"),
+        sum(col("cnt") * coalesce(col("p_fp"), col("p0"))).as("psum"))
+      .select(col("doc_id"), col("lang"), col("m_lang"),
+        expr("psum div n_tok").as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("m_lang").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("lang").as("actual_lang"), col("m_lang").as("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val langClassifySql: String =
+    s"""WITH tok AS (SELECT doc_id, lang, w, count(*) AS cnt FROM (
+       |    SELECT doc_id, lang, unnest(${TextOps.tokensSql}) AS w FROM documents)
+       |  GROUP BY 1, 2, 3),
+       |cw AS (SELECT lang AS m_lang, w, sum(cnt) AS c_wl FROM tok GROUP BY 1, 2),
+       |tot AS (SELECT m_lang, sum(c_wl) AS tot_l FROM cw GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT w) AS v FROM cw),
+       |model AS (SELECT m_lang, w, ($NbScale * (c_wl + 1)) // (tot_l + v) AS p_fp
+       |  FROM cw JOIN tot USING (m_lang) CROSS JOIN vv),
+       |cls AS (SELECT m_lang, $NbScale // (tot_l + v) AS p0 FROM tot CROSS JOIN vv),
+       |sc AS (SELECT t.doc_id, t.lang, c.m_lang,
+       |    sum(t.cnt * coalesce(m.p_fp, c.p0)) // sum(t.cnt) AS score
+       |  FROM tok t CROSS JOIN cls c
+       |  LEFT JOIN model m ON m.m_lang = c.m_lang AND m.w = t.w
+       |  GROUP BY 1, 2, 3),
+       |pred AS (SELECT doc_id, lang, m_lang, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, m_lang) AS rn FROM sc)
+       |SELECT lang AS actual_lang, m_lang AS predicted_lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM pred WHERE rn = 1 GROUP BY 1, 2""".stripMargin
 }
