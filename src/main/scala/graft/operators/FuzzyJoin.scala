@@ -88,4 +88,54 @@ object FuzzyJoin {
        | levenshtein(a.c_name, b.c_name) AS dist
        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
        |WHERE levenshtein(a.c_name, b.c_name) <= $Tau""".stripMargin
+
+  /** Entity resolution end-to-end — the textbook composition FUZZY BLOCKING
+    * → match graph → CONNECTED COMPONENTS → canonicalization, here over the
+    * part-name vocabulary: near-identical product names ("red widget" /
+    * "red widgets") resolve to one entity, transitively (a~b~c chains merge
+    * even when a and c differ by 2 edits — the property a pairwise join
+    * alone cannot give).
+    *
+    * Scale composition: names aggregate out of the row space first (the
+    * vocabulary is orders of magnitude smaller than the table, and the
+    * quadratic-ish fuzzy step runs on names, never rows); the match graph
+    * comes from the SymSpell join; components from the shared Pregel-style
+    * [[Dedup.clustersOfPairs]] kernel (shuffle bounded by |edges| per
+    * round); row counts fold back by one broadcast-joinable (entity ← name)
+    * map. Names get stable int64 ids via the 56-bit md5 prefix — the CC
+    * kernel's labels/convergence-witness need numeric ids, and the oracle
+    * rebuilds the same ids in SQL. */
+  def entityResolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Tables.part(spark, sfDir)
+      .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("id", Hashing.md5Long(col("name")))
+      .localCheckpoint() // feeds the fuzzy join AND the fold-back join
+    val pairs = fuzzyPairsOn(names.select(col("id"), col("name")))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val cc = Dedup.clustersOfPairs(pairs)
+    names.join(cc, col("id") === col("doc_id"), "left")
+      .withColumn("entity", coalesce(col("cluster_id"), col("id")))
+      .groupBy(col("entity"))
+      .agg(min(col("name")).as("canonical_name"),
+        count(lit(1)).as("n_names"), sum(col("n_parts")).as("n_parts"))
+      .select(col("canonical_name"), col("n_names"), col("n_parts"))
+  }
+
+  val entityResolutionSql: String =
+    s"""WITH RECURSIVE
+       |names AS (SELECT p_name AS name, count(*) AS n_parts,
+       |    ${Hashing.md5LongSql("p_name")} AS id FROM part GROUP BY 1),
+       |pairs AS (SELECT a.id AS src, b.id AS dst FROM names a JOIN names b
+       |  ON a.id < b.id AND levenshtein(a.name, b.name) <= $Tau),
+       |edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+       |reach(node, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+       |comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+       |ent AS (SELECT n.name, n.n_parts, coalesce(c.cluster_id, n.id) AS entity
+       |  FROM names n LEFT JOIN comp c ON c.node = n.id)
+       |SELECT min(name) AS canonical_name, CAST(count(*) AS BIGINT) AS n_names,
+       |  CAST(sum(n_parts) AS BIGINT) AS n_parts
+       |FROM ent GROUP BY entity""".stripMargin
 }

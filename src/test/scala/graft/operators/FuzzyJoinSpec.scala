@@ -47,4 +47,24 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(!gotPairs.contains((1L, 6L)))
     assert(!gotPairs.contains((7L, 8L)))
   }
+
+  test("entity resolution merges transitive chains a~b~c into one entity") {
+    import spark.implicits._
+    // wdgt ~ widgt ~ widget: the ends differ by 2 edits, so NO pairwise
+    // match connects them directly — only the component walk can.
+    val pairs = FuzzyJoin.fuzzyPairsOn(
+      Seq((1L, "wdgt"), (2L, "widgt"), (3L, "widget"), (4L, "bolt"))
+        .toDF("id", "name"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val cc = Dedup.clustersOfPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.get(1L) === Some(1L) && cc.get(2L) === Some(1L) && cc.get(3L) === Some(1L))
+    assert(!cc.contains(4L)) // no fuzzy neighbor → not in the pair graph
+
+    // The registered query's shape on real data: every part row accounted
+    // for exactly once across entities.
+    val ents = FuzzyJoin.entityResolution(spark, Sf)
+    val totalParts = ents.agg(sum(col("n_parts"))).first().getLong(0)
+    assert(totalParts === graft.Tables.part(spark, Sf).count())
+  }
 }
