@@ -435,4 +435,50 @@ object Curation {
        |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
        |FROM nodes GROUP BY doc_id""".stripMargin
+
+  /** Fixed-point scale for [[clusteringCoeff]] (6 decimal digits is plenty
+    * for a [0,1] ratio; 2·t·10^6 stays far inside int64). */
+  val CoeffScale = 1000000L
+
+  /** Local clustering coefficient over the winnow overlap graph:
+    * `c(v) = 2·triangles(v) / (deg(v)·(deg(v)−1))` for nodes of degree ≥ 2,
+    * in fixed point — THE standard cohesion metric on top of
+    * [[graphTriangles]]: ~[[CoeffScale]] means v's overlap partners all
+    * overlap each other (a template clique); ~0 means v is a hub joining
+    * documents that share nothing with one another (scattered one-off
+    * matches). Plan adds one degree aggregation and one left join to the
+    * triangle plan — still equi-joins bounded by |E|. */
+  def clusteringCoeff(spark: SparkSession, sfDir: String): DataFrame =
+    clusteringCoeffOfPairs(winnowPairs(spark, sfDir))
+
+  private[graft] def clusteringCoeffOfPairs(rawPairs: DataFrame): DataFrame = {
+    val pairs = rawPairs
+      .select(col("doc_a"), col("doc_b")).localCheckpoint() // degrees + triangles
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    val tri = trianglesOfPairs(pairs)
+    deg.filter(col("degree") >= 2)
+      .join(tri, Seq("doc_id"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .select(col("doc_id"), col("degree"), col("n_triangles"),
+        expr(s"(2 * n_triangles * $CoeffScale) div (degree * (degree - 1))")
+          .as("coeff_fp"))
+  }
+
+  val clusteringCoeffSql: String =
+    s"""WITH pairs AS (${winnowPairsSql()}),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+       |deg AS (SELECT doc_id, count(*) AS degree FROM (
+       |    SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |tc AS (SELECT doc_id, count(*) AS t FROM (SELECT x AS doc_id FROM tri
+       |    UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY 1)
+       |SELECT d.doc_id, CAST(d.degree AS BIGINT) AS degree,
+       |  CAST(coalesce(tc.t, 0) AS BIGINT) AS n_triangles,
+       |  CAST((2 * coalesce(tc.t, 0) * $CoeffScale)
+       |    // (d.degree * (d.degree - 1)) AS BIGINT) AS coeff_fp
+       |FROM deg d LEFT JOIN tc USING (doc_id) WHERE d.degree >= 2""".stripMargin
 }

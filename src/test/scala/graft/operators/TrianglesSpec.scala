@@ -45,4 +45,17 @@ class TrianglesSpec extends AnyFunSuite {
       pairs.select(col("a").as("doc_a"), col("b").as("doc_b")))
     assert(counts(fast) === counts(naivePerDoc))
   }
+
+  test("clustering coefficient: clique nodes score 1.0, path centers 0, leaves are excluded") {
+    import spark.implicits._
+    def coeffs(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+      Curation.clusteringCoeffOfPairs(edges.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(coeffs(k4) ===
+      (1L to 4L).map(_ -> ((3L, 3L, Curation.CoeffScale))).toMap)
+    // Path a-b-c: b has degree 2 and no triangle → coefficient 0; the
+    // degree-1 endpoints have no defined coefficient and are excluded.
+    assert(coeffs(Seq((1L, 2L), (2L, 3L))) === Map(2L -> ((2L, 0L, 0L))))
+  }
 }
