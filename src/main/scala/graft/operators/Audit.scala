@@ -64,24 +64,25 @@ object Audit {
       }
     }.reduce(_.unionAll(_))
 
-  /** The per-edge profile over any child/parent pair (spec entry point). */
+  /** The per-edge profile over any child/parent pair (spec entry point).
+    * Checkpoints here — NOT in [[profileOfPerKey]] — because [[fkIntegrity]]
+    * already materializes its shared per-child block; a second checkpoint of
+    * each edge's filtered view would duplicate the block storage. Lazy for
+    * the same reason as there: materialize inside the downstream action. */
   private[graft] def edgeProfileOn(child: DataFrame, childKey: String,
                                    parent: DataFrame, parentKey: String,
                                    name: String): DataFrame =
     profileOfPerKey(
-      child.groupBy(col(childKey).as("k")).agg(count(lit(1)).as("n")),
+      child.groupBy(col(childKey).as("k")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = false),
       parent.select(col(parentKey).as("p")), name)
 
-  /** Violation checks over an already-collapsed (key, row-count) child
-    * side: both anti-joins move |distinct keys| rows, never fact rows. */
-  private def profileOfPerKey(perKeyIn: DataFrame, parents: DataFrame,
+  /** Violation checks over an already-collapsed AND already-materialized
+    * (key, row-count) child side: both anti-joins move |distinct keys|
+    * rows, never fact rows; the three reads re-filter the caller's
+    * checkpoint blocks, which is cheap. */
+  private def profileOfPerKey(perKey: DataFrame, parents: DataFrame,
                               name: String): DataFrame = {
-    // Consumed by all three aggregates → materialize once, LAZILY: an eager
-    // checkpoint would run the edges' fact aggregations as sequential
-    // driver-blocking jobs at construction time; lazy blocks materialize
-    // inside the single downstream action, where independent edges' stages
-    // schedule concurrently.
-    val perKey = perKeyIn.localCheckpoint(eager = false)
     val stats = perKey.agg(
       sum(col("n")).as("child_rows"),
       count(col("k")).as("distinct_child_keys")) // count(col) skips a NULL-key group, matching COUNT(DISTINCT)

@@ -397,10 +397,15 @@ object Curation {
   def graphTriangles(spark: SparkSession, sfDir: String): DataFrame =
     trianglesOfPairs(winnowPairs(spark, sfDir))
 
-  private[graft] def trianglesOfPairs(pairs: DataFrame): DataFrame = {
+  private[graft] def trianglesOfPairs(pairs: DataFrame,
+                                      materializeShared: Boolean = true): DataFrame = {
     // Canonical undirected edges (a < b), consumed by the orientation AND
-    // the closing-edge join → materialize once.
-    val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b")).localCheckpoint()
+    // the closing-edge join → materialize once. `materializeShared = false`
+    // when the caller already checkpointed the pair list (a rename over
+    // materialized blocks is free; a second checkpoint would store the
+    // edge set twice — see clusteringCoeffOfPairs).
+    val renamed = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val e = if (materializeShared) renamed.localCheckpoint() else renamed
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val aLower = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
@@ -422,19 +427,24 @@ object Curation {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
   }
 
-  /** Oracle: naive one-direction enumeration over the canonical (a < b)
-    * pair list — e1=(x,y), e2=(y,z), closing (x,z); x<y<z makes each
-    * triangle appear exactly once. */
-  val graphTrianglesSql: String =
-    s"""WITH pairs AS (${winnowPairsSql()}),
-       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+  /** Naive one-direction triangle enumeration as CTE text over a
+    * `pairs(doc_a, doc_b)` CTE, ending in `tc(doc_id, t)` = per-node
+    * triangle counts — e1=(x,y), e2=(y,z), closing (x,z); x<y<z makes each
+    * triangle appear exactly once. ONE definition shared by
+    * [[graphTrianglesSql]] and [[clusteringCoeffSql]] so the enumeration
+    * cannot silently diverge between the two oracles. */
+  private def triCountCtes: String =
+    s"""e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
-       |nodes AS (SELECT x AS doc_id FROM tri
-       |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
-       |FROM nodes GROUP BY doc_id""".stripMargin
+       |tc AS (SELECT doc_id, count(*) AS t FROM (SELECT x AS doc_id FROM tri
+       |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY 1)""".stripMargin
+
+  val graphTrianglesSql: String =
+    s"""WITH pairs AS (${winnowPairsSql()}),
+       |$triCountCtes
+       |SELECT doc_id, CAST(t AS BIGINT) AS n_triangles FROM tc""".stripMargin
 
   /** Fixed-point scale for [[clusteringCoeff]] (6 decimal digits is plenty
     * for a [0,1] ratio; 2·t·10^6 stays far inside int64). */
@@ -457,7 +467,7 @@ object Curation {
     val deg = pairs.select(col("doc_a").as("doc_id"))
       .unionAll(pairs.select(col("doc_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
-    val tri = trianglesOfPairs(pairs)
+    val tri = trianglesOfPairs(pairs, materializeShared = false)
     deg.filter(col("degree") >= 2)
       .join(tri, Seq("doc_id"), "left")
       .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
@@ -468,14 +478,9 @@ object Curation {
 
   val clusteringCoeffSql: String =
     s"""WITH pairs AS (${winnowPairsSql()}),
-       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+       |$triCountCtes,
        |deg AS (SELECT doc_id, count(*) AS degree FROM (
-       |    SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
-       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
-       |  FROM e e1 JOIN e e2 ON e2.a = e1.b
-       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
-       |tc AS (SELECT doc_id, count(*) AS t FROM (SELECT x AS doc_id FROM tri
-       |    UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY 1)
+       |    SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
        |SELECT d.doc_id, CAST(d.degree AS BIGINT) AS degree,
        |  CAST(coalesce(tc.t, 0) AS BIGINT) AS n_triangles,
        |  CAST((2 * coalesce(tc.t, 0) * $CoeffScale)

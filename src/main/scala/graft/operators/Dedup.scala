@@ -381,15 +381,22 @@ object Dedup {
     * composed curation oracle. (node, label) is derivable when `label` can
     * reach `node` through the bidirectional edge set; min label per node =
     * the component's min. */
-  private[operators] def clusterCtes: String =
-    s"""$minhashCtes,
-       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+  /** The recursive min-label walk as CTE text over any `pairs(doc_a,
+    * doc_b)` CTE, ending in `comp(doc_id, cluster_id)` — ONE definition
+    * shared by the LSH cluster oracle and the entity-resolution oracle so
+    * a change to the walk cannot silently diverge them. */
+  private[operators] def ccWalkCtes: String =
+    s"""edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |          UNION SELECT doc_b, doc_a FROM pairs),
        |reach(node, label) AS (
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
        |comp AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
+  private[operators] def clusterCtes: String =
+    s"""$minhashCtes,
+       |$ccWalkCtes""".stripMargin
 
   def clustersSql: String =
     s"""WITH RECURSIVE $clusterCtes

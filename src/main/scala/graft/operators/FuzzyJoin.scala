@@ -125,16 +125,11 @@ object FuzzyJoin {
     s"""WITH RECURSIVE
        |names AS (SELECT p_name AS name, count(*) AS n_parts,
        |    ${Hashing.md5LongSql("p_name")} AS id FROM part GROUP BY 1),
-       |pairs AS (SELECT a.id AS src, b.id AS dst FROM names a JOIN names b
+       |pairs AS (SELECT a.id AS doc_a, b.id AS doc_b FROM names a JOIN names b
        |  ON a.id < b.id AND levenshtein(a.name, b.name) <= $Tau),
-       |edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
-       |reach(node, label) AS (
-       |  SELECT src, src FROM edges
-       |  UNION
-       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
-       |comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+       |${Dedup.ccWalkCtes},
        |ent AS (SELECT n.name, n.n_parts, coalesce(c.cluster_id, n.id) AS entity
-       |  FROM names n LEFT JOIN comp c ON c.node = n.id)
+       |  FROM names n LEFT JOIN comp c ON c.doc_id = n.id)
        |SELECT min(name) AS canonical_name, CAST(count(*) AS BIGINT) AS n_names,
        |  CAST(sum(n_parts) AS BIGINT) AS n_parts
        |FROM ent GROUP BY entity""".stripMargin
