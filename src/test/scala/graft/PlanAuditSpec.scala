@@ -55,7 +55,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // dedup_embedding is the documented all-pairs exactness BASELINE and is
     // exempt; every query sold as a scale path must stay cartesian-free.
     for (q <- Seq("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding_ivf",
-        "knn_ivf", "knn_ivfpq", "q5_region", "events_asof_click")) {
+        "knn_ivf", "knn_ivfpq", "q5_region", "events_asof_click",
+        "graph_triangles", "clustering_coeff", "lang_classify", "cms_topk")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plan contains a cartesian:\n$p")
     }
