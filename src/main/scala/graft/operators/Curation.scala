@@ -68,6 +68,66 @@ object Curation {
        |    / CAST(count(*) AS DOUBLE), 6) AS contamination_frac
        |FROM doc GROUP BY doc_id""".stripMargin
 
+  /** SPAN-level benchmark contamination — the gaps-and-islands sequence
+    * pattern over shingle positions: [[contamination]] reports the overlap
+    * FRACTION, but decontamination policy (Lee et al., PaLM) keys on
+    * contiguous RUNS — a 50-shingle verbatim span is an excerpt to cut
+    * where 50 scattered hits are shared phrasing to keep. Per contaminated
+    * doc: number of maximal contaminated runs, the longest run, and the
+    * total contaminated positions (Σ run lengths — positional, so ≥ the
+    * distinct-shingle count [[contamination]] uses).
+    *
+    * Islands without self-joins: contaminated positions minus their
+    * per-doc row_number are constant exactly within a consecutive run, so
+    * one doc-keyed window + one (doc, grp) aggregation finds every span.
+    * Shape: the benchmark set broadcasts as int64 hashes (the corpus is
+    * never shuffled by membership), then ONE doc_id exchange shared by the
+    * window and both aggregations. */
+  def contaminationSpans(spark: SparkSession, sfDir: String): DataFrame =
+    contaminationSpansOfDocs(Tables.documents(spark, sfDir))
+
+  /** Core of [[contaminationSpans]] over any (doc_id, text) frame. */
+  private[graft] def contaminationSpansOfDocs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), posexplode(
+        graft.functions.ShinglesExpression.word_shingles(col("t"), 3)))
+      .select(col("doc_id"), col("pos"),
+        Hashing.md5Long(col("col")).as("h"))
+      .localCheckpoint() // benchmark derivation + corpus probe share it
+    val bench = pos.filter(col("doc_id") % BenchmarkMod === 0)
+      .select(col("h")).distinct()
+    val hits = pos.filter(col("doc_id") % BenchmarkMod =!= 0)
+      .join(broadcast(bench), Seq("h"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), max(col("len")).as("max_span"),
+        sum(col("len")).as("n_contaminated_pos"))
+  }
+
+  val contaminationSpansSql: String =
+    s"""WITH toks AS (SELECT doc_id, ${TextOps.tokensSql} AS t FROM documents),
+       |p AS (SELECT doc_id, i - 1 AS pos,
+       |    ${Hashing.md5LongSql("t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]")} AS h
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+       |  WHERE len(t) >= 3),
+       |bench AS (SELECT DISTINCT h FROM p WHERE doc_id % $BenchmarkMod = 0),
+       |hits AS (SELECT doc_id, pos FROM p
+       |  WHERE doc_id % $BenchmarkMod <> 0 AND h IN (SELECT h FROM bench)),
+       |isl AS (SELECT doc_id,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM hits),
+       |runs AS (SELECT doc_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(max(len) AS BIGINT) AS max_span,
+       |  CAST(sum(len) AS BIGINT) AS n_contaminated_pos
+       |FROM runs GROUP BY doc_id""".stripMargin
+
   /** Per-document shingle NOVELTY: the fraction of a doc's distinct
     * word-3-gram shingles whose globally FIRST occurrence (min doc_id over
     * the corpus) is this document. Low novelty = the doc's content is
