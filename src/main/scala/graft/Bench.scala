@@ -72,11 +72,21 @@ object Bench {
     val spreads = results.map(r => "\"" + r.name + "\":" + f"${r.spreadPct}%.1f").mkString("{", ",", "}")
     val failed = results.filterNot(_.ok).map("\"" + _.name + "\"").mkString("[", ",", "]")
     val total = results.map(_.median).sum
-    // Stdout carries ONE machine-readable JSON line (the driver's contract);
-    // per-query spread diagnostics go to stderr so the stdout line stays
-    // small enough for tail-buffer consumers.
-    System.err.println(s"""[bench] spread_pct=$spreads""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":3,"estimator":"median","failed":$failed}""")
+    // Stdout carries ONE SHORT machine-readable JSON line: the driver
+    // tail-captures ~2.2 KB of stdout, and a 100+-query map (~2.9 KB)
+    // overflowed it for three straight rounds (BENCH_r01..r03 all
+    // `parsed: null`). Totals/failed/counts stay on stdout; the full
+    // per-query median+spread map is written to a repo artifact (path
+    // overridable via SPARK_GRAFT_BENCH_DETAILS) and mirrored to stderr.
+    val detailsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS", "bench_details.json")
+    val detailsJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":3,"estimator":"median","n":${results.size},"failed":$failed,"queries":$qs,"spread_pct":$spreads}"""
+    try {
+      val w = new java.io.PrintWriter(detailsPath, "UTF-8")
+      try w.println(detailsJson) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] details write failed: ${e.getMessage}") }
+    System.err.println(s"[bench] details=$detailsJson")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","passes":3,"estimator":"median","details":"$detailsPath"}""")
     spark.stop()
   }
 }
