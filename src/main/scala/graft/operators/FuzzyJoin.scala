@@ -82,12 +82,21 @@ object FuzzyJoin {
       .filter(col("dist") <= Tau)
   }
 
+  /** Oracle twin. The length-difference prefilter is exact (edit distance
+    * is always ≥ |len(a) − len(b)|, so no tau-qualifying pair is dropped)
+    * and cuts the O(n²) candidate set before the expensive levenshtein,
+    * which is computed ONCE per surviving candidate in the inner select —
+    * at sf0.1 the naive form (levenshtein twice over 112 M ordered pairs)
+    * dominated the whole verify run. */
   val fuzzyPairsSql: String =
-    s"""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-       | a.c_name AS name_a, b.c_name AS name_b,
-       | levenshtein(a.c_name, b.c_name) AS dist
-       |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-       |WHERE levenshtein(a.c_name, b.c_name) <= $Tau""".stripMargin
+    s"""SELECT id_a, id_b, name_a, name_b, dist FROM (
+       |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       |    a.c_name AS name_a, b.c_name AS name_b,
+       |    levenshtein(a.c_name, b.c_name) AS dist
+       |  FROM customer a JOIN customer b
+       |    ON a.c_custkey < b.c_custkey
+       |    AND abs(length(a.c_name) - length(b.c_name)) <= $Tau)
+       |WHERE dist <= $Tau""".stripMargin
 
   /** Entity resolution end-to-end — the textbook composition FUZZY BLOCKING
     * → match graph → CONNECTED COMPONENTS → canonicalization, here over the
@@ -126,7 +135,8 @@ object FuzzyJoin {
        |names AS (SELECT p_name AS name, count(*) AS n_parts,
        |    ${Hashing.md5LongSql("p_name")} AS id FROM part GROUP BY 1),
        |pairs AS (SELECT a.id AS doc_a, b.id AS doc_b FROM names a JOIN names b
-       |  ON a.id < b.id AND levenshtein(a.name, b.name) <= $Tau),
+       |  ON a.id < b.id AND abs(length(a.name) - length(b.name)) <= $Tau
+       |  AND levenshtein(a.name, b.name) <= $Tau),
        |${Dedup.ccWalkCtes},
        |ent AS (SELECT n.name, n.n_parts, coalesce(c.cluster_id, n.id) AS entity
        |  FROM names n LEFT JOIN comp c ON c.doc_id = n.id)
