@@ -50,6 +50,30 @@ class MrSubmitSpec extends AnyFunSuite {
       readLines(Paths.get(s"$Ref/correct/word_count_correct.txt")))
   }
 
+  test("submit of the wc .py exec pair matches an independent wordcount (M=3, R=1)") {
+    // The wordcount .py pair through the CLI path. Its text semantics
+    // differ from the .sh pair's (raw str.split() tokens, space-separated
+    // reducer output), so the .sh golden doesn't apply; the expectation is
+    // recomputed here from the input files with the same Python semantics
+    // (whitespace-run split, per-key sum, byte-ordered keys).
+    assume(haveFixtures)
+    val out = Files.createTempDirectory("graft-submit-wcpy-")
+    out.toFile.deleteOnExit()
+    val parts = MrSubmit.run(spark, MrSubmit.parse(Seq(
+      "-i", s"$Ref/input", "-o", out.toString,
+      "-m", s"$Ref/exec/wc_map.py", "-r", s"$Ref/exec/wc_reduce.py",
+      "--nmappers", "3", "--nreducers", "1")))
+    assert(parts.size === 1)
+    import scala.jdk.CollectionConverters._
+    val words = Files.list(Paths.get(s"$Ref/input")).iterator().asScala.toSeq
+      .sortBy(_.getFileName.toString)
+      .flatMap(readLines)
+      .flatMap(_.split("\\s+").filter(_.nonEmpty))
+    val expected = words.groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy(_._1).map { case (w, c) => s"$w $c" }
+    assert(readLines(Paths.get(parts.head)) === expected)
+  }
+
   test("submit on the reference fixtures reproduces the grep golden (M=2, R=1)") {
     assume(haveFixtures)
     val out = Files.createTempDirectory("graft-submit-grep-")
