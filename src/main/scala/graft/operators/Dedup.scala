@@ -569,23 +569,27 @@ object Dedup {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist""".stripMargin
   }
 
-  /** Embedding-cosine near-duplicate pairs (cos ≥ threshold, a < b).
-    * Pairwise here (the corpus is small); the bucketed scale path is
-    * [[Similarity.knnIvf]]'s centroid partitioning. */
-  def embeddingNearDup(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
+  /** Embedding-cosine near-duplicate pairs (cos ≥ threshold, a < b) by
+    * EXHAUSTIVE all-pairs comparison — deliberately quadratic, so it is
+    * NOT a registered query: it exists solely as the spec-side exactness
+    * baseline the bucketed scale paths ([[Similarity.embeddingNearDupIvf]],
+    * [[Similarity.embeddingNearDupSrp]], [[Similarity.knnIvf]]) are
+    * differentially tested against (SimilaritySpec). The `maxRows` guard
+    * fails loudly if someone points it at a corpus where all-pairs would
+    * blow up, rather than silently planning a quadratic join. */
+  def embeddingNearDup(spark: SparkSession, sfDir: String, threshold: Double = 0.4,
+      maxRows: Long = 20000L): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", graft.functions.VectorExpressions.vec_norm(col("v")))
+    val n = e.count()
+    require(n <= maxRows,
+      s"embeddingNearDup is the all-pairs exactness baseline (O(n^2) = ${n * n} " +
+        s"comparisons at n=$n > maxRows=$maxRows); use embeddingNearDupIvf/Srp at scale")
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         Similarity.cosinePre(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
   }
-
-  def embeddingNearDupSql(threshold: Double = 0.4): String =
-    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  round(${Similarity.cosineSql("a", "b")}, 6) AS cos_sim
-       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-       |WHERE ${Similarity.cosineSql("a", "b")} >= $threshold""".stripMargin
 }

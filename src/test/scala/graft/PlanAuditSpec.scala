@@ -51,15 +51,70 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("scale-path queries contain no cartesian product") {
-    // dedup_embedding is the documented all-pairs exactness BASELINE and is
-    // exempt; every query sold as a scale path must stay cartesian-free.
-    for (q <- Seq("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding_ivf",
-        "knn_ivf", "knn_ivfpq", "q5_region", "events_asof_click",
-        "graph_triangles", "clustering_coeff", "lang_classify", "cms_topk")) {
-      val p = plan(q)
+  test("FULL-REGISTRY sweep: every query cartesian-free; broadcast hints only on bounded sides") {
+    // Auto-sweeps SparkEntry.queries.keys so a newly added query is audited
+    // by default — no hand-maintained list to forget. The exemption set is
+    // EMPTY: the former exemption (dedup_embedding, the all-pairs exactness
+    // baseline) is spec-only now, not a registered query.
+    //
+    // Broadcast-hint discipline: an explicit broadcast() must never sit on
+    // an sf-scaled side (that hint would OOM the driver at 100 TB where AQE
+    // would have picked sort-merge). A hinted subtree is accepted only if
+    // it is structurally bounded:
+    //   - its file scans touch only fixed-cardinality dims (nation/region);
+    //   - or it contains an Aggregate (global stats rows, distinct bench
+    //     sets, per-lang quotas — cardinality = group domain, not sf);
+    //   - or a literal-comparison Filter caps it (knn query sets,
+    //     vec_id < NumQueries);
+    //   - or it is driver-built data (LocalRelation / checkpointed
+    //     LogicalRDD: K-row codebooks, ADC tables).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, LocalRelation, ResolvedHint}
+    import org.apache.spark.sql.catalyst.expressions.BinaryComparison
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val fixedDims = Set("nation", "region")
+    val exempt = Set.empty[String]
+    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(exempt)
+    assert(names.size === SparkEntry.queries.size, "sweep must cover the whole registry")
+    val hintInventory = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (q <- names) {
+      val df: DataFrame = SparkEntry.queries(q)(spark, Sf)
+      val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       assert(!p.contains("CartesianProduct"), s"$q plan contains a cartesian:\n$p")
+      for (h <- df.queryExecution.analyzed.collect { case rh: ResolvedHint => rh }) {
+        val scans = h.child.collect { case lr: LogicalRelation => lr }
+        val scanPaths = scans.map(_.relation).flatMap {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(p => p.getName)
+          case other => Seq(other.toString)
+        }
+        val scanNames = scanPaths.mkString(",")
+        val onlyFixedDims = scanPaths.nonEmpty &&
+          scanPaths.forall(p => fixedDims.exists(t => p.contains(t)))
+        val hasAggregate = h.child.collectFirst { case a: Aggregate => a }.nonEmpty
+        val hasLiteralCap = h.child.collectFirst {
+          case f: LFilter if f.condition.exists {
+            // foldable covers Literal and Cast(Literal) — Spark wraps the
+            // comparison constant in a cast to the column type
+            case bc: BinaryComparison => bc.children.exists(_.foldable)
+            case _ => false
+          } => f
+        }.nonEmpty
+        val isDriverBuilt = scans.isEmpty &&
+          h.child.collectFirst { case l: LocalRelation => l }.nonEmpty ||
+          h.child.collectLeaves().forall(_.nodeName == "LogicalRDD")
+        val bounded = onlyFixedDims || hasAggregate || hasLiteralCap || isDriverBuilt
+        val kind =
+          if (onlyFixedDims) "fixed-dim"
+          else if (hasAggregate) "aggregate-reduced"
+          else if (hasLiteralCap) "literal-capped"
+          else "driver-built"
+        hintInventory += s"$q: [$kind] ${if (scanNames.nonEmpty) scanNames else h.child.nodeName}"
+        assert(bounded,
+          s"$q has an explicit broadcast() over an unbounded (sf-scaled) side:\n${h.child.treeString}")
+      }
     }
+    hintInventory.foreach(info(_))
+    info(s"swept ${names.size} registered queries, ${hintInventory.size} broadcast hints classified")
   }
 
   test("wc_wordcount: map-side partial aggregation, a single exchange") {
