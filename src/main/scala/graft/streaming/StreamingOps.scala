@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 import graft.Tables
 import graft.operators.Exact._
 
@@ -13,6 +14,15 @@ import graft.operators.Exact._
   * because a 100 TB training-data pipeline ingests continuously. Batch and
   * streaming share the aggregation expressions — only the source/sink
   * differ, which is exactly Spark's unified-engine design.
+  *
+  * Feed discipline: every registered demo query ingests through a FILE
+  * SOURCE fed by time-split parquet chunk drops ([[stageTimeChunks]]) — the
+  * corpus is staged by one distributed Spark write and replayed by file
+  * renames, so NO registered pipeline ever materializes rows on the driver
+  * (a `collect()`-fed MemoryStream demo would bottleneck at 100× scale even
+  * though the operator under test is driver-free). MemoryStream appears
+  * only in specs, where crafted/out-of-order micro-corpora need per-row
+  * control.
   */
 object StreamingOps {
 
@@ -23,6 +33,68 @@ object StreamingOps {
     * host's throttled disk. Unique per run — these are throwaway demo
     * checkpoints, not recovery points. */
   private def ckptDir(name: String): String = graft.LocalDirs.streamingCkpt(name)
+
+  /** A staged chunk replay: `watchDir` is the directory the streaming file
+    * source watches; `chunks(k)` are the staged parquet part-files of
+    * time-chunk k, moved in by [[dropChunk]] one chunk per micro-batch. */
+  private case class ChunkFeed(watchDir: String, chunks: IndexedSeq[Seq[java.io.File]])
+
+  /** Stages `df` as `numChunks` TIME-DISJOINT parquet chunk directories
+    * under `baseDir/stage`, ready to be replayed into `baseDir/in` (the
+    * watch dir) one chunk per micro-batch.
+    *
+    * The split points are exact quantiles of `orderCol` (distributed
+    * computation; only O(numChunks) scalars reach the driver) and the
+    * chunk assignment is a narrow map + one partitioned write — corpus
+    * rows NEVER transit the driver, which is the point of this feeder
+    * versus a collect()-fed MemoryStream. Chunks are disjoint half-open
+    * ranges of `orderCol`, so replaying them in order is a time-ordered
+    * ingest: each side's next chunk is strictly above the watermark its
+    * previous chunks established, making watermark semantics (session
+    * timeouts, join-state eviction, dedup horizons) EXACT over the replay,
+    * not best-effort. */
+  private def stageTimeChunks(df: DataFrame, orderCol: String, numChunks: Int,
+      baseDir: String): ChunkFeed = {
+    val stageDir = s"$baseDir/stage"
+    val watchDir = s"$baseDir/in"
+    new java.io.File(watchDir).mkdirs()
+    val probs = (1 until numChunks).map(_.toDouble / numChunks).toArray
+    // relativeError 0 = exact quantiles. orderCol values are epoch-µs/ids
+    // well under 2^53, so the double round-trip is exact too.
+    val bounds =
+      if (numChunks > 1) df.stat.approxQuantile(orderCol, probs, 0.0) else Array.empty[Double]
+    val chunkExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(orderCol) > lit(b), 1).otherwise(0)
+    }
+    df.withColumn("chunk", chunkExpr)
+      .write.partitionBy("chunk").mode("overwrite").parquet(stageDir)
+    val chunks = (0 until numChunks).map { k =>
+      val d = new java.io.File(s"$stageDir/chunk=$k")
+      if (d.isDirectory) d.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+      else Seq.empty[java.io.File]
+    }
+    ChunkFeed(watchDir, chunks)
+  }
+
+  /** Moves chunk k's staged part-files into the watch dir (file rename —
+    * a metadata op, no data movement). The file source picks them up on
+    * the next trigger. */
+  private def dropChunk(feed: ChunkFeed, k: Int): Unit =
+    feed.chunks(k).foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(feed.watchDir, s"chunk$k-${f.getName}"))
+    }
+
+  /** Local-mode state-partition tuning, not semantics: each micro-batch
+    * pays a fixed per-state-partition cost (store open/commit/snapshot)
+    * and the demo keyspaces are small, so 8 state partitions beat the
+    * session default. Restored afterwards; a cluster run would size this
+    * to its executors. */
+  private def withStateParts[A](spark: SparkSession)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 
   /** Hourly per-type counts/sums computed THROUGH the streaming engine:
     * parquet file-stream source → stateful aggregation (complete mode) →
@@ -43,14 +115,11 @@ object StreamingOps {
       .groupBy(expr(graft.operators.EventOps.hourEpochExpr).as("hour_epoch"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value"), 24, 6).as("sum_value"))
     val name = "graft_stream_hourly"
-    // Same local-mode state-partition tuning as streamingSessionize.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withStateParts(spark) {
       val q = agg.writeStream.outputMode("complete").format("memory").queryName(name)
         .option("checkpointLocation", ckptDir(name)).start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     // Materialize: the memory-sink table is session-scoped mutable state.
     spark.table(name)
   }
@@ -94,12 +163,12 @@ object StreamingOps {
     * watermark's job — an event older than the open session's `lastUs`
     * that arrives in a later batch would be appended (classic
     * at-watermark-granularity semantics; the delay parameter is the
-    * disorder budget, and the bench harness feeds time-split chunks so the
+    * disorder budget, and the demo harness feeds time-split chunks so the
     * guarantee is exact). */
   def sessionizeStream(
-      stream: org.apache.spark.sql.Dataset[Ev],
+      stream: Dataset[Ev],
       gapUs: Long,
-      watermarkDelay: String = "0 seconds"): org.apache.spark.sql.Dataset[SessionRow] = {
+      watermarkDelay: String = "0 seconds"): Dataset[SessionRow] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = stream.sparkSession
     import spark.implicits._
@@ -142,59 +211,48 @@ object StreamingOps {
             // Close via timeout when the watermark passes the gap edge.
             // (max-guard: a timestamp at/behind the watermark is illegal.)
             state.setTimeoutTimestamp(math.max(
-              (cur.lastUs + gapUs) / 1000L + 1L, state.getCurrentWatermarkMs + 1L))
+              (cur.lastUs + gapUs) / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
             out.result().iterator
           }
       }
   }
 
-  /** Gap-based sessionization through the streaming engine, fed in
-    * TIME-SPLIT micro-batches plus one far-future watermark-advancing
-    * sentinel so every session (including each user's last) is emitted by
-    * the event-time-timeout path — the oracle then checks the production
-    * operator at full strength. The driver-side collect here is the DEMO
-    * SOURCE (a MemoryStream feeder standing in for Kafka), not part of the
-    * operator: [[sessionizeStream]] itself never touches the driver. */
+  /** Gap-based sessionization through the streaming engine, fed as
+    * TIME-SPLIT parquet chunk drops through a file source (no driver-side
+    * rows — see the object doc), plus one far-future watermark-advancing
+    * sentinel row so every session (including each user's last) is emitted
+    * by the event-time-timeout path — the oracle then checks the
+    * production operator at full strength. */
   def streamingSessionize(spark: SparkSession, sfDir: String, gapMinutes: Int = 30,
       numChunks: Int = 2): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val gapUs = gapMinutes * 60L * 1000000L
     val evs = Tables.events(spark, sfDir)
-      .selectExpr("user_id", "event_id", "ts div 1000 AS us", "value").as[Ev]
-      .collect().sortBy(_.us)
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val source = MemoryStream[Ev]
-    val sessions = sessionizeStream(source.toDS(), gapUs)
+      .selectExpr("user_id", "event_id", "ts div 1000 AS us", "value")
+    val feed = stageTimeChunks(evs, "us", numChunks,
+      ckptDir("graft_stream_sessionize_feed"))
+    val maxUs = evs.agg(max(col("us"))).head().getLong(0)
+    val stream = spark.readStream.schema(evs.schema).parquet(feed.watchDir).as[Ev]
+    val sessions = sessionizeStream(stream, gapUs)
     val name = "graft_stream_sessionize"
-    // Local-mode harness tuning, not semantics: each micro-batch pays a
-    // fixed per-state-partition cost (store open/commit/snapshot), and the
-    // demo's keyspace is thousands of users, so 8 state partitions beat
-    // the session default. Pinned at stream start from the session conf;
-    // restored afterwards. A cluster run would size this to its executors.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withStateParts(spark) {
       val q = sessions.writeStream.outputMode("append").format("memory").queryName(name)
         .option("checkpointLocation", ckptDir(name)).start()
       try {
-        val chunkSize = math.max(1, math.ceil(evs.length.toDouble / numChunks).toInt)
-        evs.grouped(chunkSize).foreach { chunk =>
-          source.addData(chunk.toSeq)
-          q.processAllAvailable() // one micro-batch per time-split chunk
-        }
-        // Sentinel: pushes the watermark past every real session's gap
-        // edge, firing the timeouts. Its own (negative-user) session stays
-        // open and is filtered out below.
-        source.addData(Ev(-1L, -1L, evs.last.us + 1000L * gapUs, 0.0))
+        (0 until numChunks).foreach { k => dropChunk(feed, k); q.processAllAvailable() }
+        // Sentinel: one literal row (driver-built by construction, not a
+        // corpus collect) whose far-future timestamp pushes the watermark
+        // past every real session's gap edge, firing the timeouts. Its own
+        // (negative-user) session stays open and is filtered out below.
+        Seq(Ev(-1L, -1L, maxUs + 1000L * gapUs, 0.0)).toDS().toDF()
+          .coalesce(1).write.mode("append").parquet(feed.watchDir)
         q.processAllAvailable()
       } finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.table(name).filter(col("user_id") >= 0)
   }
 
   case class Doc(doc_id: Long, text: String)
-  case class TypedEv(user_id: Long, event_id: Long, us: Long)
 
   /** Watermarked STREAM-STREAM interval join: clicks and purchases arrive
     * on separate streams; each purchase joins the same user's clicks from
@@ -202,28 +260,31 @@ object StreamingOps {
     * both rows have arrived; the watermarks plus the two-sided time
     * condition are what let the engine EVICT buffered rows once the other
     * side's watermark passes their join range — bounded state, the
-    * production requirement for an unbounded ingest. Feeding time-split
-    * chunks keeps eviction exact (a row is only evictable once every
-    * possible partner is, by sort order, already ingested), so the DuckDB
-    * interval-join oracle checks this path value-for-value. */
+    * production requirement for an unbounded ingest.
+    *
+    * Each side replays its own time-split chunk sequence (two file
+    * sources, two watch dirs). Per-side time-disjoint chunks keep eviction
+    * exact without cross-side alignment: the global watermark is the MIN
+    * over sources of each side's max event time, so no later chunk can
+    * deliver a row at or below it, and a buffered row is only evicted once
+    * every possible partner is, by chunk order, already ingested. The
+    * DuckDB interval-join oracle therefore checks this path
+    * value-for-value. */
   def streamingIntervalJoin(spark: SparkSession, sfDir: String,
       numChunks: Int = 2): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     def side(tpe: String) = Tables.events(spark, sfDir)
       .filter(col("event_type") === tpe)
-      .selectExpr("user_id", "event_id", "ts div 1000 AS us").as[TypedEv]
-      .collect().sortBy(_.us)
-    val clickRows = side("click")
-    val purchRows = side("purchase")
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val clickSrc = MemoryStream[TypedEv]
-    val purchSrc = MemoryStream[TypedEv]
-    val clicks = clickSrc.toDS()
+      .selectExpr("user_id", "event_id", "ts div 1000 AS us")
+    val clickDf = side("click")
+    val purchDf = side("purchase")
+    val base = ckptDir("graft_stream_ivjoin_feed")
+    val cFeed = stageTimeChunks(clickDf, "us", numChunks, s"$base/clicks")
+    val pFeed = stageTimeChunks(purchDf, "us", numChunks, s"$base/purchases")
+    val clicks = spark.readStream.schema(clickDf.schema).parquet(cFeed.watchDir)
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         timestamp_micros(col("us")).as("c_time"))
       .withWatermark("c_time", "0 seconds")
-    val purchases = purchSrc.toDS()
+    val purchases = spark.readStream.schema(purchDf.schema).parquet(pFeed.watchDir)
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         timestamp_micros(col("us")).as("p_time"))
       .withWatermark("p_time", "0 seconds")
@@ -231,22 +292,16 @@ object StreamingOps {
       "p_user = c_user AND c_time >= p_time - INTERVAL 1 HOUR AND c_time <= p_time"))
       .select(col("purchase_id"), col("p_user").as("user_id"), col("click_id"))
     val name = "graft_stream_ivjoin"
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withStateParts(spark) {
       val q = joined.writeStream.outputMode("append").format("memory").queryName(name)
         .option("checkpointLocation", ckptDir(name)).start()
       try {
-        val cSize = math.max(1, math.ceil(clickRows.length.toDouble / numChunks).toInt)
-        val pSize = math.max(1, math.ceil(purchRows.length.toDouble / numChunks).toInt)
-        clickRows.grouped(cSize).zipAll(purchRows.grouped(pSize), Array.empty[TypedEv], Array.empty[TypedEv])
-          .foreach { case (cs, ps) =>
-            if (cs.nonEmpty) clickSrc.addData(cs.toSeq)
-            if (ps.nonEmpty) purchSrc.addData(ps.toSeq)
-            q.processAllAvailable()
-          }
+        (0 until numChunks).foreach { k =>
+          dropChunk(cFeed, k); dropChunk(pFeed, k)
+          q.processAllAvailable()
+        }
       } finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.table(name)
   }
 
@@ -266,83 +321,101 @@ object StreamingOps {
     * distinct content hash exactly once (append mode), which is
     * deterministic regardless of feed order — that is what lets the DuckDB
     * oracle (`SELECT DISTINCT md5(text)`) hash-check the streaming path at
-    * full strength. Production note: with an event-time column the same
-    * plan bounds state via `dropDuplicatesWithinWatermark`; the unbounded
-    * form here matches the batch operator's semantics exactly. */
+    * full strength. The horizon-bounded production form is
+    * [[streamingDedupWatermarked]]; this unbounded form matches the batch
+    * operator's semantics exactly. */
   def streamingDedup(spark: SparkSession, sfDir: String, numChunks: Int = 2): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val docs = Tables.documents(spark, sfDir)
-      .selectExpr("doc_id", "text").as[Doc].collect()
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val source = MemoryStream[Doc]
-    val deduped = source.toDS()
+    val docs = Tables.documents(spark, sfDir).selectExpr("doc_id", "text")
+    val feed = stageTimeChunks(docs, "doc_id", numChunks,
+      ckptDir("graft_stream_dedup_feed"))
+    val deduped = spark.readStream.schema(docs.schema).parquet(feed.watchDir)
       .select(md5(col("text")).as("content_hash"))
       .dropDuplicates("content_hash")
     val name = "graft_stream_dedup"
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withStateParts(spark) {
       val q = deduped.writeStream.outputMode("append").format("memory").queryName(name)
         .option("checkpointLocation", ckptDir(name)).start()
       try {
-        val chunkSize = math.max(1, math.ceil(docs.length.toDouble / numChunks).toInt)
-        docs.grouped(chunkSize).foreach { chunk =>
-          source.addData(chunk.toSeq)
-          q.processAllAvailable()
-        }
+        (0 until numChunks).foreach { k => dropChunk(feed, k); q.processAllAvailable() }
       } finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.table(name)
   }
 
+  /** PRODUCTION-FORM streaming dedup: `dropDuplicatesWithinWatermark` over
+    * an event-time column, so state holds one row per key seen within the
+    * watermark horizon and the store EVICTS keys the watermark has passed —
+    * the bounded-state requirement for an unbounded ingest that the
+    * unbounded-exact [[streamingDedup]] demo deliberately forgoes.
+    *
+    * The registered demo dedups (user_id, event_type) pairs with a horizon
+    * wider than the corpus' 30-day span, making the emitted set exactly
+    * DISTINCT — deterministic, so the DuckDB oracle checks this engine
+    * path value-for-value. The eviction/re-emission behavior the horizon
+    * exists for (suppress within, evict beyond) is pinned on crafted feeds
+    * in StreamingOpsSpec, where the horizon is 1 hour and the feed
+    * straddles it. */
+  def streamingDedupWatermarked(spark: SparkSession, sfDir: String,
+      numChunks: Int = 2, horizon: String = "35 days"): DataFrame = {
+    val evs = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_type", "ts div 1000 AS us")
+    val feed = stageTimeChunks(evs, "us", numChunks,
+      ckptDir("graft_stream_dedup_wm_feed"))
+    val deduped = spark.readStream.schema(evs.schema).parquet(feed.watchDir)
+      .withColumn("event_time", timestamp_micros(col("us")))
+      .withWatermark("event_time", horizon)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val name = "graft_stream_dedup_wm"
+    withStateParts(spark) {
+      val q = deduped.writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", ckptDir(name)).start()
+      try {
+        (0 until numChunks).foreach { k => dropChunk(feed, k); q.processAllAvailable() }
+      } finally q.stop()
+    }
+    spark.table(name)
+  }
+
+  val streamingDedupWatermarkedSql: String =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
   case class UpEv(user_id: Long, event_id: Long, us: Long, value: Double)
 
-  /** CONTINUOUS UPSERT via `foreachBatch` — the streaming twin of the batch
-    * [[graft.operators.Relational.snapshotMerge]] MERGE kernel, and the
-    * sink-side pattern Structured Streaming itself prescribes for
-    * maintaining a keyed table: each micro-batch reduces to latest-per-key
+  /** foreachBatch upsert kernel over an arbitrary streaming source of
+    * purchase events: each micro-batch reduces to latest-per-key
     * (WindowGroupLimit), full-outer-merges with the current snapshot under
     * a latest-wins (us, event_id) comparison — correct under ANY batch
     * split, not just ordered feeds — and publishes a new snapshot version
     * (the overwrite-and-swap a lakehouse MERGE INTO does transactionally).
     * State lives in the TABLE, not the state store, so the stream restarts
-    * for free and the snapshot is queryable mid-stream.
+    * for free and the snapshot is queryable mid-stream. The superseded
+    * version is deleted right after the new one is published (an A/B
+    * swap), so repeated runs don't accumulate snapshot directories in
+    * scratch.
     *
     * Scale: every merge is |keys|-bounded (both sides pre-reduced), the
     * snapshot is partitioned storage (not driver memory), and at 100 TB
     * the same loop runs with bucket-co-located snapshot+batch on the merge
-    * key. Returns the final snapshot; the oracle checks it equals the
-    * batch latest-purchase-per-user over the whole table. */
-  def streamingUpsert(spark: SparkSession, sfDir: String, numChunks: Int = 3): DataFrame = {
-    import spark.implicits._
-    val purchases = Tables.events(spark, sfDir)
-      .filter(col("event_type") === "purchase")
-      .selectExpr("user_id", "event_id", "ts div 1000 AS us", "value").as[UpEv]
-      .collect().sortBy(e => (e.us, e.event_id))
-    streamingUpsertOf(spark, purchases.toIndexedSeq, numChunks)
-  }
-
-  /** Core of [[streamingUpsert]] over an explicit feed — split out so the
-    * convergence property (ANY chunking → the batch snapshot) can run on
-    * crafted/randomized event sets, including out-of-order feeds the
-    * latest-wins comparison must absorb. */
-  def streamingUpsertOf(spark: SparkSession, purchases: Seq[UpEv],
-      numChunks: Int): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    * key. `feed` drives the ingest (chunk drops or MemoryStream pushes);
+    * the returned frame is the final snapshot. */
+  private def upsertRun(spark: SparkSession, stream: Dataset[UpEv])(
+      feed: StreamingQuery => Unit): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val source = MemoryStream[UpEv]
-    val baseDir = graft.LocalDirs.streamingCkpt("graft_stream_upsert_snap")
+    val baseDir = ckptDir("graft_stream_upsert_snap")
     var currentVersion = -1L
     def snapPath(v: Long) = s"$baseDir/v$v"
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = source.toDS().writeStream
+    def deleteDir(path: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
+    withStateParts(spark) {
+      val q = stream.writeStream
         .option("checkpointLocation", ckptDir("graft_stream_upsert"))
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[UpEv], batchId: Long) =>
+        .foreachBatch { (batch: Dataset[UpEv], batchId: Long) =>
           val w = Window.partitionBy(col("user_id"))
             .orderBy(col("us").desc, col("event_id").desc)
           val latest = batch.toDF()
@@ -367,23 +440,58 @@ object StreamingOps {
                   col("r.event_id").as("event_id"), col("r.value").as("value"))
             }
           merged.write.mode("overwrite").parquet(snapPath(batchId))
+          val superseded = currentVersion
           currentVersion = batchId
+          // A/B swap: the new version is durable, so the old one (fully
+          // read by the merge's write above) is garbage now.
+          if (superseded >= 0) deleteDir(snapPath(superseded))
         }
         .start()
-      try {
-        val chunkSize = math.max(1, math.ceil(purchases.length.toDouble / numChunks).toInt)
-        purchases.grouped(chunkSize).foreach { chunk =>
-          source.addData(chunk.toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try feed(q) finally q.stop()
+    }
     if (currentVersion < 0) // empty feed → no batch ever fired, no snapshot
       spark.range(0).selectExpr("id AS user_id", "id AS last_us",
         "CAST(id AS DOUBLE) AS last_value")
     else
       spark.read.parquet(snapPath(currentVersion))
         .select(col("user_id"), col("us").as("last_us"), col("value").as("last_value"))
+  }
+
+  /** CONTINUOUS UPSERT via `foreachBatch` — the streaming twin of the batch
+    * [[graft.operators.Relational.snapshotMerge]] MERGE kernel, fed as
+    * time-split chunk drops through a file source. Returns the final
+    * snapshot; the oracle checks it equals the batch
+    * latest-purchase-per-user over the whole table. */
+  def streamingUpsert(spark: SparkSession, sfDir: String, numChunks: Int = 3): DataFrame = {
+    import spark.implicits._
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("user_id", "event_id", "ts div 1000 AS us", "value")
+    val feed = stageTimeChunks(purchases, "us", numChunks,
+      ckptDir("graft_stream_upsert_feed"))
+    val stream = spark.readStream.schema(purchases.schema).parquet(feed.watchDir).as[UpEv]
+    upsertRun(spark, stream) { q =>
+      (0 until numChunks).foreach { k => dropChunk(feed, k); q.processAllAvailable() }
+    }
+  }
+
+  /** Spec-only harness of [[upsertRun]] over an explicit feed — crafted and
+    * RANDOMIZED OUT-OF-ORDER event sets need per-row control, so this is
+    * the one place a MemoryStream (driver-fed by construction) remains; the
+    * registered query is [[streamingUpsert]]'s file-source form. */
+  def streamingUpsertOf(spark: SparkSession, purchases: Seq[UpEv],
+      numChunks: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[UpEv]
+    upsertRun(spark, source.toDS()) { q =>
+      val chunkSize = math.max(1, math.ceil(purchases.length.toDouble / numChunks).toInt)
+      purchases.grouped(chunkSize).foreach { chunk =>
+        source.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    }
   }
 
   val streamingUpsertSql: String =

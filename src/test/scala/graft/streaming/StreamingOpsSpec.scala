@@ -121,6 +121,17 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked dedup (chunked feed, horizon > span) equals batch distinct keys") {
+    val streamed = StreamingOps.streamingDedupWatermarked(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = graft.Tables.events(spark, Sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup (chunked feed) equals batch distinct hashes") {
     val streamed = StreamingOps.streamingDedup(spark, Sf)
       .collect().map(_.getString(0)).toSet
