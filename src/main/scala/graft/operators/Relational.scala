@@ -215,6 +215,46 @@ object Relational {
        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
        |  AND l_shipdate < TIMESTAMP '1998-02-01 00:00:00')""".stripMargin
 
+  /** TPC-H Q17 analog: average yearly revenue lost by only shipping
+    * small-quantity orders of one brand's small parts. The selective dim
+    * predicate (one brand × small sizes — ~0.07 % of `part`) is the
+    * textbook RUNTIME-FILTER shape: at cluster scale Spark injects a Bloom
+    * filter built from the filtered dim keys into the lineitem scan, so
+    * the fact side is pruned BEFORE the shuffle (PlanAuditSpec forces the
+    * size thresholds locally and asserts the injected
+    * `bloom_filter_might_contain` plus result equality). The correlated
+    * per-part average decorrelates to ONE window over the already
+    * dim-restricted join output — the window input is bounded by the
+    * selective parts' lineitems, never the whole fact table. Quantities
+    * are integral doubles (exact sums at any merge order), revenue goes
+    * through the DECIMAL sum, so the single output row is bit-portable. */
+  def q17SmallQty(spark: SparkSession, sfDir: String,
+      brand: String = "Brand#5", maxSize: Int = 10): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === brand && col("p_size") <= maxSize)
+      .select(col("p_partkey"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .withColumn("part_avg_qty",
+        sum(col("l_quantity")).over(w) / count(lit(1)).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("part_avg_qty"))
+      .agg(round(dsum(col("l_extendedprice")) / lit(7.0), 6).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** Oracle keeps the correlated form — the decorrelation is the thing
+    * under test. DuckDB's avg(double) is sum/count over integral
+    * quantities, hence exact and order-independent like the window twin. */
+  def q17SmallQtySql(brand: String = "Brand#5", maxSize: Int = 10): String =
+    s"""SELECT round(${sqlSum("l_extendedprice")} / 7.0, 6) AS avg_yearly,
+       |  count(*) AS n_small
+       |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       |  AND p.p_brand = '$brand' AND p.p_size <= $maxSize
+       |WHERE l.l_quantity < 0.2 * (SELECT avg(l2.l_quantity)
+       |  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
   /** TPC-H Q5 analog: 6-way star join. nation/region are fixed-cardinality
     * dimensions (25/5 rows at every sf) and keep explicit broadcast hints;
     * customer/supplier GROW with sf, so their join strategy is left to AQE

@@ -51,6 +51,35 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q17: runtime Bloom filter prunes the fact scan under cluster-scale thresholds") {
+    // The 100 TB condition, reproduced locally: the filtered dim no longer
+    // broadcasts (autoBroadcastJoinThreshold=-1 — at 1000× sf it exceeds
+    // the threshold for real) and the fact scan is large enough to be
+    // worth pruning (applicationSideScanSizeThreshold=0 — at 100 TB the
+    // default 10 GB bound is met for real). Spark must then inject a
+    // Bloom filter built from the selective part keys into the lineitem
+    // side — the runtime semi-join reduction that keeps the shuffle from
+    // carrying never-to-match fact rows — and the result must be
+    // bit-identical to the broadcast-join plan (the Exact-arithmetic
+    // discipline's whole point: plan shape must never change values).
+    val baseline = SparkEntry.queries("q17_small_qty")(spark, Sf).collect().toSeq
+    val prev = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q17_small_qty")(spark, Sf)
+      val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("might_contain(") && p.contains("bloom_filter_agg("),
+        s"no runtime Bloom filter injected into the q17 plan:\n$p")
+      assert(df.collect().toSeq === baseline,
+        "shuffle-join + Bloom plan must reproduce the broadcast plan's values exactly")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("FULL-REGISTRY sweep: every query cartesian-free; broadcast hints only on bounded sides") {
     // Auto-sweeps SparkEntry.queries.keys so a newly added query is audited
     // by default — no hand-maintained list to forget. The exemption set is
