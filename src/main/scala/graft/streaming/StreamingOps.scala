@@ -36,8 +36,24 @@ object StreamingOps {
 
   /** A staged chunk replay: `watchDir` is the directory the streaming file
     * source watches; `chunks(k)` are the staged parquet part-files of
-    * time-chunk k, moved in by [[dropChunk]] one chunk per micro-batch. */
-  private case class ChunkFeed(watchDir: String, chunks: IndexedSeq[Seq[java.io.File]])
+    * time-chunk k, moved in by [[dropChunk]] one chunk per micro-batch;
+    * `baseDir` owns both and is deleted by [[cleanupFeed]] once the run's
+    * result is materialized. */
+  private case class ChunkFeed(baseDir: String, watchDir: String,
+      chunks: IndexedSeq[Seq[java.io.File]])
+
+  /** Deletes a feed's staging + watch dirs. Every demo query drains into a
+    * memory sink (fully materialized before return), so the corpus copy in
+    * scratch is garbage the moment the stream stops — without this, a
+    * median-of-3 bench over the streaming surface accumulates one staged
+    * corpus per query per pass in /dev/shm. */
+  private def cleanupFeed(feeds: ChunkFeed*): Unit = feeds.foreach { f =>
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(rm)
+      x.delete(): Unit
+    }
+    rm(new java.io.File(f.baseDir))
+  }
 
   /** Stages `df` as `numChunks` TIME-DISJOINT parquet chunk directories
     * under `baseDir/stage`, ready to be replayed into `baseDir/in` (the
@@ -73,7 +89,7 @@ object StreamingOps {
       if (d.isDirectory) d.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
       else Seq.empty[java.io.File]
     }
-    ChunkFeed(watchDir, chunks)
+    ChunkFeed(baseDir, watchDir, chunks)
   }
 
   /** Moves chunk k's staged part-files into the watch dir (file rename —
@@ -249,7 +265,84 @@ object StreamingOps {
         q.processAllAvailable()
       } finally q.stop()
     }
+    cleanupFeed(feed)
     spark.table(name).filter(col("user_id") >= 0)
+  }
+
+  /** Gap-based sessionization via Spark's NATIVE `session_window`
+    * aggregation — the declarative twin of [[sessionizeStream]]'s
+    * flatMapGroupsWithState form. The engine merges overlapping
+    * `[t, t + gap)` windows per key in the state store and emits a session
+    * when the watermark passes its end, so the operator is a plain
+    * `groupBy(session_window(...), user_id).agg(...)` — no hand-written
+    * state machine, and the state layout (session-window store) is
+    * purpose-built. Semantics differ from the gaps-and-islands form at ONE
+    * boundary: windows `[prev, prev+gap)` and `[prev+gap, ...)` do not
+    * overlap, so a successor exactly `gap` after its predecessor starts a
+    * NEW session (the island oracle below uses `>= gap`, where
+    * [[EventOps.sessionizeSql]]'s uses `> gap`).
+    *
+    * Output keeps epoch integers: `session_start_us` = window start (first
+    * event), `session_last_us` = window end − gap (last event — exact
+    * integer arithmetic, since a merged session window always ends at
+    * last-event-time + gap). Same chunk feed + far-future sentinel pattern
+    * as [[streamingSessionize]]. */
+  def streamingSessionWindow(spark: SparkSession, sfDir: String, gapMinutes: Int = 30,
+      numChunks: Int = 2): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val evs = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "ts div 1000 AS us", "value")
+    val feed = stageTimeChunks(evs, "us", numChunks,
+      ckptDir("graft_stream_session_native_feed"))
+    val maxUs = evs.agg(max(col("us"))).head().getLong(0)
+    val sessions = spark.readStream.schema(evs.schema).parquet(feed.watchDir)
+      .withColumn("event_time", timestamp_micros(col("us")))
+      .withWatermark("event_time", "0 seconds")
+      .groupBy(session_window(col("event_time"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event_id"),
+        max(col("event_id")).as("last_event_id"), dsum(col("value"), 24, 6).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        (unix_micros(col("session_window.end")) - gapUs).as("session_last_us"),
+        col("n_events"), col("first_event_id"), col("last_event_id"), col("sum_value"))
+    val name = "graft_stream_session_native"
+    withStateParts(spark) {
+      val q = sessions.writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", ckptDir(name)).start()
+      try {
+        (0 until numChunks).foreach { k => dropChunk(feed, k); q.processAllAvailable() }
+        // Far-future sentinel (same pattern as streamingSessionize):
+        // advances the watermark past every real session's end so append
+        // mode emits them all; its own session is filtered out below.
+        Seq(Ev(-1L, -1L, maxUs + 2000L * gapUs, 0.0)).toDS().toDF()
+          .coalesce(1).write.mode("append").parquet(feed.watchDir)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    cleanupFeed(feed)
+    spark.table(name).filter(col("user_id") >= 0)
+  }
+
+  /** Island oracle with the session-window boundary rule (`>= gap` starts a
+    * new session; see [[streamingSessionWindow]]). */
+  def streamingSessionWindowSql(gapMinutes: Int = 30): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH ordered AS (
+       |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+       |  FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= $gapUs THEN 1 ELSE 0 END AS new_session
+       |  FROM ordered),
+       |sess AS (
+       |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, min(us) AS session_start_us, max(us) AS session_last_us,
+       |  count(*) AS n_events, min(event_id) AS first_event_id,
+       |  max(event_id) AS last_event_id, ${graft.operators.Exact.sqlSum("value", 24, 6)} AS sum_value
+       |FROM sess GROUP BY user_id, session_id""".stripMargin
   }
 
   case class Doc(doc_id: Long, text: String)
@@ -302,6 +395,7 @@ object StreamingOps {
         }
       } finally q.stop()
     }
+    cleanupFeed(cFeed, pFeed)
     spark.table(name)
   }
 
@@ -339,6 +433,7 @@ object StreamingOps {
         (0 until numChunks).foreach { k => dropChunk(feed, k); q.processAllAvailable() }
       } finally q.stop()
     }
+    cleanupFeed(feed)
     spark.table(name)
   }
 
@@ -374,6 +469,7 @@ object StreamingOps {
         (0 until numChunks).foreach { k => dropChunk(feed, k); q.processAllAvailable() }
       } finally q.stop()
     }
+    cleanupFeed(feed)
     spark.table(name)
   }
 
@@ -470,9 +566,13 @@ object StreamingOps {
     val feed = stageTimeChunks(purchases, "us", numChunks,
       ckptDir("graft_stream_upsert_feed"))
     val stream = spark.readStream.schema(purchases.schema).parquet(feed.watchDir).as[UpEv]
-    upsertRun(spark, stream) { q =>
+    val snapshot = upsertRun(spark, stream) { q =>
       (0 until numChunks).foreach { k => dropChunk(feed, k); q.processAllAvailable() }
     }
+    // The snapshot lives in its own dir (and must survive — the returned
+    // frame reads it lazily); only the feed copy is garbage now.
+    cleanupFeed(feed)
+    snapshot
   }
 
   /** Spec-only harness of [[upsertRun]] over an explicit feed — crafted and
