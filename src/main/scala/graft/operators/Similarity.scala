@@ -674,6 +674,76 @@ object Similarity {
        |    ORDER BY adist ASC, vec_id ASC) AS rank FROM scored)
        |WHERE rank <= $k""".stripMargin
 
+  /** SCALAR QUANTIZATION (FAISS's SQ8) kNN — the third production
+    * compression shape alongside IVF (partitioning) and PQ (subspace
+    * codes): every dimension quantizes INDEPENDENTLY to an 8-bit code
+    * against per-dimension corpus [min, max] bounds — 4× compression for
+    * float32 with much higher fidelity than PQ (per-dim codes, no subspace
+    * codebook), the standard first rung of the FAISS compression ladder.
+    *
+    * Train: per-dimension bounds in ONE aggregation (narrow posexplode →
+    * |dims| groups → a single 2-array row, broadcast — min/max are
+    * associative, so the "training" is a mergeable map-side-combined pass,
+    * scan-bound at 100 TB). Encode/decode are narrow per-row maps.
+    * Scoring is ASYMMETRIC (query stays exact; candidates reconstruct
+    * `vmin + code·(vmax−vmin)/L`) through the same codegen'd [[dist2]]
+    * kernel as PQ, top-k via WindowGroupLimit. Every float op is a fixed
+    * parenthesized chain mirrored verbatim in the oracle, so the approx
+    * distances hash-match DuckDB. Constant dimensions (vmax = vmin) pin
+    * code 0 and reconstruct exactly. */
+  val Sq8Levels = 255
+
+  def knnSq8(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val stats = e.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
+          s => s.getField("mn")).as("vmin"),
+        transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+          s => s.getField("mx")).as("vmax"))
+    val recon = e.crossJoin(broadcast(stats))
+      .withColumn("codes", expr(
+        s"""transform(v, (x, i) -> CASE WHEN vmax[i] = vmin[i] THEN 0L
+           |ELSE CAST(floor(((x - vmin[i]) * $Sq8Levels.0D) / (vmax[i] - vmin[i])) AS BIGINT) END)""".stripMargin))
+      .withColumn("recon", expr(
+        s"""transform(codes, (c, i) -> CASE WHEN vmax[i] = vmin[i] THEN vmin[i]
+           |ELSE vmin[i] + ((CAST(c AS DOUBLE) * (vmax[i] - vmin[i])) / $Sq8Levels.0D) END)""".stripMargin))
+      .select(col("vec_id"), col("recon"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist").asc, col("vec_id").asc)
+    recon.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("adist", dist2(col("qv"), col("recon")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("adist"), 6).as("adist"))
+  }
+
+  /** Oracle twin: same bounds, same encode→decode chain (identical
+    * parenthesization, BIGINT round trip included), same [[dist2Sql]]
+    * fold. */
+  def knnSq8Sql(k: Int = 5): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |dims AS (SELECT i AS dim, min(v[i]) AS mn, max(v[i]) AS mx
+       |  FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g GROUP BY 1),
+       |st AS (SELECT list(mn ORDER BY dim) AS vmin, list(mx ORDER BY dim) AS vmax FROM dims),
+       |rec AS (SELECT vec_id,
+       |    list_transform(generate_series(1, len(v)), i -> CASE WHEN vmax[i] = vmin[i] THEN vmin[i]
+       |      ELSE vmin[i] + ((CAST(CAST(floor(((v[i] - vmin[i]) * $Sq8Levels.0) / (vmax[i] - vmin[i])) AS BIGINT) AS DOUBLE)
+       |        * (vmax[i] - vmin[i])) / $Sq8Levels.0) END) AS r
+       |  FROM e CROSS JOIN st),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+       |scored AS (SELECT q.query_id, c.vec_id, ${dist2Sql("q.qv", "c.r")} AS adist
+       |  FROM rec c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+       |SELECT query_id, vec_id AS neighbor_id, rank, round(adist, 6) AS adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adist ASC, vec_id ASC) AS rank FROM scored)
+       |WHERE rank <= $k""".stripMargin
+
   /** Per-label centroid of the embedding corpus in FIXED-POINT int64: each
     * component maps to `floor(x · 10^6)` (floor of identical IEEE doubles —
     * bit-portable, unlike rounding whose half-way rule differs across

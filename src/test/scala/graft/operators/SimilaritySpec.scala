@@ -52,6 +52,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pq.size === 50, "5 neighbors per query, 10 queries")
   }
 
+  test("knn_sq8: per-dim 8-bit quantization recalls exact-L2 neighbors near-perfectly") {
+    import org.apache.spark.sql.functions._
+    val sq = Similarity.knnSq8(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = graft.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id").asc)
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("d2", Similarity.dist2(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = sq.count(exact.contains)
+    info(s"SQ8 recall: $overlap/50 vs exact L2")
+    // per-dimension 8-bit codes are far finer than PQ's 16 subspace
+    // codebooks (floor 20/50 above) — a drop below 45 means the
+    // encode/decode chain broke, not that the corpus got hard
+    assert(overlap >= 45, s"SQ8 recall collapsed: $overlap/50 vs exact L2")
+    assert(sq.size === 50, "5 neighbors per query, 10 queries")
+  }
+
   test("knn_ivfpq: candidates stay in the query's cluster; ADC distances agree with knn_pq") {
     import org.apache.spark.sql.functions._
     val cluster = Similarity.ivfAssigned(spark, Sf)
