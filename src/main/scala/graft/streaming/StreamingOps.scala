@@ -407,6 +407,48 @@ object StreamingOps {
       |      FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND c.cus BETWEEN p.pus - 3600000000 AND p.pus""".stripMargin
 
+  /** STREAM-STATIC enrichment join — the third streaming join family
+    * alongside the stateful stream-stream join and the stateful
+    * aggregations: each micro-batch of the purchase stream probes a STATIC
+    * dimension table (customer ⋈ nation), which requires NO state store at
+    * all — the dim side is simply available to every batch, the join is
+    * stateless, and append mode emits enriched rows as they arrive. This
+    * is the workhorse shape of production ingest (enrich events with
+    * user/account/geo dims before landing them); at 100 TB/day the static
+    * side is a broadcast or bucket-joined dim exactly as in batch, because
+    * stream-static planning IS batch planning per micro-batch. nation
+    * keeps its fixed-cardinality broadcast hint; sf-scaled customer is
+    * left to the planner, per the standing hint discipline. */
+  def streamingEnrich(spark: SparkSession, sfDir: String, numChunks: Int = 2): DataFrame = {
+    val purch = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
+      .selectExpr("event_id", "user_id", "ts div 1000 AS us", "value")
+    val feed = stageTimeChunks(purch, "us", numChunks,
+      ckptDir("graft_stream_enrich_feed"))
+    val dims = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+    val enriched = spark.readStream.schema(purch.schema).parquet(feed.watchDir)
+      .join(dims, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_name"), col("n_name"), col("value"))
+    val name = "graft_stream_enrich"
+    withStateParts(spark) {
+      val q = enriched.writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", ckptDir(name)).start()
+      try {
+        (0 until numChunks).foreach { k => dropChunk(feed, k); q.processAllAvailable() }
+      } finally q.stop()
+    }
+    cleanupFeed(feed)
+    spark.table(name)
+  }
+
+  val streamingEnrichSql: String =
+    """SELECT e.event_id, e.user_id, c.c_name, n.n_name, e.value
+      |FROM events e
+      |JOIN customer c ON c.c_custkey = e.user_id
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |WHERE e.event_type = 'purchase'""".stripMargin
+
   /** Streaming EXACT dedup — the continuous-ingest twin of
     * [[graft.operators.Dedup.exact]]: hash each arriving document and
     * `dropDuplicates` on the hash through the streaming engine, so state
