@@ -135,4 +135,54 @@ object Ranking {
        |FROM contrib GROUP BY doc_id
        |ORDER BY bm25_fp DESC, doc_id LIMIT $topK""".stripMargin
   }
+
+  /** Positional INVERTED-INDEX construction — the retrieval-index BUILD
+    * step that [[bm25Rank]]'s scoring presupposes: per (term, doc) the
+    * term frequency and the sorted token-position list (phrase/proximity
+    * queries need positions, which is why production indexes store them),
+    * df-capped (terms in more than `dfCap` docs are boilerplate/stop-word
+    * postings a ranked index drops — same policy as doc_winnow_pairs) and
+    * truncated to the top `topK` postings per term by (tf desc, doc_id) —
+    * the impact-ordered index layout WAND-style scorers scan.
+    *
+    * Shape: ONE shuffle on (term, doc_id) builds tf + positions with
+    * map-side partials; df/rank share ONE further term-keyed exchange
+    * (same partition key, both windows in one pass); the rank cap
+    * compiles to WindowGroupLimit so no term ships more than topK+ rows.
+    * Positions serialize as a comma-joined string — the driver compare
+    * stays on scalar columns. Output is bounded by |vocab| × topK
+    * regardless of corpus size. */
+  def invertedPostings(spark: SparkSession, sfDir: String,
+      topK: Int = 10, dfCap: Int = 400): DataFrame = {
+    val occ = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term")))
+    val postings = occ.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        array_join(transform(sort_array(collect_list(col("pos").cast("long"))),
+          x => x.cast("string")), ",").as("positions"))
+    val byTerm = Window.partitionBy(col("term"))
+    val byImpact = byTerm.orderBy(col("tf").desc, col("doc_id").asc)
+    postings
+      .withColumn("df", count(lit(1)).over(byTerm))
+      .withColumn("rank", row_number().over(byImpact))
+      .filter(col("df") <= dfCap && col("rank") <= topK)
+      .select(col("term"), col("doc_id"), col("tf"), col("positions"),
+        col("df"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Oracle twin: same tokenizer CTE as every text query, 1-based list
+    * indices mapped to the same 0-based positions. */
+  def invertedPostingsSql(topK: Int = 10, dfCap: Int = 400): String =
+    s"""WITH toks AS (SELECT doc_id, ${TextOps.tokensSql} AS t FROM documents),
+       |occ AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS term
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
+       |posting AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+       |    array_to_string(list(pos ORDER BY pos), ',') AS positions
+       |  FROM occ GROUP BY term, doc_id),
+       |ranked AS (SELECT *,
+       |    CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+       |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rank
+       |  FROM posting)
+       |SELECT term, doc_id, tf, positions, df, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE df <= $dfCap AND rank <= $topK""".stripMargin
 }

@@ -320,6 +320,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "codebook and query distance tables both ride broadcasts")
   }
 
+  test("inverted_postings: two exchanges total (posting build + term windows share a key)") {
+    val p = plan("inverted_postings")
+    // build shuffles on (term, doc_id); df-count and impact-rank windows
+    // both partition by term — ONE further exchange serves both, and the
+    // rank cap prunes per term before rows leave the window stage
+    assert(nodes(p, "Exchange") <= 2, s"term windows must share one exchange:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"posting cap must prune per partition:\n$p")
+  }
+
   test("bm25_rank: top-k via TakeOrderedAndProject, corpus stats broadcast") {
     val p = plan("bm25_rank")
     assert(p.contains("TakeOrderedAndProject"), s"bm25 must not globally sort:\n$p")
