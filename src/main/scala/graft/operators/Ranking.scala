@@ -140,21 +140,33 @@ object Ranking {
     * step that [[bm25Rank]]'s scoring presupposes: per (term, doc) the
     * term frequency and the sorted token-position list (phrase/proximity
     * queries need positions, which is why production indexes store them),
-    * df-capped (terms in more than `dfCap` docs are boilerplate/stop-word
-    * postings a ranked index drops — same policy as doc_winnow_pairs) and
-    * truncated to the top `topK` postings per term by (tf desc, doc_id) —
-    * the impact-ordered index layout WAND-style scorers scan.
+    * df-capped as a FRACTION of the corpus (terms in more than
+    * `dfCapNum/dfCapDen` of docs are boilerplate/stop-word postings a
+    * ranked index drops — a fraction, not an absolute count, so the
+    * policy means the same thing at every corpus size; the threshold
+    * compares in exact integer cross-multiplication) and truncated to the
+    * top `topK` postings per term by (tf desc, doc_id) — the
+    * impact-ordered index layout WAND-style scorers scan.
     *
     * Shape: ONE shuffle on (term, doc_id) builds tf + positions with
     * map-side partials; df/rank share ONE further term-keyed exchange
     * (same partition key, both windows in one pass); the rank cap
-    * compiles to WindowGroupLimit so no term ships more than topK+ rows.
-    * Positions serialize as a comma-joined string — the driver compare
-    * stays on scalar columns. Output is bounded by |vocab| × topK
-    * regardless of corpus size. */
+    * compiles to WindowGroupLimit so no term ships more than topK+ rows;
+    * the corpus count rides a 1-row broadcast. Positions serialize as a
+    * comma-joined string — the driver compare stays on scalar columns.
+    * Output is bounded by |vocab| × topK regardless of corpus size. */
   def invertedPostings(spark: SparkSession, sfDir: String,
-      topK: Int = 10, dfCap: Int = 400): DataFrame = {
-    val occ = Tables.documents(spark, sfDir)
+      topK: Int = 10, dfCapNum: Int = 9, dfCapDen: Int = 10): DataFrame =
+    invertedPostingsOf(Tables.documents(spark, sfDir), topK, dfCapNum, dfCapDen)
+
+  /** Core over an explicit (doc_id, text) frame — the registered query
+    * wraps the documents table; specs feed crafted corpora to pin the
+    * boilerplate-drop behavior the synthetic table's tiny flat vocabulary
+    * (31 terms, none above the cap) cannot exhibit. */
+  def invertedPostingsOf(docs: DataFrame,
+      topK: Int, dfCapNum: Int, dfCapDen: Int): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val occ = docs
       .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term")))
     val postings = occ.groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"),
@@ -165,14 +177,16 @@ object Ranking {
     postings
       .withColumn("df", count(lit(1)).over(byTerm))
       .withColumn("rank", row_number().over(byImpact))
-      .filter(col("df") <= dfCap && col("rank") <= topK)
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * dfCapDen <= col("n_docs") * dfCapNum && col("rank") <= topK)
       .select(col("term"), col("doc_id"), col("tf"), col("positions"),
         col("df"), col("rank").cast("long").as("rank"))
   }
 
   /** Oracle twin: same tokenizer CTE as every text query, 1-based list
-    * indices mapped to the same 0-based positions. */
-  def invertedPostingsSql(topK: Int = 10, dfCap: Int = 400): String =
+    * indices mapped to the same 0-based positions, same integer
+    * cross-multiplied df-fraction cap. */
+  def invertedPostingsSql(topK: Int = 10, dfCapNum: Int = 9, dfCapDen: Int = 10): String =
     s"""WITH toks AS (SELECT doc_id, ${TextOps.tokensSql} AS t FROM documents),
        |occ AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS term
        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
@@ -184,5 +198,7 @@ object Ranking {
        |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rank
        |  FROM posting)
        |SELECT term, doc_id, tf, positions, df, CAST(rank AS BIGINT) AS rank
-       |FROM ranked WHERE df <= $dfCap AND rank <= $topK""".stripMargin
+       |FROM ranked
+       |WHERE df * $dfCapDen <= (SELECT count(*) FROM documents) * $dfCapNum
+       |  AND rank <= $topK""".stripMargin
 }

@@ -320,12 +320,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "codebook and query distance tables both ride broadcasts")
   }
 
-  test("inverted_postings: two exchanges total (posting build + term windows share a key)") {
+  test("inverted_postings: three exchanges total; term windows share one; cap via WindowGroupLimit") {
     val p = plan("inverted_postings")
-    // build shuffles on (term, doc_id); df-count and impact-rank windows
-    // both partition by term — ONE further exchange serves both, and the
-    // rank cap prunes per term before rows leave the window stage
-    assert(nodes(p, "Exchange") <= 2, s"term windows must share one exchange:\n$p")
+    // data exchanges: the (term, doc_id) posting build and ONE term-keyed
+    // exchange serving BOTH windows (df count + impact rank). The third is
+    // the 1-row corpus-count aggregate collapsing to a single partition
+    // before it rides the BroadcastExchange — O(1) bytes, not data flow.
+    assert(nodes(p, "Exchange") <= 3, s"term windows must share one exchange:\n$p")
+    assert(nodes(p, "BroadcastExchange") >= 1, "the corpus count must broadcast")
     assert(p.contains("WindowGroupLimit"), s"posting cap must prune per partition:\n$p")
   }
 

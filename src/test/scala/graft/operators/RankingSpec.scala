@@ -157,4 +157,27 @@ class RankingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === expected)
   }
+
+  test("inverted_postings: df cap drops the ubiquitous term, positions are exact, top-k by impact") {
+    // Crafted corpus the flat synthetic vocabulary can't provide: "the"
+    // appears in all 4 docs (df 4/4 > 9/10 cap → dropped); "rare" in one.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog the dog barks"),
+      (3L, "the cat naps"),
+      (4L, "rare the word")).toDF("doc_id", "text")
+    val got = Ranking.invertedPostingsOf(docs, topK = 2, dfCapNum = 9, dfCapDen = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5))).toSet
+    assert(!got.exists(_._1 == "the"), "df 4/4 term must be capped out")
+    // cat: doc1 pos 1, doc3 pos 1 → tf ties broken by doc_id
+    assert(got.contains(("cat", 1L, 1L, "1", 2L, 1L)))
+    assert(got.contains(("cat", 3L, 1L, "1", 2L, 2L)))
+    // dog: tf 2 in doc2 at positions 1,3 (0-based)
+    assert(got.contains(("dog", 2L, 2L, "1,3", 1L, 1L)))
+    assert(got.contains(("rare", 4L, 1L, "0", 1L, 1L)))
+    // top-k: no term carries more than 2 postings
+    assert(got.groupBy(_._1).values.forall(_.size <= 2))
+  }
 }
