@@ -128,6 +128,64 @@ object Curation {
        |  CAST(sum(len) AS BIGINT) AS n_contaminated_pos
        |FROM runs GROUP BY doc_id""".stripMargin
 
+  /** Corpus-INTERNAL duplicated spans — exact-substring dedup in the style
+    * of "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al., 2022): per document, the contiguous runs of word-3-gram positions
+    * whose shingle also occurs in at least one OTHER document. Where
+    * [[contaminationSpans]] probes an external benchmark set, this finds
+    * boilerplate shared anywhere inside the corpus itself — the spans a
+    * substring-level deduper would cut before training.
+    *
+    * Shape: ONE shingle pass (localCheckpoint'ed) feeds both the
+    * document-frequency aggregation and the position probe. The shared
+    * set is joined back as a shuffle semi-join on the shingle hash — NOT
+    * broadcast, because unlike the tiny benchmark side the shared-shingle
+    * set grows with the corpus. Spans come from the same gaps-and-islands
+    * window, one doc-keyed shuffle. Everything is bounded by the shingle
+    * stream; nothing is quadratic in documents. */
+  def dupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    dupSpansOfDocs(Tables.documents(spark, sfDir))
+
+  private[graft] def dupSpansOfDocs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), posexplode(
+        graft.functions.ShinglesExpression.word_shingles(col("t"), 3)))
+      .select(col("doc_id"), col("pos"),
+        Hashing.md5Long(col("col")).as("h"))
+      .localCheckpoint() // df aggregation + position probe share one pass
+    val shared = pos.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select(col("h"))
+    val hits = pos.join(shared, Seq("h"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), max(col("len")).as("max_span"),
+        sum(col("len")).as("n_dup_pos"))
+  }
+
+  val dupSpansSql: String =
+    s"""WITH toks AS (SELECT doc_id, ${TextOps.tokensSql} AS t FROM documents),
+       |p AS (SELECT doc_id, i - 1 AS pos,
+       |    ${Hashing.md5LongSql("t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]")} AS h
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+       |  WHERE len(t) >= 3),
+       |shared AS (SELECT h FROM p GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |hits AS (SELECT doc_id, pos FROM p WHERE h IN (SELECT h FROM shared)),
+       |isl AS (SELECT doc_id,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM hits),
+       |runs AS (SELECT doc_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(max(len) AS BIGINT) AS max_span,
+       |  CAST(sum(len) AS BIGINT) AS n_dup_pos
+       |FROM runs GROUP BY doc_id""".stripMargin
+
   /** Per-document shingle NOVELTY: the fraction of a doc's distinct
     * word-3-gram shingles whose globally FIRST occurrence (min doc_id over
     * the corpus) is this document. Low novelty = the doc's content is

@@ -255,6 +255,35 @@ object Relational {
        |WHERE l.l_quantity < 0.2 * (SELECT avg(l2.l_quantity)
        |  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
 
+  /** TPC-H Q13 analog: the customer order-count DISTRIBUTION (how many
+    * customers placed 0, 1, 2, … non-urgent orders). The classic form is a
+    * left-outer join customer⟕orders with the filter in the join condition;
+    * the scale-right decorrelation used here pre-aggregates the FACT side
+    * to one (o_custkey, cnt) row per customer BEFORE the join — at 100 TB
+    * the outer join then moves |customer| rows instead of |orders| rows,
+    * and the zero-order customers materialize as a null-side coalesce(0),
+    * not as exploded join rows. Second aggregate is on the tiny count
+    * domain. The DuckDB oracle keeps the textbook outer-join form, proving
+    * the pre-aggregated plan result-identical. */
+  def q13OrderDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    Tables.customer(spark, sfDir).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q13OrderDistSql: String =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      |  SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count
+      |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |    AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey) per_cust
+      |GROUP BY c_count""".stripMargin
+
   /** TPC-H Q5 analog: 6-way star join. nation/region are fixed-cardinality
     * dimensions (25/5 rows at every sf) and keep explicit broadcast hints;
     * customer/supplier GROW with sf, so their join strategy is left to AQE

@@ -45,6 +45,39 @@ object Skew {
       .agg(sum(col("__partial")).as("cnt"))
   }
 
+  /** Salted skew JOIN as a first-class, oracle-checked query: events (the
+    * probe side — at 100 TB a power-law stream where one hot user can hold
+    * a whole shuffle partition hostage) joined to customer (a build side
+    * too big to broadcast at scale) through [[saltedJoin]], then reduced to
+    * per-segment totals. The DuckDB twin is the PLAIN join + group-by,
+    * proving the salted plan is result-identical to the unsalted join.
+    *
+    * Shape: the probe shuffles on (user_id, salt) — hot keys split across
+    * 8 reducers — and the build side is replicated 8× (still |customer|×8
+    * rows, shuffle-bounded, never a cartesian). The per-segment aggregate
+    * then moves only partial rows. Doubles sum through the fixed-scale
+    * decimal path ([[Exact.dsum]]) so the result is order-independent
+    * under any task schedule — exactly what the salt perturbs. */
+  def eventsJoinSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    saltedJoin(ev, cust, "user_id", col("event_id"), 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Exact.dsum(col("value")).as("sum_value"))
+  }
+
+  val eventsJoinSaltedSql: String =
+    s"""SELECT c_mktsegment,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  ${Exact.sqlSum("value")} AS sum_value
+       |FROM events JOIN customer ON user_id = c_custkey
+       |GROUP BY c_mktsegment""".stripMargin
+
   /** Per-user event counts through the salted two-phase aggregation — the
     * skew pattern as a first-class, oracle-checked query (the DuckDB twin is
     * the PLAIN group-by, proving the salted plan is result-identical). The

@@ -26,6 +26,33 @@ class ContaminationSpansSpec extends AnyFunSuite {
     assert(rows === Map(1L -> ((2L, 3L, 4L))))
   }
 
+  test("dupSpans: both copies of a shared excerpt span; unique docs absent") {
+    import spark.implicits._
+    // Docs 1 and 2 share a verbatim 5-token excerpt ("s1..s5" → 3
+    // consecutive shared shingles); doc 3 is entirely unique. Unlike
+    // contamination, BOTH holders of the duplicate are reported.
+    val docs = Seq(
+      (1L, "a1 a2 s1 s2 s3 s4 s5 a3"),
+      (2L, "s1 s2 s3 s4 s5 b1 b2 b3"),
+      (3L, "u1 u2 u3 u4 u5 u6")
+    ).toDF("doc_id", "text")
+    val rows = Curation.dupSpansOfDocs(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // Each copy: one span of the 3 excerpt shingles (positions 2..4 / 0..2).
+    assert(rows === Map(1L -> ((1L, 3L, 3L)), 2L -> ((1L, 3L, 3L))))
+  }
+
+  test("dupSpans: a shingle repeated only WITHIN one doc is not a duplicate") {
+    import spark.implicits._
+    // "r1 r2 r3" occurs twice in doc 1 but nowhere else — document
+    // frequency 1, so self-repetition alone must not flag spans.
+    val docs = Seq(
+      (1L, "r1 r2 r3 x1 x2 r1 r2 r3"),
+      (2L, "y1 y2 y3 y4 y5")
+    ).toDF("doc_id", "text")
+    assert(Curation.dupSpansOfDocs(docs).count() === 0)
+  }
+
   test("uncontaminated docs and the benchmark itself are absent") {
     import spark.implicits._
     val docs = Seq(

@@ -29,6 +29,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty)
   }
 
+  test("q13OrderDist: distribution totals |customer|; zero bucket equals the anti-join count") {
+    val dist = Relational.q13OrderDist(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nCust = Tables.customer(spark, Sf).count()
+    assert(dist.values.sum === nCust) // every customer lands in exactly one bucket
+    val zeroOrder = Tables.customer(spark, Sf).select(col("c_custkey"))
+      .join(Tables.orders(spark, Sf).filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(dist.getOrElse(0L, 0L) === zeroOrder)
+    // Cross-check one non-zero bucket against a direct per-customer count.
+    val perCust = Tables.orders(spark, Sf)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).count()
+      .groupBy(col("count")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perCust.foreach { case (bucket, n) => assert(dist(bucket) === n) }
+  }
+
   test("ordersAboveCustAvg equals the self-join decorrelation") {
     val windowed = Relational.ordersAboveCustAvg(spark, Sf)
     val perCust = Tables.orders(spark, Sf)

@@ -21,6 +21,21 @@ class SkewSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("eventsJoinSalted equals the plain events ⋈ customer aggregate") {
+    val ev = Tables.events(spark, Sf).select(col("user_id"), col("value"))
+    val cust = Tables.customer(spark, Sf)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val plain = ev.join(cust, Seq("user_id"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Exact.dsum(col("value")).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.eventsJoinSalted(spark, Sf).collect().map(_.toSeq).toSet
+    assert(salted === plain)
+    assert(salted.nonEmpty)
+  }
+
   test("saltedCount equals plain groupBy count under a hot key") {
     import spark.implicits._
     // 10k rows of one hot key + a long tail.
