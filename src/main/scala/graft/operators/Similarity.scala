@@ -674,6 +674,80 @@ object Similarity {
        |    ORDER BY adist ASC, vec_id ASC) AS rank FROM scored)
        |WHERE rank <= $k""".stripMargin
 
+  /** Two-stage RETRIEVE-THEN-RERANK — the production serving shape that
+    * sits on top of every compressed index: stage 1 pulls a SHORTLIST of
+    * candidates per query from the IVFPQ index (cluster-pruned, ADC
+    * approximate distances — cheap, compressed-domain), stage 2 re-scores
+    * ONLY those candidates against the full float vectors with exact
+    * cosine and emits the final top-k. Quantization error then affects
+    * RECALL (a true neighbor missing from the shortlist) but never the
+    * reported scores or their order — which is why FAISS/SCaNN serve
+    * exactly this two-pass shape.
+    *
+    * Scale: stage 1 inherits IVFPQ's plan (code rows, not embeddings;
+    * ~1/C of the corpus per probe). Stage 2 touches |queries|·shortlist
+    * rows — a shortlist-keyed equi-join back to the vector store (at
+    * 100 TB: a point-lookup join bounded by the shortlist, the reason
+    * reranking is affordable no matter the corpus size). */
+  def knnIvfRerank(spark: SparkSession, sfDir: String, k: Int = 5,
+      shortlist: Int = 20): DataFrame = {
+    val (encWide, dtab, adist) = pqParts(spark, sfDir)
+    val assigned = ivfAssigned(spark, sfDir)
+    val cand = encWide.join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+    val qmeta = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("cluster").as("qcluster"))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val short = cand.join(broadcast(dtab.join(qmeta, "query_id")),
+        col("cluster") === col("qcluster") && col("vec_id") =!= col("query_id"))
+      .withColumn("adist", adist)
+      .withColumn("arank", row_number().over(wShort))
+      .filter(col("arank") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val vecs = assigned.select(col("vec_id"), col("v"), col("nrm"))
+    val q = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    short.join(vecs, "vec_id").join(broadcast(q), "query_id")
+      .withColumn("cos", cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  def knnIvfRerankSql(k: Int = 5, shortlist: Int = 20): String =
+    s"""WITH $pqCtes,
+       |cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < $NumCentroids),
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS cluster FROM (
+       |    SELECT ee.vec_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY ee.vec_id
+       |        ORDER BY ${cosineSql("ee", "c")} DESC, c.cent_id ASC) AS arn
+       |    FROM embeddings ee CROSS JOIN cent c)
+       |  WHERE arn = 1),
+       |qm AS (SELECT vec_id AS query_id, cluster AS qcluster FROM assigned
+       |      WHERE vec_id < $NumQueries),
+       |scored AS (SELECT d0.query_id, w.vec_id, $pqAddChain AS adist
+       |  FROM encw w
+       |  JOIN assigned a ON a.vec_id = w.vec_id
+       |  ${pqJoins()}
+       |  JOIN qm ON qm.query_id = d0.query_id AND a.cluster = qm.qcluster
+       |  WHERE w.vec_id <> d0.query_id),
+       |short AS (SELECT query_id, vec_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adist ASC, vec_id ASC) AS arank FROM scored)
+       |  WHERE arank <= $shortlist)
+       |SELECT query_id, neighbor_id, rank, cos_sim FROM (
+       |  SELECT s.query_id, s.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY ${cosineSql("qe", "e")} DESC, s.vec_id ASC) AS rank,
+       |    round(${cosineSql("qe", "e")}, 6) AS cos_sim
+       |  FROM short s JOIN embeddings e ON e.vec_id = s.vec_id
+       |    JOIN embeddings qe ON qe.vec_id = s.query_id)
+       |WHERE rank <= $k""".stripMargin
+
   /** SCALAR QUANTIZATION (FAISS's SQ8) kNN — the third production
     * compression shape alongside IVF (partitioning) and PQ (subspace
     * codes): every dimension quantizes INDEPENDENTLY to an 8-bit code

@@ -96,6 +96,27 @@ class SimilaritySpec extends AnyFunSuite {
     shared.foreach(k => assert(ivfpq(k) === pq(k)))
   }
 
+  test("knn_ivf_rerank: exact scores on the shortlist; recall >= plain IVFPQ") {
+    val rerank = Similarity.knnIvfRerank(spark, Sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    // Stage-2 scores must be the EXACT cosine — every (query, neighbor)
+    // pair also ranked by the brute-force baseline carries the identical
+    // rounded score (quantization may move the shortlist, never a score).
+    val brute = Similarity.knnBrute(spark, Sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val common = rerank.keySet.intersect(brute.keySet)
+    assert(common.nonEmpty)
+    common.foreach(p => assert(rerank(p) === brute(p),
+      s"rerank score diverged from exact cosine on $p"))
+    // Reranking a 20-candidate shortlist cannot recall FEWER true cosine
+    // neighbors than the ADC-ordered top-5 of the same index.
+    val ivfpq = Similarity.knnIvfPq(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteSet = brute.keySet
+    assert(rerank.keySet.count(bruteSet.contains) >= ivfpq.count(bruteSet.contains),
+      "rerank recalled fewer brute neighbors than plain IVFPQ")
+  }
+
   test("SRP-LSH output is a verified subset of the exhaustive near-dup baseline") {
     val srp = pairSet(Similarity.embeddingNearDupSrp(spark, Sf))
     val exhaustive = pairSet(Dedup.embeddingNearDup(spark, Sf))
