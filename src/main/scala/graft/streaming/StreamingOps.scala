@@ -399,6 +399,83 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** Watermarked stream-stream LEFT OUTER interval join — the fourth
+    * streaming join family: every purchase emits, with click_id = NULL
+    * when no click from the preceding hour exists. Outer emission is the
+    * part plain inner joins never exercise: an unmatched left row can only
+    * be emitted once the RIGHT side's watermark has passed its entire join
+    * window (no future click can match), i.e. null rows surface on
+    * WATERMARK ADVANCEMENT, not on data arrival.
+    *
+    * End-of-stream therefore needs an explicit flush: a finite replay ends
+    * with the watermark at max-event-time, leaving the tail's unmatched
+    * rows buffered forever. The feeder appends two SENTINEL rows per side
+    * (negative user_ids, event times beyond the corpus + join range) —
+    * the first advances the watermark past all real rows, the second
+    * forces the batch in which that watermark evicts-and-emits the real
+    * tail. Sentinels are filtered from the result; whether the sentinels'
+    * OWN unmatched rows surface depends on trailing no-data batches, so
+    * nothing observable depends on them. This is exactly the "advance
+    * the watermark to drain outer state" discipline a production
+    * pipeline applies when draining a topic before decommission. */
+  def streamingJoinOuter(spark: SparkSession, sfDir: String,
+      numChunks: Int = 2): DataFrame = {
+    import spark.implicits._
+    def side(tpe: String) = Tables.events(spark, sfDir)
+      .filter(col("event_type") === tpe)
+      .selectExpr("user_id", "event_id", "ts div 1000 AS us")
+    val clickDf = side("click")
+    val purchDf = side("purchase")
+    val base = ckptDir("graft_stream_lojoin_feed")
+    val cFeed = stageTimeChunks(clickDf, "us", numChunks, s"$base/clicks")
+    val pFeed = stageTimeChunks(purchDf, "us", numChunks, s"$base/purchases")
+    val maxUs = math.max(
+      clickDf.agg(max(col("us"))).head.getLong(0),
+      purchDf.agg(max(col("us"))).head.getLong(0)) // two scalars, not data
+    val hourUs = 3600L * 1000000L
+    def dropSentinel(watchDir: String, userId: Long, us: Long): Unit =
+      Seq((userId, -1L, us)).toDF("user_id", "event_id", "us")
+        .coalesce(1).write.mode("append").parquet(watchDir)
+    val clicks = spark.readStream.schema(clickDf.schema).parquet(cFeed.watchDir)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        timestamp_micros(col("us")).as("c_time"))
+      .withWatermark("c_time", "0 seconds")
+    val purchases = spark.readStream.schema(purchDf.schema).parquet(pFeed.watchDir)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        timestamp_micros(col("us")).as("p_time"))
+      .withWatermark("p_time", "0 seconds")
+    val joined = purchases.join(clicks, expr(
+        "p_user = c_user AND c_time >= p_time - INTERVAL 1 HOUR AND c_time <= p_time"),
+        "leftOuter")
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("click_id"))
+    val name = "graft_stream_lojoin"
+    withStateParts(spark) {
+      val q = joined.writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", ckptDir(name)).start()
+      try {
+        (0 until numChunks).foreach { k =>
+          dropChunk(cFeed, k); dropChunk(pFeed, k)
+          q.processAllAvailable()
+        }
+        (1 to 2).foreach { f => // watermark flush: advance, then evict-and-emit
+          dropSentinel(cFeed.watchDir, -1L, maxUs + 2L * f * hourUs)
+          dropSentinel(pFeed.watchDir, -2L, maxUs + 2L * f * hourUs)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    cleanupFeed(cFeed, pFeed)
+    spark.table(name).filter(col("user_id") >= 0)
+  }
+
+  val streamingJoinOuterSql: String =
+    """SELECT p.purchase_id, p.user_id, c.click_id
+      |FROM (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+      |      FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+      |      FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.cus BETWEEN p.pus - 3600000000 AND p.pus""".stripMargin
+
   val streamingIntervalJoinSql: String =
     """SELECT p.purchase_id, p.user_id, c.click_id
       |FROM (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus

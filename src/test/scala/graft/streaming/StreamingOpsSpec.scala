@@ -160,6 +160,29 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER join equals batch; watermark flush drains the null tail") {
+    import org.apache.spark.sql.functions._
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    val streamed = StreamingOps.streamingJoinOuter(spark, Sf)
+      .collect().map(key).toSet
+    val ev = graft.Tables.events(spark, Sf).withColumn("us", expr("ts div 1000"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("us").as("pus"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("us").as("cus"))
+    val batch = p.join(c, col("user_id") === col("cu") &&
+        col("cus") >= col("pus") - 3600000000L && col("cus") <= col("pus"), "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("click_id"))
+      .collect().map(key).toSet
+    assert(streamed === batch)
+    // the outer path must actually fire: unmatched purchases emit null
+    // click_ids, and they can only have surfaced via the sentinel flush
+    // (the corpus tail's purchases are inside the final watermark window)
+    assert(streamed.exists(_._3.isEmpty))
+    assert(streamed.exists(_._3.nonEmpty))
+  }
+
   test("streaming sessionize (chunked feed) equals the batch sessionize rows") {
     val streamed = StreamingOps.streamingSessionize(spark, Sf)
       .collect().map(_.toSeq).toSet
