@@ -75,6 +75,45 @@ object Sampling {
        |  CAST(start_offset // $binTokens AS BIGINT) AS bin_id
        |FROM o""".stripMargin
 
+  /** [[weightedSample]] saturation length: a doc of ≥ this many chars is
+    * kept with probability 1; shorter docs keep proportionally. */
+  val WeightTau = 2000L
+
+  /** Hash modulus for [[weightedSample]] probability thresholds (2^32:
+    * threshold·τ stays far inside int64, and 2^32 buckets make the
+    * per-doc probability granularity ~2.3e-10). */
+  val WeightMod: Long = 1L << 32
+
+  /** Deterministic WEIGHTED Bernoulli sample: keep each document with
+    * probability min(1, n_chars/τ) — the importance-sampling step a
+    * curation pipeline uses to bias a subsample toward substantial
+    * documents without hard-dropping short ones. The coin is
+    * `md5(doc_id) mod 2^32 < threshold(n_chars)` in pure integer
+    * arithmetic: reproducible, engine-portable, and independent per doc —
+    * the weighted cousin of this module's hash-ordered rank primitive
+    * (`rand()` would be none of those).
+    *
+    * Scale: a narrow map + filter, ZERO shuffles — the sample decision
+    * never looks beyond the row, so at 100 TB this is scan-bound and
+    * embarrassingly parallel, and composes under any partition layout. */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        expr(s"($WeightMod * least(n_chars, $WeightTau)) div $WeightTau")
+          .as("keep_threshold"))
+      .filter(Hashing.md5Long(col("doc_id").cast("string")) % WeightMod
+        < col("keep_threshold"))
+
+  def weightedSampleSql: String = {
+    val h = Hashing.md5LongSql("CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, n_chars,
+       |  CAST(($WeightMod * least(n_chars, $WeightTau)) // $WeightTau AS BIGINT)
+       |    AS keep_threshold
+       |FROM documents
+       |WHERE $h % $WeightMod <
+       |  ($WeightMod * least(n_chars, $WeightTau)) // $WeightTau""".stripMargin
+  }
+
   /** Number of output shards for [[shardAssign]] — small against the test
     * corpus so every shard is non-trivially populated; production uses
     * O(1k–100k) shards independent of corpus size. */

@@ -211,6 +211,62 @@ object TextAnalysis {
       |  max(CASE WHEN rn = n THEN n_chars END) AS p100
       |FROM r JOIN c ON r.lang = c.lang GROUP BY r.lang""".stripMargin
 
+  /** Histogram bin width (chars) for [[histQuantiles]] — the estimator's
+    * error bound: every estimate is within one bin width of exact. */
+  val HistBinWidth = 256L
+
+  /** Quantiles by MERGEABLE fixed-width HISTOGRAM sketch — the scale path
+    * paired with the exact [[lengthQuantiles]], the same way the KMV
+    * sketch pairs with exact distinct counting. The exact form sorts every
+    * row through a per-group window (a full per-language sort of the
+    * corpus); the sketch reduces each partition to O(bins) counts that
+    * merge by ADDITION — Spark's partial aggregation IS the merge, so at
+    * 100 TB the exchange carries bin counts, not documents. This is the
+    * equi-width cousin of t-digest/KLL chosen because its estimate is a
+    * pure integer function of the counts, hence oracle-verifiable
+    * bit-for-bit where rank-interpolating sketches are not.
+    *
+    * Estimate = upper edge of the first bin whose cumulative count reaches
+    * the target rank (`cum·k ≥ q·n` in integers, i.e. cum ≥ ⌈q·n⌉): the
+    * bin holding the exact rank-statistic, so
+    * `est − binWidth ≤ exact < est` — the spec pins that bound against
+    * [[lengthQuantiles]]. The per-language cumulative pass runs over
+    * O(bins) rows per group, not the corpus. */
+  def histQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    histQuantilesOfDocs(Tables.documents(spark, sfDir))
+
+  private[graft] def histQuantilesOfDocs(docs: DataFrame): DataFrame = {
+    val bins = docs
+      .select(col("lang"), expr(s"n_chars div $HistBinWidth").as("bin"))
+      .groupBy(col("lang"), col("bin")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("lang"))
+    def est(reachNum: Int, reachDen: Int) = // cum·den ≥ num·n  ⟺  cum ≥ ⌈n·num/den⌉
+      min(when(col("cum") * reachDen >= col("n") * reachNum,
+        (col("bin") + 1L) * HistBinWidth))
+    bins.withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wTot))
+      .groupBy(col("lang"))
+      .agg(max(col("n")).as("n_docs"),
+        est(1, 4).as("p25_est"), est(1, 2).as("p50_est"),
+        est(3, 4).as("p75_est"), est(9, 10).as("p90_est"))
+  }
+
+  val histQuantilesSql: String =
+    s"""WITH b AS (SELECT lang, n_chars // $HistBinWidth AS bin, count(*) AS c
+       |  FROM documents GROUP BY 1, 2),
+       |t AS (SELECT lang, bin, c,
+       |    sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+       |    sum(c) OVER (PARTITION BY lang) AS n
+       |  FROM b)
+       |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+       |  CAST(min(CASE WHEN cum * 4 >= n THEN (bin + 1) * $HistBinWidth END) AS BIGINT) AS p25_est,
+       |  CAST(min(CASE WHEN cum * 2 >= n THEN (bin + 1) * $HistBinWidth END) AS BIGINT) AS p50_est,
+       |  CAST(min(CASE WHEN cum * 4 >= n * 3 THEN (bin + 1) * $HistBinWidth END) AS BIGINT) AS p75_est,
+       |  CAST(min(CASE WHEN cum * 10 >= n * 9 THEN (bin + 1) * $HistBinWidth END) AS BIGINT) AS p90_est
+       |FROM t GROUP BY lang""".stripMargin
+
   /** KMV sketch size: estimate from the k smallest distinct hash values. */
   val KmvK = 64
 

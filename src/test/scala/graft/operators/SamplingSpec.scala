@@ -8,6 +8,30 @@ class SamplingSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val Sf = "/root/testdata/sf0.001"
 
+  test("weightedSample: saturation keeps long docs surely; the kept set is the threshold predicate") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("n_chars"),
+        (Hashing.md5Long(col("doc_id").cast("string")) % Sampling.WeightMod).as("coin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val kept = Sampling.weightedSample(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    docs.foreach { case (id, nChars, coin) =>
+      val threshold =
+        Sampling.WeightMod * math.min(nChars, Sampling.WeightTau) / Sampling.WeightTau
+      assert(kept.contains(id) === (coin < threshold),
+        s"doc $id membership disagrees with its hash coin")
+      kept.get(id).foreach(t => assert(t === threshold))
+      if (nChars >= Sampling.WeightTau)
+        assert(kept.contains(id), s"saturated doc $id (n_chars=$nChars) must be kept")
+    }
+    // the sample is a real subsample: some docs in, some out
+    assert(kept.nonEmpty && kept.size < docs.length)
+    // determinism: a second evaluation draws the identical set
+    assert(Sampling.weightedSample(spark, Sf).collect()
+      .map(_.getLong(0)).toSet === kept.keySet)
+  }
+
   test("pack_sequences: offsets are exact per-source prefix sums, bins follow from offsets") {
     val rows = Sampling.packSequences(spark, Sf).collect()
       .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
