@@ -489,6 +489,110 @@ object Relational {
          |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
          |FROM orders""".stripMargin).mkString("\nUNION ALL\n")
 
+  /** TPC-H Q16 analog (supplier-part relationship counts). The testdata has
+    * no partsupp table, so the part↔supplier bridge is derived from
+    * lineitem — which makes the scale decorrelation visible: the fact table
+    * collapses to DISTINCT (partkey, suppkey) pairs FIRST (map-side partial
+    * distinct, one pair-key shuffle), so the part join and the blacklist
+    * anti-join move |bridge| rows, never |lineitem| rows. The final
+    * count(DISTINCT suppkey) re-dedupes at (brand, size) grain because two
+    * parts of one brand/size can share a supplier — Spark plans it as the
+    * standard Expand two-phase distinct aggregate. At 100 TB every exchange
+    * in this plan is bounded by the distinct pair count, not event volume. */
+  def q16SupplierCnt(spark: SparkSession, sfDir: String,
+      excludeBrand: String = "Brand#1", sizes: Seq[Int] = Seq(5, 10, 15, 20)): DataFrame = {
+    val bridge = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey")).dropDuplicates()
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand") =!= excludeBrand && col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val blacklist = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    bridge
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(blacklist, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** Oracle keeps the textbook NOT IN + straight join form. */
+  def q16SupplierCntSql(excludeBrand: String = "Brand#1",
+      sizes: Seq[Int] = Seq(5, 10, 15, 20)): String =
+    s"""SELECT p_brand, p_size,
+       |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE p_brand <> '$excludeBrand' AND p_size IN (${sizes.mkString(", ")})
+       |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |GROUP BY p_brand, p_size""".stripMargin
+
+  /** TPC-H Q18 analog (large-volume orders): customers whose single orders
+    * accumulate more than `minQty` units. The classic form filters with an
+    * IN over a GROUP BY...HAVING subquery and then re-joins lineitem to
+    * recompute the sum; here the aggregate is computed ONCE and its value
+    * reused — the qualifying set (a handful of orders at any sf; sum-qty
+    * p99 is ~270 against the 300 threshold) joins orders/customer directly,
+    * so after the one orderkey shuffle for the aggregate, everything
+    * downstream is AQE-broadcastable. l_quantity is integral doubles, so
+    * the plain double sum is exact at any partial-agg merge order. */
+  def q18LargeOrders(spark: SparkSession, sfDir: String, minQty: Double = 300.0): DataFrame = {
+    val bigOrders = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    bigOrders
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+  }
+
+  /** Oracle keeps the textbook HAVING-as-IN-filter + recompute form. */
+  def q18LargeOrdersSql(minQty: Double = 300.0): String =
+    s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       |  sum(l_quantity) AS sum_qty
+       |FROM customer, orders, lineitem
+       |WHERE o_orderkey IN (
+       |    SELECT l_orderkey FROM lineitem
+       |    GROUP BY l_orderkey HAVING sum(l_quantity) > $minQty)
+       |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice""".stripMargin
+
+  /** TPC-H Q22 analog (global-customer sales opportunity): per-nation count
+    * and total balance of rich-but-inactive customers. Two classic scalar
+    * shapes in one plan: the global threshold (mean positive balance) is a
+    * 1-row aggregate CROSS-JOINED back in — Spark broadcasts the single row
+    * so the "scalar subquery" costs one extra scan and zero shuffles — and
+    * the inactivity test is a left-anti join against orders on custkey.
+    * The threshold mean goes through the exact-decimal sum and ONE IEEE
+    * divide ([[Exact.davg]]), so the > comparison is bit-identical across
+    * engines and cluster layouts; the oracle keeps the correlated
+    * NOT EXISTS + scalar-subquery textbook form. (Every testdata customer
+    * has at least one order, so like [[customersNoOrders]] the inactivity
+    * test is "no urgent orders" — Q22's "no orders in 7 years" window.) */
+  def q22GlobalBal(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val thr = cust.filter(col("c_acctbal") > 0.0)
+      .agg(davg(col("c_acctbal")).as("avg_bal"))
+    cust
+      .join(broadcast(thr))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+  }
+
+  val q22GlobalBalSql: String =
+    s"""SELECT c_nationkey, count(*) AS numcust,
+       |  ${sqlSum("c_acctbal")} AS totacctbal
+       |FROM customer c
+       |WHERE c_acctbal > (
+       |    SELECT ${Exact.sqlAvg("c_acctbal")} FROM customer WHERE c_acctbal > 0.0)
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c.c_custkey AND o_orderpriority = '1-URGENT')
+       |GROUP BY c_nationkey""".stripMargin
+
   val snapshotMergeSql: String =
     """WITH ev AS (
       |  SELECT user_id, epoch_us(ts) AS us, value, event_id
