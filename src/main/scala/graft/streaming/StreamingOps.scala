@@ -251,7 +251,9 @@ object StreamingOps {
     val stream = spark.readStream.schema(evs.schema).parquet(feed.watchDir).as[Ev]
     val sessions = sessionizeStream(stream, gapUs)
     val name = "graft_stream_sessionize"
-    withStateParts(spark) {
+    // try/finally: a failed run must still reclaim the staged corpus copy
+    // (tmpfs scratch) — the memory-sink table is complete or irrelevant.
+    try withStateParts(spark) {
       val q = sessions.writeStream.outputMode("append").format("memory").queryName(name)
         .option("checkpointLocation", ckptDir(name)).start()
       try {
@@ -264,8 +266,7 @@ object StreamingOps {
           .coalesce(1).write.mode("append").parquet(feed.watchDir)
         q.processAllAvailable()
       } finally q.stop()
-    }
-    cleanupFeed(feed)
+    } finally cleanupFeed(feed)
     spark.table(name).filter(col("user_id") >= 0)
   }
 
@@ -307,7 +308,7 @@ object StreamingOps {
         (unix_micros(col("session_window.end")) - gapUs).as("session_last_us"),
         col("n_events"), col("first_event_id"), col("last_event_id"), col("sum_value"))
     val name = "graft_stream_session_native"
-    withStateParts(spark) {
+    try withStateParts(spark) {
       val q = sessions.writeStream.outputMode("append").format("memory").queryName(name)
         .option("checkpointLocation", ckptDir(name)).start()
       try {
@@ -319,8 +320,7 @@ object StreamingOps {
           .coalesce(1).write.mode("append").parquet(feed.watchDir)
         q.processAllAvailable()
       } finally q.stop()
-    }
-    cleanupFeed(feed)
+    } finally cleanupFeed(feed)
     spark.table(name).filter(col("user_id") >= 0)
   }
 
@@ -385,7 +385,7 @@ object StreamingOps {
       "p_user = c_user AND c_time >= p_time - INTERVAL 1 HOUR AND c_time <= p_time"))
       .select(col("purchase_id"), col("p_user").as("user_id"), col("click_id"))
     val name = "graft_stream_ivjoin"
-    withStateParts(spark) {
+    try withStateParts(spark) {
       val q = joined.writeStream.outputMode("append").format("memory").queryName(name)
         .option("checkpointLocation", ckptDir(name)).start()
       try {
@@ -394,8 +394,7 @@ object StreamingOps {
           q.processAllAvailable()
         }
       } finally q.stop()
-    }
-    cleanupFeed(cFeed, pFeed)
+    } finally cleanupFeed(cFeed, pFeed)
     spark.table(name)
   }
 
@@ -409,15 +408,21 @@ object StreamingOps {
     *
     * End-of-stream therefore needs an explicit flush: a finite replay ends
     * with the watermark at max-event-time, leaving the tail's unmatched
-    * rows buffered forever. The feeder appends two SENTINEL rows per side
-    * (negative user_ids, event times beyond the corpus + join range) —
-    * the first advances the watermark past all real rows, the second
-    * forces the batch in which that watermark evicts-and-emits the real
-    * tail. Sentinels are filtered from the result; whether the sentinels'
-    * OWN unmatched rows surface depends on trailing no-data batches, so
-    * nothing observable depends on them. This is exactly the "advance
-    * the watermark to drain outer state" discipline a production
-    * pipeline applies when draining a topic before decommission. */
+    * rows buffered forever. The feeder folds ONE sentinel row per side
+    * (negative user_ids, event times beyond the corpus + join range) into
+    * the FINAL chunk drop: that batch's max event time advances the
+    * watermark past every real row's join window, and the engine's own
+    * watermark-required no-data micro-batch (constructed because the
+    * stateful join reports it needs another pass when the watermark moves;
+    * `processAllAvailable` does not return until it has run) is what
+    * evicts-and-emits the real tail — no extra data rounds, so the flush
+    * costs one state-store commit cycle instead of the two full
+    * sentinel-drop rounds this demo used previously. Sentinels are
+    * filtered from the result; whether the sentinels' OWN unmatched rows
+    * surface depends on trailing no-data batches, so nothing observable
+    * depends on them. This is exactly the "advance the watermark to drain
+    * outer state" discipline a production pipeline applies when draining
+    * a topic before decommission. */
   def streamingJoinOuter(spark: SparkSession, sfDir: String,
       numChunks: Int = 2): DataFrame = {
     import spark.implicits._
@@ -429,42 +434,44 @@ object StreamingOps {
     val base = ckptDir("graft_stream_lojoin_feed")
     val cFeed = stageTimeChunks(clickDf, "us", numChunks, s"$base/clicks")
     val pFeed = stageTimeChunks(purchDf, "us", numChunks, s"$base/purchases")
-    val maxUs = math.max(
-      clickDf.agg(max(col("us"))).head.getLong(0),
-      purchDf.agg(max(col("us"))).head.getLong(0)) // two scalars, not data
-    val hourUs = 3600L * 1000000L
-    def dropSentinel(watchDir: String, userId: Long, us: Long): Unit =
-      Seq((userId, -1L, us)).toDF("user_id", "event_id", "us")
-        .coalesce(1).write.mode("append").parquet(watchDir)
-    val clicks = spark.readStream.schema(clickDf.schema).parquet(cFeed.watchDir)
-      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        timestamp_micros(col("us")).as("c_time"))
-      .withWatermark("c_time", "0 seconds")
-    val purchases = spark.readStream.schema(purchDf.schema).parquet(pFeed.watchDir)
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        timestamp_micros(col("us")).as("p_time"))
-      .withWatermark("p_time", "0 seconds")
-    val joined = purchases.join(clicks, expr(
-        "p_user = c_user AND c_time >= p_time - INTERVAL 1 HOUR AND c_time <= p_time"),
-        "leftOuter")
-      .select(col("purchase_id"), col("p_user").as("user_id"), col("click_id"))
     val name = "graft_stream_lojoin"
-    withStateParts(spark) {
-      val q = joined.writeStream.outputMode("append").format("memory").queryName(name)
-        .option("checkpointLocation", ckptDir(name)).start()
-      try {
-        (0 until numChunks).foreach { k =>
-          dropChunk(cFeed, k); dropChunk(pFeed, k)
-          q.processAllAvailable()
-        }
-        (1 to 2).foreach { f => // watermark flush: advance, then evict-and-emit
-          dropSentinel(cFeed.watchDir, -1L, maxUs + 2L * f * hourUs)
-          dropSentinel(pFeed.watchDir, -2L, maxUs + 2L * f * hourUs)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    }
-    cleanupFeed(cFeed, pFeed)
+    // try/finally: the staged corpus copies are garbage whether the run
+    // succeeded or threw — without it, a failed run leaks them into /dev/shm.
+    try {
+      val maxUs = math.max(
+        clickDf.agg(max(col("us"))).head.getLong(0),
+        purchDf.agg(max(col("us"))).head.getLong(0)) // two scalars, not data
+      val hourUs = 3600L * 1000000L
+      def dropSentinel(watchDir: String, userId: Long, us: Long): Unit =
+        Seq((userId, -1L, us)).toDF("user_id", "event_id", "us")
+          .coalesce(1).write.mode("append").parquet(watchDir)
+      val clicks = spark.readStream.schema(clickDf.schema).parquet(cFeed.watchDir)
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          timestamp_micros(col("us")).as("c_time"))
+        .withWatermark("c_time", "0 seconds")
+      val purchases = spark.readStream.schema(purchDf.schema).parquet(pFeed.watchDir)
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          timestamp_micros(col("us")).as("p_time"))
+        .withWatermark("p_time", "0 seconds")
+      val joined = purchases.join(clicks, expr(
+          "p_user = c_user AND c_time >= p_time - INTERVAL 1 HOUR AND c_time <= p_time"),
+          "leftOuter")
+        .select(col("purchase_id"), col("p_user").as("user_id"), col("click_id"))
+      withStateParts(spark) {
+        val q = joined.writeStream.outputMode("append").format("memory").queryName(name)
+          .option("checkpointLocation", ckptDir(name)).start()
+        try {
+          (0 until numChunks).foreach { k =>
+            dropChunk(cFeed, k); dropChunk(pFeed, k)
+            if (k == numChunks - 1) { // fold the watermark flush into the last batch
+              dropSentinel(cFeed.watchDir, -1L, maxUs + 2L * hourUs)
+              dropSentinel(pFeed.watchDir, -2L, maxUs + 2L * hourUs)
+            }
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+    } finally cleanupFeed(cFeed, pFeed)
     spark.table(name).filter(col("user_id") >= 0)
   }
 
@@ -508,14 +515,13 @@ object StreamingOps {
       .join(dims, col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("c_name"), col("n_name"), col("value"))
     val name = "graft_stream_enrich"
-    withStateParts(spark) {
+    try withStateParts(spark) {
       val q = enriched.writeStream.outputMode("append").format("memory").queryName(name)
         .option("checkpointLocation", ckptDir(name)).start()
       try {
         (0 until numChunks).foreach { k => dropChunk(feed, k); q.processAllAvailable() }
       } finally q.stop()
-    }
-    cleanupFeed(feed)
+    } finally cleanupFeed(feed)
     spark.table(name)
   }
 
@@ -545,14 +551,13 @@ object StreamingOps {
       .select(md5(col("text")).as("content_hash"))
       .dropDuplicates("content_hash")
     val name = "graft_stream_dedup"
-    withStateParts(spark) {
+    try withStateParts(spark) {
       val q = deduped.writeStream.outputMode("append").format("memory").queryName(name)
         .option("checkpointLocation", ckptDir(name)).start()
       try {
         (0 until numChunks).foreach { k => dropChunk(feed, k); q.processAllAvailable() }
       } finally q.stop()
-    }
-    cleanupFeed(feed)
+    } finally cleanupFeed(feed)
     spark.table(name)
   }
 
@@ -570,9 +575,19 @@ object StreamingOps {
     * in StreamingOpsSpec, where the horizon is 1 hour and the feed
     * straddles it. */
   def streamingDedupWatermarked(spark: SparkSession, sfDir: String,
-      numChunks: Int = 2, horizon: String = "35 days"): DataFrame = {
+      numChunks: Int = 2, horizonDays: Int = 35): DataFrame = {
+    val horizon = s"$horizonDays days"
     val evs = Tables.events(spark, sfDir)
       .selectExpr("user_id", "event_type", "ts div 1000 AS us")
+    // The DISTINCT oracle is only exact while the horizon exceeds the
+    // corpus' time span: a span past the horizon means the store evicts
+    // live keys and re-emits them, and the first symptom would be an
+    // unexplained oracle hash-mismatch. Fail loudly at the source instead
+    // if testdata ever outgrows the default. (One min/max agg — scalars.)
+    val span = evs.agg(min(col("us")), max(col("us"))).head
+    require(span.getLong(1) - span.getLong(0) < horizonDays * 86400L * 1000000L,
+      s"events span exceeds the $horizon dedup horizon; the DISTINCT oracle " +
+        "no longer models eviction-free behavior - widen horizonDays")
     val feed = stageTimeChunks(evs, "us", numChunks,
       ckptDir("graft_stream_dedup_wm_feed"))
     val deduped = spark.readStream.schema(evs.schema).parquet(feed.watchDir)
@@ -581,14 +596,13 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
     val name = "graft_stream_dedup_wm"
-    withStateParts(spark) {
+    try withStateParts(spark) {
       val q = deduped.writeStream.outputMode("append").format("memory").queryName(name)
         .option("checkpointLocation", ckptDir(name)).start()
       try {
         (0 until numChunks).foreach { k => dropChunk(feed, k); q.processAllAvailable() }
       } finally q.stop()
-    }
-    cleanupFeed(feed)
+    } finally cleanupFeed(feed)
     spark.table(name)
   }
 
@@ -685,13 +699,11 @@ object StreamingOps {
     val feed = stageTimeChunks(purchases, "us", numChunks,
       ckptDir("graft_stream_upsert_feed"))
     val stream = spark.readStream.schema(purchases.schema).parquet(feed.watchDir).as[UpEv]
-    val snapshot = upsertRun(spark, stream) { q =>
-      (0 until numChunks).foreach { k => dropChunk(feed, k); q.processAllAvailable() }
-    }
     // The snapshot lives in its own dir (and must survive — the returned
-    // frame reads it lazily); only the feed copy is garbage now.
-    cleanupFeed(feed)
-    snapshot
+    // frame reads it lazily); only the feed copy is garbage, success or not.
+    try upsertRun(spark, stream) { q =>
+      (0 until numChunks).foreach { k => dropChunk(feed, k); q.processAllAvailable() }
+    } finally cleanupFeed(feed)
   }
 
   /** Spec-only harness of [[upsertRun]] over an explicit feed — crafted and

@@ -227,6 +227,54 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful family is result-invariant under the RocksDB state store provider") {
+    // The default HDFS-backed in-memory state store is exactly what does
+    // NOT survive 100 TB-scale state; production stateful streaming runs
+    // RocksDB. Same corpus, same operators, provider swapped — every
+    // stateful family (flatMapGroupsWithState sessionize, session_window
+    // aggregation, dropDuplicatesWithinWatermark, two-sided outer interval
+    // join) must reproduce its batch twin exactly. Results must depend on
+    // the state CONTENTS, never on which store implementation held them.
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sess = StreamingOps.streamingSessionize(spark, Sf)
+        .collect().map(_.toSeq).toSet
+      val sessBatch = EventOps.sessionize(spark, Sf).collect().map(_.toSeq).toSet
+      assert(sess === sessBatch, "sessionize diverged under RocksDB")
+      assert(sess.nonEmpty)
+
+      val native = StreamingOps.streamingSessionWindow(spark, Sf)
+        .collect().map(_.toSeq).toSet
+      assert(native.nonEmpty, "session_window produced nothing under RocksDB")
+
+      val dd = StreamingOps.streamingDedupWatermarked(spark, Sf)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val ddBatch = graft.Tables.events(spark, Sf)
+        .select(col("user_id"), col("event_type")).distinct()
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(dd === ddBatch, "watermarked dedup diverged under RocksDB")
+
+      def ojKey(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      val oj = StreamingOps.streamingJoinOuter(spark, Sf).collect().map(ojKey).toSet
+      val ev = graft.Tables.events(spark, Sf).withColumn("us", expr("ts div 1000"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("us").as("pus"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("us").as("cus"))
+      val ojBatch = p.join(c, col("user_id") === col("cu") &&
+          col("cus") >= col("pus") - 3600000000L && col("cus") <= col("pus"), "left_outer")
+        .select(col("purchase_id"), col("user_id"), col("click_id"))
+        .collect().map(ojKey).toSet
+      assert(oj === ojBatch, "outer interval join diverged under RocksDB")
+      assert(oj.exists(_._3.isEmpty), "outer null tail must still drain under RocksDB")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("watermarked window stream starts and produces a bounded-state plan") {
     val df = StreamingOps.watermarkedWindowCounts(spark, Sf)
     assert(df.isStreaming)
