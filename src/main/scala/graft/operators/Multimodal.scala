@@ -7,16 +7,19 @@ import graft.Tables
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` payload
   * columns with typed metadata, processed by a partition-wise decoder.
   *
-  * The image path is REAL: payloads are structurally valid PNG / JPEG
-  * containers (genuine signatures, big-endian IHDR / SOF0 dimension fields,
-  * CRC-32-checked chunks, zlib-deflated PNG data, 64 KiB-segmented JPEG
-  * comment blocks), and [[ImageHeaders.decode]] parses them the way any
-  * ingest pipeline must — magic-byte dispatch, chunk walk, marker walk,
-  * CRC verification, inflate — in pure JVM (public container formats; no
-  * codec library needed for header metadata). What stays stubbed, honestly:
-  * PIXEL decoding (the payload carried inside the container is document
-  * text, not a renderable bitmap) and the video frame counter in
-  * [[frameSamples]] — the container has no media codecs.
+  * The container path is REAL: payloads are structurally valid PNG / APNG /
+  * JPEG / MJPEG containers (genuine signatures, big-endian IHDR / SOF0
+  * dimension fields, CRC-32-checked chunks, zlib-deflated frame data,
+  * 64 KiB-segmented JPEG comment blocks, APNG `acTL`/`fcTL`/`fdAT` frame
+  * structure with strict sequence numbers), and [[ImageHeaders.decode]]
+  * parses them the way any ingest pipeline must — magic-byte dispatch,
+  * chunk walk, marker walk, CRC verification, inflate, frame-sequence
+  * validation — in pure JVM (public container formats; no codec library
+  * needed for structure). Frame COUNTS and offsets are derived by COUNTING
+  * parsed frame structures, never synthesized. What stays stubbed,
+  * honestly: PIXEL/entropy decoding (the frame data carried inside the
+  * containers is document text, not renderable bitmaps — the container has
+  * no media codecs).
   *
   * Scale: encode and decode are narrow maps — no shuffle; payload bytes
   * never cross the network. Partition sizing
@@ -29,13 +32,29 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, format: String, width: Long, height: Long,
       payload_bytes: Long, n_frames: Long, checksum_prefix: String)
 
-  /** Pure-JVM builders and parsers for the PNG and JPEG container headers
-    * (public formats: PNG per RFC 2083 / ISO 15948, JPEG per ITU T.81).
-    * Builders produce structurally valid files; [[decode]] trusts NOTHING
-    * it didn't parse — it dispatches on the signature, walks the container,
-    * verifies PNG chunk CRCs, and recovers both the dimensions and the
-    * embedded payload bytes, so a corrupted container comes back `None`
-    * instead of garbage fields. */
+  /** Splits a payload into `k` contiguous frame slices: frames 0..k−2 are
+    * ⌊n/k⌋ bytes, the last takes the remainder — so frame i starts at byte
+    * i·⌊n/k⌋, the arithmetic the DuckDB oracles mirror. */
+  private[operators] def frameSlices(payload: Array[Byte], k: Int): IndexedSeq[Array[Byte]] = {
+    val n = payload.length
+    val step = n / k
+    (0 until k).map { i =>
+      val end = if (i == k - 1) n else (i + 1) * step
+      java.util.Arrays.copyOfRange(payload, i * step, end)
+    }
+  }
+
+  /** Pure-JVM builders and parsers for the PNG/APNG and JPEG/MJPEG
+    * containers (public formats: PNG per RFC 2083 / ISO 15948, APNG per the
+    * PNG specification third edition, JPEG per ITU T.81, MJPEG as the
+    * conventional concatenation of complete JPEG images). Builders produce
+    * structurally valid files; [[decode]] trusts NOTHING it didn't parse —
+    * it dispatches on the signature, walks the container, verifies PNG
+    * chunk CRCs and APNG sequence numbers, checks the parsed frame count
+    * against the `acTL` declaration, and recovers dimensions, per-frame
+    * sizes and the embedded payload bytes, so a corrupted container
+    * (including a truncated or missing FRAME) comes back `None` instead of
+    * garbage fields. */
   object ImageHeaders {
     val PngSignature: Array[Byte] =
       Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
@@ -60,11 +79,7 @@ object Multimodal {
       be32(data.length) ++ t ++ data ++ be32(crc32(t, data))
     }
 
-    /** Minimal valid PNG: signature, IHDR (true big-endian dims, 8-bit
-      * RGBA), one IDAT holding the zlib-DEFLATED payload, IEND. Every chunk
-      * carries its real CRC-32. */
-    def png(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 6, 0, 0, 0)
+    private def deflateBytes(payload: Array[Byte]): Array[Byte] = {
       val deflater = new java.util.zip.Deflater()
       deflater.setInput(payload)
       deflater.finish()
@@ -72,8 +87,58 @@ object Multimodal {
       val tmp = new Array[Byte](8192)
       while (!deflater.finished()) buf.write(tmp, 0, deflater.deflate(tmp))
       deflater.end()
-      PngSignature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.toByteArray) ++
-        chunk("IEND", Array.emptyByteArray)
+      buf.toByteArray
+    }
+
+    /** `None` when `data` is not one complete zlib stream (truncated or
+      * corrupt) — a frame whose fdAT chunks went missing fails here. */
+    private def inflateBytes(data: Array[Byte]): Option[Array[Byte]] = {
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(data)
+      val out = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      try {
+        while (!inflater.finished()) {
+          val n = inflater.inflate(tmp)
+          if (n == 0 && inflater.needsInput()) return None // truncated stream
+          out.write(tmp, 0, n)
+        }
+        Some(out.toByteArray)
+      } catch { case _: java.util.zip.DataFormatException => None }
+      finally inflater.end()
+    }
+
+    /** Minimal valid PNG: signature, IHDR (true big-endian dims, 8-bit
+      * RGBA), one IDAT holding the zlib-DEFLATED payload, IEND. Every chunk
+      * carries its real CRC-32. */
+    def png(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      PngSignature ++ chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 6, 0, 0, 0)) ++
+        chunk("IDAT", deflateBytes(payload)) ++ chunk("IEND", Array.emptyByteArray)
+
+    /** ANIMATED PNG (APNG, PNG spec third edition): `acTL` declares the
+      * frame count; every frame gets an `fcTL` control chunk, frame 0's
+      * data rides in IDAT and later frames in `fdAT` chunks, with ONE
+      * strictly-increasing sequence-number line threaded through all
+      * fcTL+fdAT chunks — exactly the structure the decoder validates.
+      * Each frame's data is its own complete zlib stream. */
+    def apng(frames: IndexedSeq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+      require(frames.nonEmpty, "an APNG needs at least one frame")
+      val out = new java.io.ByteArrayOutputStream()
+      var seq = 0
+      def nextSeq(): Int = { val s = seq; seq += 1; s }
+      out.write(PngSignature)
+      out.write(chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 6, 0, 0, 0)))
+      out.write(chunk("acTL", be32(frames.size) ++ be32(0))) // num_frames, loop forever
+      frames.zipWithIndex.foreach { case (f, idx) =>
+        // fcTL: seq, dims, offsets, delay 1/100 s, dispose none, blend source
+        out.write(chunk("fcTL", be32(nextSeq()) ++ be32(w) ++ be32(h) ++
+          be32(0) ++ be32(0) ++ Array[Byte](0, 1, 0, 100, 0, 0)))
+        val z = deflateBytes(f)
+        if (idx == 0) out.write(chunk("IDAT", z))
+        else out.write(chunk("fdAT", be32(nextSeq()) ++ z))
+      }
+      out.write(chunk("IEND", Array.emptyByteArray))
+      out.toByteArray
     }
 
     /** Minimal valid JPEG: SOI, JFIF APP0, SOF0 (baseline; true big-endian
@@ -99,7 +164,22 @@ object Multimodal {
       out.toByteArray
     }
 
-    case class Decoded(format: String, width: Int, height: Int, payload: Array[Byte])
+    /** MJPEG: the conventional motion-JPEG container is nothing more than
+      * complete JPEG images back to back, one per frame — which is why the
+      * decoder's frame counter is "walk images until the buffer ends". */
+    def mjpeg(frames: IndexedSeq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+      require(frames.nonEmpty, "an MJPEG stream needs at least one frame")
+      frames.map(jpeg(_, w, h)).reduce(_ ++ _)
+    }
+
+    /** `payload` is the concatenation of all parsed frame payloads (frame
+      * order); `frameSizes` are the parsed per-frame payload sizes, so
+      * `frameSizes.size` IS the parsed frame count and offsets are its
+      * prefix sums. Single-image containers decode as one frame. */
+    case class Decoded(format: String, width: Int, height: Int, payload: Array[Byte],
+        frameSizes: IndexedSeq[Int]) {
+      def nFrames: Int = frameSizes.size
+    }
 
     /** Marker values that are a start-of-frame carrying dimensions (SOF0-15
       * minus the non-frame DHT/JPG/DAC slots). */
@@ -109,7 +189,9 @@ object Multimodal {
     private def decodePng(b: Array[Byte]): Option[Decoded] = {
       if (b.length < 33 || !b.take(8).sameElements(PngSignature)) return None
       var w = -1; var h = -1
-      val data = new java.io.ByteArrayOutputStream()
+      var declaredFrames = -1 // from acTL; -1 = plain (non-animated) PNG
+      var nextSeq = 0 // the one APNG sequence line across fcTL + fdAT
+      val frames = scala.collection.mutable.ArrayBuffer.empty[java.io.ByteArrayOutputStream]
       var i = 8
       while (i + 12 <= b.length) {
         val len = readBe32(b, i)
@@ -120,22 +202,39 @@ object Multimodal {
           return None // corrupted chunk
         ctype match {
           case "IHDR" if len >= 8 => w = readBe32(body, 0); h = readBe32(body, 4)
-          case "IDAT" => data.write(body)
+          case "acTL" =>
+            if (len < 8) return None
+            declaredFrames = readBe32(body, 0)
+            if (declaredFrames <= 0) return None
+          case "fcTL" =>
+            if (len < 26) return None
+            if (readBe32(body, 0) != nextSeq) return None // sequence gap/reorder
+            nextSeq += 1
+            frames += new java.io.ByteArrayOutputStream()
+          case "IDAT" =>
+            // Plain PNG: all IDATs are one stream, one implicit frame.
+            // APNG: IDAT is frame 0's data (fcTL already opened it; IDAT
+            // carries no sequence number).
+            if (frames.isEmpty) frames += new java.io.ByteArrayOutputStream()
+            frames.last.write(body)
+          case "fdAT" =>
+            if (len < 4 || frames.isEmpty) return None
+            if (readBe32(body, 0) != nextSeq) return None
+            nextSeq += 1
+            frames.last.write(body, 4, len - 4)
           case "IEND" =>
-            if (w < 0) return None
-            val inflater = new java.util.zip.Inflater()
-            inflater.setInput(data.toByteArray)
+            if (w < 0 || frames.isEmpty) return None
+            // An APNG whose parsed frame count disagrees with its acTL
+            // declaration lost (or grew) frames: corrupt.
+            if (declaredFrames >= 0 && frames.size != declaredFrames) return None
+            val inflated = frames.map(f => inflateBytes(f.toByteArray) match {
+              case Some(x) => x
+              case None => return None // a frame's stream is truncated
+            })
             val out = new java.io.ByteArrayOutputStream()
-            val tmp = new Array[Byte](8192)
-            try {
-              while (!inflater.finished()) {
-                val n = inflater.inflate(tmp)
-                if (n == 0 && inflater.needsInput()) return None // truncated stream
-                out.write(tmp, 0, n)
-              }
-            } catch { case _: java.util.zip.DataFormatException => return None }
-            finally inflater.end()
-            return Some(Decoded("png", w, h, out.toByteArray))
+            inflated.foreach(out.write)
+            return Some(Decoded("png", w, h, out.toByteArray,
+              inflated.map(_.length).toIndexedSeq))
           case _ => // ancillary chunk: skip
         }
         i += 12 + len
@@ -143,16 +242,25 @@ object Multimodal {
       None // no IEND
     }
 
-    private def decodeJpeg(b: Array[Byte]): Option[Decoded] = {
-      if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
+    /** Parses ONE JPEG image whose SOI starts at `start`; returns
+      * (width, height, COM payload, end index just past EOI). An image that
+      * ends in an SOS entropy stream (which this parser cannot measure)
+      * consumes the rest of the buffer. */
+    private def parseOneJpeg(b: Array[Byte], start: Int): Option[(Int, Int, Array[Byte], Int)] = {
+      if (start + 2 > b.length ||
+        (b(start) & 0xFF) != 0xFF || (b(start + 1) & 0xFF) != 0xD8) return None
       var w = -1; var h = -1
       val data = new java.io.ByteArrayOutputStream()
-      var i = 2
+      var i = start + 2
       while (i + 1 < b.length) {
+        // ITU T.81 §B.1.1.2: any number of 0xFF FILL bytes may pad before a
+        // marker — skip them instead of calling legal padding corruption.
+        while (i + 1 < b.length && (b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xFF) == 0xFF)
+          i += 1
         if ((b(i) & 0xFF) != 0xFF) return None // lost marker sync
         val marker = b(i + 1) & 0xFF
         if (marker == 0xD9) // EOI
-          return if (w >= 0) Some(Decoded("jpeg", w, h, data.toByteArray)) else None
+          return if (w >= 0) Some((w, h, data.toByteArray, i + 2)) else None
         else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) i += 2 // standalone
         else {
           if (i + 4 > b.length) return None
@@ -163,17 +271,42 @@ object Multimodal {
             h = readBe16(b, i + 5); w = readBe16(b, i + 7)
           } else if (marker == 0xFE) // COM: the payload channel
             data.write(b, i + 4, len - 2)
-          else if (marker == 0xDA) // SOS: entropy data follows, not handled
-            return if (w >= 0) Some(Decoded("jpeg", w, h, data.toByteArray)) else None
+          else if (marker == 0xDA) // SOS: entropy data follows, not measurable
+            return if (w >= 0) Some((w, h, data.toByteArray, b.length)) else None
           i += 2 + len
         }
       }
-      None // no EOI
+      None // ran out of bytes before EOI: truncated image
+    }
+
+    /** JPEG / MJPEG: walks complete images back to back until the buffer is
+      * exhausted — the image count IS the frame count. Dimensions come from
+      * the first frame; any unparseable frame (including a truncated tail
+      * image) fails the whole container. */
+    private def decodeJpeg(b: Array[Byte]): Option[Decoded] = {
+      var i = 0
+      var w = -1; var h = -1
+      val sizes = IndexedSeq.newBuilder[Int]
+      val out = new java.io.ByteArrayOutputStream()
+      var n = 0
+      while (i < b.length) {
+        parseOneJpeg(b, i) match {
+          case Some((fw, fh, payload, end)) =>
+            if (n == 0) { w = fw; h = fh }
+            sizes += payload.length
+            out.write(payload)
+            n += 1
+            i = end
+          case None => return None
+        }
+      }
+      if (n == 0) None else Some(Decoded("jpeg", w, h, out.toByteArray, sizes.result()))
     }
 
     /** Magic-byte dispatch → full container parse. `None` for anything that
-      * is not a well-formed PNG/JPEG (bad signature, truncation, CRC
-      * mismatch, missing IHDR/SOF). */
+      * is not a well-formed PNG/APNG/JPEG/MJPEG (bad signature, truncation,
+      * CRC mismatch, missing IHDR/SOF, frame-sequence gap, frame-count
+      * mismatch vs acTL). */
     def decode(b: Array[Byte]): Option[Decoded] =
       if (b.length >= 8 && b.take(8).sameElements(PngSignature)) decodePng(b)
       else if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) decodeJpeg(b)
@@ -182,10 +315,11 @@ object Multimodal {
 
   /** Partition-wise media decoder: Iterator-to-Iterator, one digest
     * instance per partition (the same shape a native-codec decoder needs
-    * for its context). Dimensions and payload come from PARSING the
-    * container ([[ImageHeaders.decode]]); a malformed payload degrades to
-    * an explicit `unknown` row rather than failing the pipeline (at 100 TB
-    * some fraction of scraped media is always corrupt). */
+    * for its context). Dimensions, payload and FRAME COUNT come from
+    * PARSING the container ([[ImageHeaders.decode]] — `n_frames` is the
+    * number of parsed frame structures, not a formula); a malformed payload
+    * degrades to an explicit `unknown` row rather than failing the pipeline
+    * (at 100 TB some fraction of scraped media is always corrupt). */
   object MediaDecoder {
     def decode(rows: Iterator[Payload]): Iterator[MediaFeatures] = {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -194,9 +328,9 @@ object Multimodal {
         ImageHeaders.decode(p.payload) match {
           case Some(d) =>
             md.reset()
-            val n = d.payload.length.toLong
             MediaFeatures(p.doc_id, d.format, d.width.toLong, d.height.toLong,
-              n, 1 + n % 16, hex(md.digest(d.payload)).substring(0, 8))
+              d.payload.length.toLong, d.nFrames.toLong,
+              hex(md.digest(d.payload)).substring(0, 8))
           case None =>
             md.reset()
             MediaFeatures(p.doc_id, "unknown", 0L, 0L, p.payload.length.toLong,
@@ -206,35 +340,44 @@ object Multimodal {
     }
   }
 
+  /** Builds the multi-frame container for a document payload: the text
+    * bytes split into `1 + n % 16` frame slices (the count the oracle can
+    * recompute arithmetically), wrapped as APNG for even doc_ids and MJPEG
+    * for odd — so both frame walks run over the corpus. */
+  private def buildContainer(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val n = payload.length
+    val w = 64 + n % 512
+    val h = 64 + (n / 7) % 512
+    val slices = frameSlices(payload, 1 + n % 16)
+    if (docId % 2 == 0) ImageHeaders.apng(slices, w, h)
+    else ImageHeaders.mjpeg(slices, w, h)
+  }
+
   /** Binary-column pipeline end-to-end: wrap each document's text bytes in
-    * a REAL image container (even doc_ids → PNG, odd → JPEG, so both
-    * parsers run), then recover format, dimensions, payload size and
-    * checksum by PARSING the container in a partition-wise decoder. The
-    * oracle recomputes the expected values from the text — equality proves
-    * the encode → binary header → decode round trip is byte-exact (the
-    * dimension fields really traverse big-endian container headers, the
-    * payload really survives deflate/inflate and COM segmentation). */
+    * a REAL multi-frame image container (even doc_ids → APNG, odd → MJPEG,
+    * so both parsers run), then recover format, dimensions, payload size,
+    * FRAME COUNT and checksum by PARSING the container in a partition-wise
+    * decoder. The oracle recomputes the expected values from the text —
+    * equality proves the encode → binary container → decode round trip is
+    * byte-exact (the dimension fields really traverse big-endian container
+    * headers, the payload really survives per-frame deflate/inflate and
+    * COM segmentation, and the frame count really comes from walking
+    * fcTL/fdAT chunks and SOI…EOI images, since a walk that loses a frame
+    * changes `n_frames` AND the reassembled checksum). */
   def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val payloads: Dataset[Payload] = Tables.documents(spark, sfDir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[Payload]
-      .mapPartitions(_.map { p =>
-        val n = p.payload.length
-        val w = 64 + n % 512
-        val h = 64 + (n / 7) % 512
-        val container =
-          if (p.doc_id % 2 == 0) ImageHeaders.png(p.payload, w, h)
-          else ImageHeaders.jpeg(p.payload, w, h)
-        Payload(p.doc_id, container)
-      })
+      .mapPartitions(_.map(p => Payload(p.doc_id, buildContainer(p.doc_id, p.payload))))
     payloads.mapPartitions(MediaDecoder.decode).toDF()
   }
 
-  /** The oracle recomputes every field from the document text: dims from
-    * the same arithmetic the encoder wrote INTO the container (so a decode
-    * that misreads endianness/offsets hash-mismatches), checksum/size from
-    * the text bytes the decoder must recover out of the container. */
+  /** The oracle recomputes every field from the document text: dims and
+    * frame count from the same arithmetic the encoder wrote INTO the
+    * container structure (so a decode that misreads endianness/offsets or
+    * drops a frame hash-mismatches), checksum/size from the text bytes the
+    * decoder must recover out of the per-frame streams. */
   val mediaFeaturesSql: String =
     """SELECT doc_id,
       |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
@@ -247,13 +390,17 @@ object Multimodal {
 
   case class FrameRow(doc_id: Long, frame_idx: Long, frame_offset: Long, frame_hash: String)
 
-  /** Frame sampling for video-style payloads: each payload expands to its
-    * deterministic frame count (STUB: derived from byte length — the
-    * container has no video codecs), one row per sampled frame with a byte
-    * offset and a per-frame checksum. The shape is the real thing — an
-    * Iterator-to-Iterator flatMap over binary payloads, rows exploding
-    * within the partition (no shuffle, no driver involvement), exactly how
-    * a real keyframe sampler runs at 100 TB. */
+  /** Frame sampling for video-style payloads: each document is wrapped in
+    * the same multi-frame container as [[mediaFeatures]] and the sampler
+    * emits one row per frame the DECODER PARSED out of it — frame offsets
+    * are prefix sums of the parsed frame sizes and the per-frame hash is
+    * derived from the checksum of the REASSEMBLED payload, so a frame walk
+    * that drops, merges or misorders frames changes the row set. The shape
+    * is the real thing — an Iterator-to-Iterator flatMap over binary
+    * payloads, rows exploding within the partition (no shuffle, no driver
+    * involvement), exactly how a keyframe sampler runs at 100 TB. A
+    * container that fails to parse contributes no rows (corrupt media is
+    * dropped, the ingest-pipeline policy). */
   def frameSamples(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val payloads: Dataset[Payload] = Tables.documents(spark, sfDir)
@@ -263,15 +410,19 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("MD5")
       def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
       rows.flatMap { p =>
-        val n = p.payload.length.toLong
-        val frames = 1 + n % 16
-        val step = n / frames
-        md.reset()
-        val payloadHash = hex(md.digest(p.payload))
-        (0L until frames).iterator.map { i =>
-          md.reset()
-          val fh = hex(md.digest(s"$payloadHash:$i".getBytes("UTF-8")))
-          FrameRow(p.doc_id, i, i * step, fh)
+        ImageHeaders.decode(buildContainer(p.doc_id, p.payload)) match {
+          case Some(d) =>
+            md.reset()
+            val payloadHash = hex(md.digest(d.payload))
+            var off = 0L
+            d.frameSizes.zipWithIndex.iterator.map { case (sz, i) =>
+              val o = off
+              off += sz
+              md.reset()
+              FrameRow(p.doc_id, i.toLong, o,
+                hex(md.digest(s"$payloadHash:$i".getBytes("UTF-8"))))
+            }
+          case None => Iterator.empty
         }
       }
     }.toDF()
