@@ -818,6 +818,70 @@ object Similarity {
        |    ORDER BY adist ASC, vec_id ASC) AS rank FROM scored)
        |WHERE rank <= $k""".stripMargin
 
+  /** INDEX-QUALITY GATE for the whole compression ladder: recall@k of the
+    * three compressed serving paths — SQ8 (scalar quantization), IVFPQ
+    * (cluster-pruned subspace codes) and IVF-rerank (ADC shortlist + exact
+    * re-rank) — against the exact brute-force baseline, one row per
+    * (method, query). This is [[knnRecall]]'s pattern promoted to the
+    * compressed family, so a quantizer/codebook/shortlist regression that
+    * silently degrades index quality fails CORRECTNESS, not just a spec
+    * floor. Output is all-integer (overlap counts + fixed-point recall),
+    * hash-verified cross-engine.
+    *
+    * Shape: the four index probes are the registered top-k plans (tiny
+    * outputs: queries × k rows each, localCheckpoint'ed because each feeds
+    * two downstream aggregations); everything downstream joins those few
+    * rows. The eval's cost IS the probes — the comparison adds nothing. */
+  def knnRecallCompressed(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val b = knnBrute(spark, sfDir, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val nb = b.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
+    def methodRecall(method: String, topk: DataFrame): DataFrame = {
+      val v = topk.select(col("query_id").as("vq"), col("neighbor_id").as("vn"))
+        .localCheckpoint()
+      val nv = v.groupBy(col("vq")).agg(count(lit(1)).as("n_index"))
+      val ov = b.join(v, col("query_id") === col("vq") && col("neighbor_id") === col("vn"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+        .select(col("query_id").as("oq"), col("n_overlap"))
+      nb.join(nv, col("query_id") === col("vq"), "left")
+        .join(ov, col("query_id") === col("oq"), "left")
+        .select(lit(method).as("method"), col("query_id"), col("n_brute"),
+          coalesce(col("n_index"), lit(0L)).as("n_index"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        .withColumn("recall_fp", expr("(1000000 * n_overlap) div n_brute"))
+    }
+    methodRecall("sq8", knnSq8(spark, sfDir, k))
+      .unionByName(methodRecall("ivfpq", knnIvfPq(spark, sfDir, k)))
+      .unionByName(methodRecall("rerank", knnIvfRerank(spark, sfDir, k)))
+  }
+
+  /** Oracle: the brute/SQ8/IVFPQ/rerank oracle queries as CTEs (each is a
+    * self-contained WITH…SELECT — DuckDB scopes nested WITHs per CTE), then
+    * the same count/overlap arithmetic per method, UNION ALL. */
+  def knnRecallCompressedSql(k: Int = 5): String = {
+    def block(method: String, cte: String) =
+      s"""SELECT '$method' AS method, nb.query_id, CAST(n_brute AS BIGINT) AS n_brute,
+         |  CAST(coalesce(nv.n_index, 0) AS BIGINT) AS n_index,
+         |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  CAST((1000000 * coalesce(ov.n_overlap, 0)) // n_brute AS BIGINT) AS recall_fp
+         |FROM nb
+         |LEFT JOIN (SELECT query_id, count(*) AS n_index FROM $cte GROUP BY 1) nv
+         |  ON nb.query_id = nv.query_id
+         |LEFT JOIN (SELECT b.query_id, count(*) AS n_overlap FROM b JOIN $cte v
+         |             ON b.query_id = v.query_id AND b.neighbor_id = v.neighbor_id GROUP BY 1) ov
+         |  ON nb.query_id = ov.query_id""".stripMargin
+    s"""WITH b AS (${knnBruteSql(k)}),
+       |nb AS (SELECT query_id, count(*) AS n_brute FROM b GROUP BY 1),
+       |vsq8 AS (${knnSq8Sql(k)}),
+       |vivfpq AS (${knnIvfPqSql(k)}),
+       |vrerank AS (${knnIvfRerankSql(k)})
+       |${block("sq8", "vsq8")}
+       |UNION ALL
+       |${block("ivfpq", "vivfpq")}
+       |UNION ALL
+       |${block("rerank", "vrerank")}""".stripMargin
+  }
+
   /** Per-label centroid of the embedding corpus in FIXED-POINT int64: each
     * component maps to `floor(x · 10^6)` (floor of identical IEEE doubles —
     * bit-portable, unlike rounding whose half-way rule differs across
