@@ -102,8 +102,20 @@ class PlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     val fixedDims = Set("nation", "region")
     val exempt = Set.empty[String]
-    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(exempt)
-    assert(names.size === SparkEntry.queries.size, "sweep must cover the whole registry")
+    val all = SparkEntry.queries.keys.toSeq.sorted.filterNot(exempt)
+    assert(all.size === SparkEntry.queries.size, "sweep must cover the whole registry")
+    // Streaming demos execute their ENTIRE pipeline (stage corpus, run the
+    // micro-batch engine, drain the sink) as a side effect of DataFrame
+    // construction, and the frame they return is a memory-sink table whose
+    // LocalTableScan plan audits nothing — sweeping them would pay full
+    // streaming runtime per test pass to check a trivial plan. Their plan
+    // discipline (file-source feeds, bounded watermark state, no driver-side
+    // corpus rows) is pinned in StreamingOpsSpec, which actually exercises
+    // the streaming plans. The skip is keyed on the `_stream_` naming
+    // convention; the assert keeps a batch query from riding the skip.
+    val (streamingNames, names) = all.partition(_.contains("_stream_"))
+    assert(streamingNames.forall(n => n.startsWith("events_stream_") || n.startsWith("docs_stream_")),
+      s"only streaming demos may skip the plan sweep: $streamingNames")
     val hintInventory = scala.collection.mutable.ArrayBuffer.empty[String]
     for (q <- names) {
       val df: DataFrame = SparkEntry.queries(q)(spark, Sf)
@@ -143,7 +155,8 @@ class PlanAuditSpec extends AnyFunSuite {
       }
     }
     hintInventory.foreach(info(_))
-    info(s"swept ${names.size} registered queries, ${hintInventory.size} broadcast hints classified")
+    info(s"swept ${names.size} registered queries (${streamingNames.size} streaming demos " +
+      s"audited in StreamingOpsSpec), ${hintInventory.size} broadcast hints classified")
   }
 
   test("wc_wordcount: map-side partial aggregation, a single exchange") {
