@@ -74,6 +74,64 @@ class MrSubmitSpec extends AnyFunSuite {
     assert(readLines(Paths.get(parts.head)) === expected)
   }
 
+  // Reference routing semantics, recomputed independently for the CLI
+  // matrix tests: key = text before the first TAB (whole line if none),
+  // partition = int(md5(key), 16) % R, in-partition order = unsigned-byte
+  // (C locale) comparison of the full line.
+  private def md5Part(key: String, r: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(StandardCharsets.UTF_8))
+    new java.math.BigInteger(1, d).mod(java.math.BigInteger.valueOf(r)).intValue
+  }
+  private val cOrder: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    java.util.Arrays.compareUnsigned(x, y)
+  }
+
+  test("submit with the cat identity pair isolates partition+sort through the CLI (M=2, R=2)") {
+    // Q5's identity mapper (`cat`) through the SAME entry point as the
+    // shipped binaries: with map and reduce both identity, the job IS
+    // F4+F5+F6 — every input line must land in partition md5(key) % 2 in
+    // C byte order, nothing added, nothing lost.
+    assume(haveFixtures)
+    val out = Files.createTempDirectory("graft-submit-cat-")
+    out.toFile.deleteOnExit()
+    val parts = MrSubmit.run(spark, MrSubmit.parse(Seq(
+      "-i", s"$Ref/input", "-o", out.toString,
+      "-m", "cat", "-r", "cat", "--nmappers", "2", "--nreducers", "2")))
+    assert(parts.size === 2)
+    import scala.jdk.CollectionConverters._
+    val lines = Files.list(Paths.get(s"$Ref/input")).iterator().asScala.toSeq
+      .sortBy(_.getFileName.toString).flatMap(readLines)
+    val expected = (0 until 2).map { r =>
+      lines.filter(l => md5Part(l.split("\t", 2).head, 2) == r).sorted(cOrder)
+    }
+    val got = parts.sorted.map(p => readLines(Paths.get(p)))
+    assert(got === expected,
+      "identity job must reproduce md5-mod routing + C-sort exactly")
+  }
+
+  test("submit of the wc .sh pair with TWO reducers partitions the golden by md5 (M=4, R=2)") {
+    // Multi-reducer through the CLI: the R=1 golden's lines must split by
+    // md5(word) % 2 across the two part files, each file C-sorted — the
+    // full shipped-binary x entry-point x reducer-count matrix.
+    assume(haveFixtures)
+    val out = Files.createTempDirectory("graft-submit-wc2-")
+    out.toFile.deleteOnExit()
+    val parts = MrSubmit.run(spark, MrSubmit.parse(Seq(
+      "-i", s"$Ref/input", "-o", out.toString,
+      "-m", s"$Ref/exec/wc_map.sh", "-r", s"$Ref/exec/wc_reduce.sh",
+      "--nmappers", "4", "--nreducers", "2")))
+    assert(parts.size === 2)
+    val golden = readLines(Paths.get(s"$Ref/correct/word_count_correct.txt"))
+    val expected = (0 until 2).map { r =>
+      golden.filter(l => md5Part(l.split("\t", 2).head, 2) == r).sorted(cOrder)
+    }
+    val got = parts.sorted.map(p => readLines(Paths.get(p)))
+    assert(got === expected)
+  }
+
   test("submit on the reference fixtures reproduces the grep golden (M=2, R=1)") {
     assume(haveFixtures)
     val out = Files.createTempDirectory("graft-submit-grep-")
