@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""Scale-decade generator: blows /root/testdata/sf0.1 up ~10x (bench-only,
+no oracle) so the scaling audit gets a measured decade beyond sf0.1 instead
+of extrapolating 100 TB claims from a 17 MB corpus.
+
+Design: copy 0 is the original; copies 1..9 are key-shifted replicas with a
+LINEAR-STRUCTURE discipline:
+  - every entity key shifts by copy * OFFSET consistently across all tables
+    (FK integrity preserved: orders->customer, lineitem->orders/part/
+    supplier, events.user_id->customer all keep joining);
+  - document TOKENS are renamed per copy (injective rename: within-copy
+    shingle/jaccard/minhash structure is IDENTICAL to the original,
+    cross-copy similarity is zero);
+  - embeddings are cyclically ROTATED per copy (an orthogonal transform:
+    within-copy cosine geometry is identical, cross-copy vectors are
+    decorrelated).
+Naive replication would instead create quadratic cross-copy near-dup pairs
+and make every similarity/dedup query look superlinear for DATA reasons,
+not plan reasons — exactly what a scaling audit must not conflate.
+
+Fixed-cardinality dims (nation, region) are copied as-is, like a real 10x
+growth. Probe sets keyed on literal ids (kNN queries vec_id<10, IVF
+centroids vec_id<128) keep their size because shifted copies leave the
+low-id range — the realistic scale shape (corpus grows, query set fixed).
+
+Usage: python3 tools/gen_scale_decade.py [SRC] [DST] [COPIES]
+Defaults: /root/testdata/sf0.1 /tmp/sf1 10
+"""
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+# Per-entity key offsets, each far above the sf0.1 max of its key space.
+C_OFF = 1_000_000      # customer keys (also events.user_id)
+O_OFF = 100_000_000    # order keys
+P_OFF = 1_000_000      # part keys
+S_OFF = 1_000_000      # supplier keys
+E_OFF = 10_000_000     # event ids
+D_OFF = 1_000_000      # doc ids
+V_OFF = 1_000_000      # vec ids
+
+# table -> {column: offset}; non-listed columns replicate unchanged.
+KEY_SHIFTS = {
+    "customer": {"c_custkey": C_OFF},
+    "supplier": {"s_suppkey": S_OFF},
+    "part": {"p_partkey": P_OFF},
+    "orders": {"o_orderkey": O_OFF, "o_custkey": C_OFF},
+    "lineitem": {"l_orderkey": O_OFF, "l_partkey": P_OFF, "l_suppkey": S_OFF},
+    "events": {"event_id": E_OFF, "user_id": C_OFF},
+    "documents": {"doc_id": D_OFF},
+    "embeddings": {"vec_id": V_OFF},
+}
+AS_IS = ["nation", "region"]
+
+
+def shifted_copy(table: pa.Table, shifts: dict, c: int) -> pa.Table:
+    cols = []
+    for name in table.column_names:
+        col = table.column(name)
+        if name in shifts and c > 0:
+            arr = col.combine_chunks().to_numpy(zero_copy_only=False) + shifts[name] * c
+            cols.append(pa.array(arr, type=col.type))
+        else:
+            cols.append(col)
+    return pa.table(cols, names=table.column_names)
+
+
+def rename_tokens(text: str, c: int) -> str:
+    # Injective per-copy token rename: within-copy similarity structure is
+    # preserved exactly; cross-copy token sets are disjoint.
+    return " ".join(f"c{c}{t}" for t in text.split(" "))
+
+
+def gen_documents(t: pa.Table, c: int) -> pa.Table:
+    if c == 0:
+        return t
+    texts = [rename_tokens(x, c) for x in t.column("text").to_pylist()]
+    cols = {
+        "doc_id": pa.array(
+            t.column("doc_id").combine_chunks().to_numpy() + D_OFF * c, type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": t.column("lang"),
+        "source": t.column("source"),
+        "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+    }
+    return pa.table([cols[n] for n in t.column_names], names=t.column_names)
+
+
+def gen_embeddings(t: pa.Table, c: int) -> pa.Table:
+    if c == 0:
+        return t
+    mat = np.stack(t.column("embedding").to_pylist()).astype(np.float32)
+    rolled = np.roll(mat, 7 * c, axis=1)  # orthogonal: within-copy geometry intact
+    emb = pa.array([row for row in rolled], type=t.schema.field("embedding").type)
+    vec = pa.array(t.column("vec_id").combine_chunks().to_numpy() + V_OFF * c,
+                   type=pa.int64())
+    cols = {"vec_id": vec, "embedding": emb, "label": t.column("label")}
+    return pa.table([cols[n] for n in t.column_names], names=t.column_names)
+
+
+def main() -> None:
+    import os
+
+    os.makedirs(DST, exist_ok=True)
+    for name in AS_IS:
+        t = pq.read_table(f"{SRC}/{name}.parquet")
+        pq.write_table(t, f"{DST}/{name}.parquet")
+        print(f"{name}: {t.num_rows} rows (as-is)")
+    for name, shifts in KEY_SHIFTS.items():
+        t = pq.read_table(f"{SRC}/{name}.parquet")
+        if name == "documents":
+            parts = [gen_documents(t, c) for c in range(COPIES)]
+        elif name == "embeddings":
+            parts = [gen_embeddings(t, c) for c in range(COPIES)]
+        else:
+            parts = [shifted_copy(t, shifts, c) for c in range(COPIES)]
+        out = pa.concat_tables(parts).combine_chunks()
+        # keep the source's physical types (events.ts stays timestamp[ns])
+        pq.write_table(out.cast(t.schema), f"{DST}/{name}.parquet")
+        print(f"{name}: {t.num_rows} -> {out.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()
