@@ -58,14 +58,27 @@ KEY_SHIFTS = {
 }
 AS_IS = ["nation", "region"]
 
+# Entity NAME columns get a TWO-char per-copy prefix ("11", "22", ...):
+# replicated-unchanged names would make every fuzzy/entity-resolution pair
+# match its 9 twins (quadratic cross-copy output); a 2-char marker puts
+# copies at edit distance 2, beyond the <=1 fuzzy threshold, while
+# within-copy name geometry stays identical to the original.
+NAME_COLS = {
+    "customer": ["c_name"],
+    "part": ["p_name"],
+    "supplier": ["s_name"],
+}
 
-def shifted_copy(table: pa.Table, shifts: dict, c: int) -> pa.Table:
+
+def shifted_copy(table: pa.Table, tname: str, shifts: dict, c: int) -> pa.Table:
     cols = []
     for name in table.column_names:
         col = table.column(name)
-        if name in shifts and c > 0:
+        if c > 0 and name in shifts:
             arr = col.combine_chunks().to_numpy(zero_copy_only=False) + shifts[name] * c
             cols.append(pa.array(arr, type=col.type))
+        elif c > 0 and name in NAME_COLS.get(tname, []):
+            cols.append(pa.array([f"{c}{c}{x}" for x in col.to_pylist()], type=col.type))
         else:
             cols.append(col)
     return pa.table(cols, names=table.column_names)
@@ -119,7 +132,7 @@ def main() -> None:
         elif name == "embeddings":
             parts = [gen_embeddings(t, c) for c in range(COPIES)]
         else:
-            parts = [shifted_copy(t, shifts, c) for c in range(COPIES)]
+            parts = [shifted_copy(t, name, shifts, c) for c in range(COPIES)]
         out = pa.concat_tables(parts).combine_chunks()
         # keep the source's physical types (events.ts stays timestamp[ns])
         pq.write_table(out.cast(t.schema), f"{DST}/{name}.parquet")
