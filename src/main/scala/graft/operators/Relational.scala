@@ -593,6 +593,202 @@ object Relational {
        |                  WHERE o_custkey = c.c_custkey AND o_orderpriority = '1-URGENT')
        |GROUP BY c_nationkey""".stripMargin
 
+  /** TPC-H Q6 (forecasting revenue change): the purest pushdown showcase —
+    * a single-table filter + ungrouped aggregate with NO join and NO
+    * grouping key. Every predicate (shipdate range, discount band, quantity
+    * cap) is scan-eligible, so the plan is Scan(PushedFilters=[...all
+    * five...]) → partial agg → 1-row exchange: at 100 TB the only data
+    * movement is one pre-aggregated row per task, and with parquet
+    * row-group statistics the shipdate range prunes whole row groups before
+    * a byte is decoded. The revenue product routes through [[Exact.dsum]]
+    * so the single output value is bit-identical at any partial-merge
+    * order. Discount bounds compare binary doubles to exact literals —
+    * deterministic in both engines. */
+  def q6Forecast(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  val q6ForecastSql: String =
+    s"""SELECT ${sqlSum("l_extendedprice * l_discount")} AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q10 (returned-item reporting): top-20 customers by revenue lost
+    * to returns in a quarter. The selective filters live on DIFFERENT
+    * tables (returnflag on lineitem, the date window on orders) and both
+    * reach their scans before the orderkey join; customer joins only the
+    * surviving aggregate input, and nation (fixed 25 rows) is the lone
+    * broadcast hint. The final top-k compiles to TakeOrdered — each task
+    * keeps its local 20, the driver merges K×tasks rows, no global sort.
+    * revenue DESC ties break on c_custkey so the LIMIT frontier is
+    * deterministic across engines and partitionings. */
+  def q10Returns(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(k)
+  }
+
+  def q10ReturnsSql(k: Int = 20): String =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+       |  AND l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey ASC LIMIT $k""".stripMargin
+
+  /** TPC-H Q12 analog (shipping-priority audit; the testdata has no
+    * l_shipmode/commitdate, so the grain is l_linestatus over a one-year
+    * ship window). The point of the shape: BOTH output measures are
+    * conditional aggregates over the same join — Spark evaluates the CASE
+    * pair inside the map-side partial aggregate, so the orderkey join's
+    * output never rematerializes per-measure and the final exchange carries
+    * two longs per (task × status). orders prunes to (o_orderkey,
+    * o_orderpriority) — ReadSchema shows 2 of 6 columns. */
+  def q12Priority(spark: SparkSession, sfDir: String): DataFrame = {
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  val q12PrioritySql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_linestatus""".stripMargin
+
+  /** TPC-H Q15 (top supplier): argmax over an aggregate — the classic
+    * "scalar subquery against a derived view" shape. The revenue view is
+    * computed ONCE ([[https://spark.apache.org/docs localCheckpoint]];
+    * shared-subtree discipline) and consumed twice: a 1-row max aggregate
+    * broadcast-crossed back against it (zero shuffles for the comparison,
+    * same pattern as [[q22GlobalBal]]'s threshold), then the equality
+    * filter's survivors — one row per tying supplier — join the supplier
+    * dimension. Revenue is the exact-decimal sum cast back to double, so
+    * the max and the = comparison are bit-identical across engines and
+    * cluster layouts; ties (multiple max suppliers) surface as multiple
+    * rows in both engines rather than an arbitrary pick. */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+      .localCheckpoint()
+    rev
+      .join(broadcast(rev.agg(max(col("total_revenue")).as("max_rev"))))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  val q15TopSupplierSql: String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey, ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+       |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin
+
+  /** TPC-H Q19 (discounted revenue, disjunctive predicate): an OR of three
+    * brand/size/quantity AND-blocks across the part⋈lineitem join. The
+    * shape exists to show what Catalyst does with disjunctions: it derives
+    * the single-table residuals — `(qty∈[1,11]) ∨ (qty∈[10,20]) ∨
+    * (qty∈[20,30])` pushes to the lineitem scan and the brand/size
+    * disjunction to the part scan (both visible in PushedFilters) — so the
+    * join only sees rows that could satisfy SOME branch, and the full
+    * cross-table disjunction evaluates post-join as a codegen'd residual.
+    * At 100 TB that pre-join pruning is the difference between joining the
+    * whole fact table and joining ~40% of it. */
+  def q19Disjunctive(spark: SparkSession, sfDir: String): DataFrame = {
+    val branch = (brand: String, sizeHi: Int, qtyLo: Double, qtyHi: Double) =>
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qtyLo, qtyHi)
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .filter(branch("Brand#12", 5, 1.0, 11.0) ||
+        branch("Brand#23", 10, 10.0, 20.0) ||
+        branch("Brand#34", 15, 20.0, 30.0))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
+  val q19DisjunctiveSql: String =
+    s"""SELECT ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** TPC-H Q21 analog (suppliers who kept orders waiting — the testdata
+    * has no commit/receipt dates, so "late" is re-read as "returned"):
+    * suppliers whose line on a multi-supplier order came back returned
+    * while EVERY other supplier's lines on that order were clean. The
+    * hardest textbook shape — EXISTS and NOT EXISTS against the same fact
+    * table — compiled the scale-safe way: lineitem collapses ONCE to
+    * distinct (orderkey, suppkey, any-returned) participation rows (one
+    * pair-key shuffle, map-side partial), and both quantifiers become joins
+    * against that collapsed frame — a left-semi for "another supplier
+    * exists on the order" and a left-anti for "no OTHER supplier returned"
+    * (equi on orderkey + suppkey≠ residual). Every post-collapse exchange
+    * moves |participations| rows, never |lineitem| rows; the textbook
+    * correlated form the oracle keeps would re-scan the fact per
+    * quantifier. */
+  def q21Waiting(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret"))
+      .localCheckpoint()
+    val mine = pairs.filter(col("ret") === 1)
+      .select(col("l_orderkey").as("orderkey"), col("l_suppkey").as("suppkey"))
+    mine
+      .join(pairs.select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("orderkey") && col("l_suppkey") =!= col("suppkey"),
+        "left_semi")
+      .join(pairs.filter(col("ret") === 1).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("orderkey") && col("l_suppkey") =!= col("suppkey"),
+        "left_anti")
+      .join(Tables.supplier(spark, sfDir), col("suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  val q21WaitingSql: String =
+    """SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait FROM (
+      |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R') l1
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_suppkey, s_name""".stripMargin
+
   val snapshotMergeSql: String =
     """WITH ev AS (
       |  SELECT user_id, epoch_us(ts) AS us, value, event_id

@@ -324,6 +324,121 @@ object StreamingOps {
     spark.table(name).filter(col("user_id") >= 0)
   }
 
+  /** Gap sessionization as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
+    * for Spark 4's `transformWithState` — the third implementation of the
+    * same session semantics, on the CURRENT arbitrary-state API (the
+    * successor to `flatMapGroupsWithState`): typed named state
+    * (`ValueState`) instead of one opaque state object, and EXPLICIT
+    * event-time timers (`registerTimer`/`handleExpiredTimer`) instead of a
+    * single implicit timeout slot. Semantics are identical to
+    * [[sessionizeStream]] — same O(1) open-session aggregates, same
+    * tombstone ordinal counter, same watermark-driven close — so the same
+    * DuckDB oracle checks all three forms.
+    *
+    * The gap timer is re-armed on every batch that touches the key: TWS
+    * timers are additive (registering does not replace), so the previous
+    * timer is deleted first, with the armed expiry tracked in its own
+    * `ValueState` — the bookkeeping `flatMapGroupsWithState` hid. */
+  class GapSessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, SessionRow] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+      ExpiredTimerInfo, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var open: ValueState[OpenSession] = _
+    @transient private var timer: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getValueState[OpenSession]("open",
+        Encoders.product[OpenSession], TTLConfig.NONE)
+      timer = getHandle.getValueState[Long]("timer", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[SessionRow] = {
+      val sorted = rows.toIndexedSeq.sortBy(e => (e.us, e.event_id))
+      val out = List.newBuilder[SessionRow]
+      var cur = if (open.exists()) open.get() else null
+      sorted.foreach { e =>
+        val m = micros(e.value)
+        cur =
+          if (cur == null)
+            OpenSession(1L, 1L, e.event_id, e.event_id, m, e.us)
+          else if (cur.n == 0L) // tombstone: continue the ordinals
+            OpenSession(cur.sid + 1L, 1L, e.event_id, e.event_id, m, e.us)
+          else if (e.us - cur.lastUs > gapUs) {
+            out += emitRow(user, cur)
+            OpenSession(cur.sid + 1L, 1L, e.event_id, e.event_id, m, e.us)
+          } else
+            OpenSession(cur.sid, cur.n + 1,
+              math.min(cur.minId, e.event_id), math.max(cur.maxId, e.event_id),
+              cur.sumMicros + m, math.max(cur.lastUs, e.us))
+      }
+      open.update(cur)
+      // Re-arm the ONE gap timer (timers add, not replace — delete first).
+      if (timer.exists()) getHandle.deleteTimer(timer.get())
+      val t = math.max((cur.lastUs + gapUs) / 1000L + 1L, tv.getCurrentWatermarkInMs() + 1L)
+      getHandle.registerTimer(t)
+      timer.update(t)
+      out.result().iterator
+    }
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionRow] = {
+      timer.clear()
+      if (!open.exists()) Iterator.empty
+      else {
+        val s = open.get()
+        if (s.n == 0L) Iterator.empty // already a tombstone
+        else {
+          open.update(OpenSession(s.sid, 0L, 0L, 0L, 0L, s.lastUs))
+          Iterator.single(emitRow(user, s))
+        }
+      }
+    }
+  }
+
+  /** [[GapSessionProcessor]] through the engine: same chunk feed + sentinel
+    * pattern as [[streamingSessionize]]. `transformWithState` requires the
+    * RocksDB state store (multiple column families for named state +
+    * timers), so this demo pins the provider for its run — which also
+    * makes it the registered query that exercises the PRODUCTION store on
+    * every correctness pass. */
+  def streamingSessionizeTws(spark: SparkSession, sfDir: String, gapMinutes: Int = 30,
+      numChunks: Int = 2): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    val evs = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "ts div 1000 AS us", "value")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.get(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val name = "graft_stream_session_tws"
+    try {
+      val feed = stageTimeChunks(evs, "us", numChunks,
+        ckptDir("graft_stream_session_tws_feed"))
+      try {
+        val maxUs = evs.agg(max(col("us"))).head().getLong(0)
+        val sessions = spark.readStream.schema(evs.schema).parquet(feed.watchDir)
+          .withColumn("event_time", timestamp_micros(col("us")))
+          .withWatermark("event_time", "0 seconds")
+          .as[Ev]
+          .groupByKey(_.user_id)
+          .transformWithState(new GapSessionProcessor(gapUs),
+            TimeMode.EventTime(), OutputMode.Append())
+        withStateParts(spark) {
+          val q = sessions.writeStream.outputMode("append").format("memory").queryName(name)
+            .option("checkpointLocation", ckptDir(name)).start()
+          try {
+            (0 until numChunks).foreach { k => dropChunk(feed, k); q.processAllAvailable() }
+            Seq(Ev(-1L, -1L, maxUs + 1000L * gapUs, 0.0)).toDS().toDF()
+              .coalesce(1).write.mode("append").parquet(feed.watchDir)
+            q.processAllAvailable()
+          } finally q.stop()
+        }
+      } finally cleanupFeed(feed)
+    } finally spark.conf.set(providerKey, prevProvider)
+    spark.table(name).filter(col("user_id") >= 0)
+  }
+
   /** Island oracle with the session-window boundary rule (`>= gap` starts a
     * new session; see [[streamingSessionWindow]]). */
   def streamingSessionWindowSql(gapMinutes: Int = 30): String = {

@@ -161,4 +161,78 @@ class RelationalSpec extends AnyFunSuite {
     assert(bad.count() === 0)
     assert(scored.count() === toks.count(), "every doc with >=2 tokens is scored")
   }
+
+  // ---- round-5 TPC-H shapes ----
+
+  test("q6: all five predicates reach the lineitem scan (PushedFilters)") {
+    val plan = Relational.q6Forecast(spark, Sf).queryExecution.executedPlan.toString
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(raw"PushedFilters: \[[^\]]*$c".r.findFirstIn(plan).nonEmpty,
+        s"$c predicate must push to the parquet scan\n$plan")
+    assert(Relational.q6Forecast(spark, Sf).count() === 1)
+  }
+
+  test("q10: top-k compiles to TakeOrdered, never a global sort") {
+    val q = Relational.q10Returns(spark, Sf, k = 5)
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "LIMIT after ORDER BY must plan as TakeOrderedAndProject")
+    // the k-frontier is deterministic: re-running yields the identical rows
+    assert(q.exceptAll(Relational.q10Returns(spark, Sf, k = 5)).isEmpty)
+  }
+
+  test("q12: conditional-aggregate pair partitions the joined rows exactly") {
+    val r = Relational.q12Priority(spark, Sf).collect()
+    val joined = Tables.lineitem(spark, Sf)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, Sf), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(r.map(x => x.getLong(1) + x.getLong(2)).sum === joined,
+      "high + low must partition every joined line exactly once")
+  }
+
+  test("q15 equals the window-max twin (and keeps ALL argmax ties)") {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val rev = Tables.lineitem(spark, Sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("total_revenue"))
+    val twin = rev.withColumn("mx", max(col("total_revenue")).over(w))
+      .filter(col("total_revenue") === col("mx"))
+      .join(Tables.supplier(spark, Sf), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    val q = Relational.q15TopSupplier(spark, Sf)
+    assert(q.exceptAll(twin).isEmpty && twin.exceptAll(q).isEmpty)
+  }
+
+  test("q19: Catalyst pushes the single-table residual disjunctions to each scan") {
+    val plan = Relational.q19Disjunctive(spark, Sf).queryExecution.executedPlan.toString
+    // lineitem scan: Or(...l_quantity...); part scan: Or(...p_brand/p_size...)
+    for (c <- Seq("l_quantity", "p_brand"))
+      assert(raw"PushedFilters: \[[^\]]*Or\([^\]]*$c".r.findFirstIn(plan).nonEmpty ||
+        raw"PushedFilters: \[[^\]]*$c[^\]]*Or\(".r.findFirstIn(plan).nonEmpty,
+        s"derived $c disjunction must push to its scan\n$plan")
+  }
+
+  test("q21 equals the per-quantifier raw-fact formulation it collapses") {
+    val li = Tables.lineitem(spark, Sf)
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("orderkey"), col("l_suppkey").as("suppkey"))
+      .distinct()
+    // quantifiers straight against RAW lineitem rows (the textbook plan the
+    // collapsed participation frame replaces)
+    val naive = l1
+      .join(li, col("l_orderkey") === col("orderkey") &&
+        col("l_suppkey") =!= col("suppkey"), "left_semi")
+      .join(li.filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("orderkey") &&
+          col("l_suppkey") =!= col("suppkey"), "left_anti")
+      .join(Tables.supplier(spark, Sf), col("suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+    val q = Relational.q21Waiting(spark, Sf)
+    assert(q.exceptAll(naive).isEmpty && naive.exceptAll(q).isEmpty)
+  }
 }
