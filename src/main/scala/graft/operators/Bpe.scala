@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Byte-pair-encoding tokenizer training over the `documents` corpus — the
+  * LLM-pipeline operator family the reference's word-count queries grow into
+  * (SURVEY.md §2.2 Q1/Q2 tokenize the same way; FIXTURES.md §5).
+  *
+  * The scale design mirrors how production tokenizer trainers
+  * (Sennrich's subword-nmt, HF tokenizers, SentencePiece) handle web-scale
+  * corpora: BPE statistics are a function of the WEIGHTED VOCABULARY, not
+  * the corpus — so the 100 TB corpus is touched exactly once (the word-count
+  * shuffle, identical to [[TextOps.wordcount]]), and every merge iteration
+  * runs over |vocab| rows (≤ a few million at any corpus size; Heaps' law)
+  * with an O(1) argmax pulled to the driver — the [[Similarity.kmeansTrain]]
+  * codebook structure. Symbol sequences live as space-delimited strings so
+  * a merge is ONE codegen'd `replace(sym, ' a b ', ' ab ')` — left-to-right
+  * non-overlapping, exactly BPE's greedy merge order (proven against a
+  * scan-based reference implementation in BpeSpec) — and pair extraction is
+  * split + transform over the symbol array: every per-row operation in the
+  * loop is a Catalyst builtin, no UDFs anywhere.
+  */
+object Bpe {
+
+  /** End-of-word marker (Sennrich-style); disjoint from `[a-z0-9]+` tokens
+    * so it can never collide with a character or merged symbol. */
+  val EndOfWord = "</w>"
+
+  /** Weighted vocabulary: distinct token → corpus frequency. The ONLY
+    * corpus-wide pass in the family. */
+  private def vocab(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+
+  /** Iteration-0 BPE statistics: adjacent symbol-pair counts over the
+    * character-level vocabulary (including the end-of-word marker pair),
+    * weighted by word frequency — top `k` by count. This is exactly the
+    * argmax table [[bpeTrain]]'s first merge reads; the spec pins that
+    * correspondence. One corpus shuffle (the word count) + one |vocab|-row
+    * pair explosion; the exchange after the pair groupBy carries ≤ |Σ|²+|Σ|
+    * rows — alphabet-bounded, not corpus-bounded. */
+  def bpePairCounts(spark: SparkSession, sfDir: String, k: Int = 30): DataFrame =
+    vocab(spark, sfDir)
+      .select(col("n"), explode(expr(
+        s"""transform(sequence(1, length(w)), i -> struct(
+           |  substring(w, i, 1) AS a,
+           |  CASE WHEN i = length(w) THEN '$EndOfWord'
+           |       ELSE substring(w, i + 1, 1) END AS b))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("n"))
+      .groupBy("a", "b").agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+      .limit(k)
+
+  def bpePairCountsSql(k: Int = 30): String =
+    s"""WITH words AS (
+       |  SELECT w, count(*) AS n FROM (
+       |    SELECT unnest(${TextOps.tokensSql}) AS w FROM documents) GROUP BY w)
+       |SELECT substr(w, i, 1) AS a,
+       |  CASE WHEN i = length(w) THEN '$EndOfWord' ELSE substr(w, i + 1, 1) END AS b,
+       |  CAST(sum(n) AS BIGINT) AS cnt
+       |FROM words, LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) t
+       |GROUP BY a, b ORDER BY cnt DESC, a ASC, b ASC LIMIT $k""".stripMargin
+
+  /** Space-delimited character symbolization: `"low"` →
+    * `" l o w </w> "`. Sentinel spaces at both ends let a merge of (a, b)
+    * be the literal replace of `" a b "` — every occurrence is
+    * space-delimited on both sides by construction. */
+  private def symbolize(w: Column): Column =
+    concat(lit(" "),
+      array_join(regexp_extract_all(w, lit("."), lit(0)), " "),
+      lit(s" $EndOfWord "))
+
+  /** Apply a learned merge list to a symbolized column — the ENCODE path.
+    * One codegen'd literal replace per merge, folded into a single
+    * expression tree (no UDF, no shuffle): how a 100 TB corpus gets
+    * re-tokenized after training. */
+  def bpeApply(merges: Seq[(String, String)])(sym: Column): Column =
+    merges.foldLeft(sym) { case (c, (a, b)) =>
+      replace(c, lit(s" $a $b "), lit(s" $a$b ")) }
+
+  /** Learn `numMerges` BPE merges. Per iteration: a |vocab|-row adjacent-
+    * pair count (split + transform, alphabet²-bounded exchange), ONE argmax
+    * row collected (ties broken (count desc, lhs, rhs) — deterministic
+    * across engines and partitionings), and the merge applied as a literal
+    * replace. The vocabulary is localCheckpoint'ed at the start (shared by
+    * all iterations) and every 8 merges (bounds the replace-chain plan
+    * depth); driver traffic is O(1) per merge, O(numMerges) total.
+    * Output: the ranked merge table — the tokenizer artifact. */
+  def bpeTrain(spark: SparkSession, sfDir: String, numMerges: Int = 20): DataFrame = {
+    import spark.implicits._
+    var cur = vocab(spark, sfDir)
+      .select(symbolize(col("w")).as("sym"), col("n"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val top = cur
+        .select(col("n"), split(trim(col("sym")), " ").as("ss"))
+        // size(ss)=1 happens once a word fully merges; sequence(1, 0) is
+        // DESCENDING in Spark, so it needs an explicit empty-array branch.
+        .select(col("n"), explode(expr(
+          """CASE WHEN size(ss) < 2
+            |THEN cast(array() AS array<struct<a:string,b:string>>)
+            |ELSE transform(sequence(1, size(ss) - 1),
+            |               i -> struct(ss[i-1] AS a, ss[i] AS b)) END""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank.toLong, a, b, a + b, cnt))
+        cur = cur.withColumn("sym", bpeApply(Seq((a, b)))(col("sym")))
+        if (rank % 8 == 0) cur = cur.localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.result().toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Unrolled-CTE oracle for [[bpeTrain]] — the [[Similarity.kmeansTrainSql]]
+    * pattern: layer k recounts pairs over vocab state v(k-1), takes the
+    * same deterministically-tied argmax, and applies the same literal
+    * replace (DuckDB `replace` and Spark `replace` are both left-to-right
+    * non-overlapping). The merge table is the UNION of the per-layer argmax
+    * rows. Each vocab state is `AS MATERIALIZED`: v(k-1) is referenced by
+    * BOTH p(k) and v(k), and DuckDB's default CTE inlining would otherwise
+    * expand the chain to 2^numMerges scans of the base table. */
+  def bpeTrainSql(numMerges: Int = 20): String = {
+    val base =
+      s"""words AS (
+         |  SELECT w, count(*) AS n FROM (
+         |    SELECT unnest(${TextOps.tokensSql}) AS w FROM documents) GROUP BY w),
+         |v0 AS MATERIALIZED (
+         |  SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ')
+         |           || ' $EndOfWord ' AS sym, n
+         |  FROM words)""".stripMargin
+    val layers = (1 to numMerges).map { k =>
+      s"""p$k AS (
+         |  SELECT s[i] AS a, s[i + 1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(trim(sym), ' ') AS s, n FROM v${k - 1}) t,
+         |       LATERAL (SELECT unnest(range(1, len(s))) AS i) u
+         |  GROUP BY a, b),
+         |b$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT replace(sym, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS sym, n
+         |  FROM v${k - 1}, b$k)""".stripMargin
+    }
+    val union = (1 to numMerges)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, " +
+        s"a || b AS merged, cnt AS pair_count FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${(base +: layers).mkString(",\n")}\n$union"
+  }
+}
