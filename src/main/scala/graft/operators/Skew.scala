@@ -88,4 +88,68 @@ object Skew {
 
   val userEventCountsSaltedSql: String =
     "SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY user_id"
+
+  /** Key-skew diagnosis — the MEASUREMENT that decides whether
+    * [[saltedJoin]]/[[saltedCount]] (or AQE skew splitting) is needed at
+    * all, as a first-class oracle-checked query. For each candidate
+    * shuffle key of the events stream (`user_id`, `event_type`) it
+    * profiles the per-key count distribution: exact p50/p90/p99/max key
+    * counts (rank method, [[TextAnalysis.lengthQuantiles]] pattern),
+    * the hottest key's corpus share in ppm, and `skew_ratio_x` =
+    * max_cnt / mean_cnt in integer arithmetic — the fan-out a salt would
+    * need to level the hot key (the n in salt ∈ [0, n)).
+    *
+    * Scale shape: one count shuffle per key column; the quantile window
+    * then runs over |keys| rows, not |corpus| rows. A single global window
+    * partition over |keys| is deliberate and documented: key-domain
+    * cardinality (users, types) is millions at 100 TB, not billions — and
+    * for billion-key domains the mergeable [[TextAnalysis.histQuantiles]]
+    * sketch is the drop-in replacement. Ties in the count order break on
+    * the STRING form of the key so both engines rank identically for any
+    * key type. */
+  def skewProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    def profile(keyed: DataFrame, label: String): DataFrame = {
+      val counts = keyed.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").asc, col("k").asc)
+      val tot = counts.agg(count(lit(1)).as("nk"),
+        sum(col("cnt")).as("nr"))
+      counts
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .join(broadcast(tot))
+        .groupBy()
+        .agg(
+          max(col("nk")).as("n_keys"),
+          max(col("nr")).as("n_rows"),
+          max(col("cnt")).as("max_cnt"),
+          max(when(col("rn") === ceil(col("nk") * 0.5).cast("long"), col("cnt"))).as("p50_cnt"),
+          max(when(col("rn") === ceil(col("nk") * 0.9).cast("long"), col("cnt"))).as("p90_cnt"),
+          max(when(col("rn") === ceil(col("nk") * 0.99).cast("long"), col("cnt"))).as("p99_cnt"))
+        .select(lit(label).as("key_col"), col("n_keys"), col("n_rows"),
+          col("max_cnt"), col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
+          expr("max_cnt * 1000000L div n_rows").as("top_share_ppm"),
+          expr("max_cnt * n_keys div n_rows").as("skew_ratio_x"))
+    }
+    val ev = Tables.events(spark, sfDir)
+    profile(ev.select(col("user_id").cast("string").as("k")), "user_id")
+      .unionAll(profile(ev.select(col("event_type").as("k")), "event_type"))
+  }
+
+  val skewProfileSql: String = {
+    def block(keyExpr: String, label: String) =
+      s"""SELECT '$label' AS key_col, max(nk) AS n_keys, max(nr) AS n_rows,
+         |  max(cnt) AS max_cnt,
+         |  max(CASE WHEN rn = CAST(ceil(nk * 0.5) AS BIGINT) THEN cnt END) AS p50_cnt,
+         |  max(CASE WHEN rn = CAST(ceil(nk * 0.9) AS BIGINT) THEN cnt END) AS p90_cnt,
+         |  max(CASE WHEN rn = CAST(ceil(nk * 0.99) AS BIGINT) THEN cnt END) AS p99_cnt,
+         |  CAST(max(cnt) * 1000000 // max(nr) AS BIGINT) AS top_share_ppm,
+         |  CAST(max(cnt) * max(nk) // max(nr) AS BIGINT) AS skew_ratio_x
+         |FROM (
+         |  SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS rn,
+         |    count(*) OVER () AS nk, CAST(sum(cnt) OVER () AS BIGINT) AS nr
+         |  FROM (SELECT $keyExpr AS k, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM events GROUP BY 1) c)""".stripMargin
+    block("CAST(user_id AS VARCHAR)", "user_id") + "\nUNION ALL\n" +
+      block("event_type", "event_type")
+  }
 }

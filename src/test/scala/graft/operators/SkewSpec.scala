@@ -47,4 +47,21 @@ class SkewSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted === plain)
   }
+
+  test("skewProfile: totals match the table; quantiles ordered; ratio consistent") {
+    val ev = graft.Tables.events(spark, Sf)
+    val prof = Skew.skewProfile(spark, Sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet === Set("user_id", "event_type"))
+    for ((label, keyCol) <- Seq("user_id" -> col("user_id"), "event_type" -> col("event_type"))) {
+      val r = prof(label)
+      assert(r.getLong(2) === ev.count(), s"$label n_rows")
+      assert(r.getLong(1) === ev.select(keyCol).distinct().count(), s"$label n_keys")
+      val mx = ev.groupBy(keyCol).count().agg(max(col("count"))).collect()(0).getLong(0)
+      assert(r.getLong(3) === mx, s"$label max_cnt")
+      assert(r.getLong(4) <= r.getLong(5) && r.getLong(5) <= r.getLong(6) &&
+        r.getLong(6) <= r.getLong(3), s"$label quantile ordering")
+      assert(r.getLong(8) === mx * r.getLong(1) / r.getLong(2), s"$label skew ratio")
+    }
+  }
 }
