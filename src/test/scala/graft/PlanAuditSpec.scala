@@ -439,4 +439,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!read.contains("c_acctbal") && !read.contains("c_mktsegment"),
       s"customer scan must prune to c_custkey+c_name: $read")
   }
+
+  test("q21: both quantifiers decorrelate into ONE window pass") {
+    val p = plan("q21_waiting")
+    assert(nodes(p, "Window") === 1,
+      s"EXISTS + NOT EXISTS must share a single orderkey window:\n$p")
+    assert(nodes(p, "SortMergeJoin") + nodes(p, "ShuffledHashJoin") +
+      nodes(p, "BroadcastHashJoin") === 1,
+      "only the supplier dimension join remains after decorrelation")
+  }
+
+  test("q12: the conditional-aggregate pair evaluates in the map-side partial") {
+    val p = plan("q12_priority")
+    assert(p.contains("partial_sum(CASE WHEN"),
+      s"CASE measures must aggregate map-side, before the exchange:\n$p")
+  }
+
+  test("bpe_pair_counts: two bounded shuffles, top-k without a global sort") {
+    val p = plan("bpe_pair_counts")
+    assert(nodes(p, "Exchange") === 2,
+      s"word-count shuffle + alphabet-bounded pair shuffle, nothing else:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
 }
