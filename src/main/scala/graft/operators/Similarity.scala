@@ -26,6 +26,20 @@ object Similarity {
     * identical IEEE products/sums). */
   def toDoubleVec(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Round-robin re-balance across the session's shuffle parallelism,
+    * placed immediately BEFORE a work-amplifying operator (the ×C centroid
+    * scoring join, the ×M×K' PQ encode). Scan parallelism follows INPUT
+    * BYTES (`maxPartitionBytes`), but these pipelines multiply every input
+    * row by a large constant downstream of the scan with no intervening
+    * exchange — a ~50 MB single-split embeddings file runs its entire
+    * multi-hundred-million-row expansion on ONE core (measured at the sf10
+    * decade: knn_ivfpq 146 s with the expansion single-threaded, ~48 s
+    * once re-balanced). The n-row shuffle this inserts is noise next to
+    * the n·C / n·M·K' work it parallelizes: partition by downstream work,
+    * not input bytes. */
+  private def rebalance(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.sessionState.conf.numShufflePartitions)
+
   /** Codegen'd left-to-right dot product ([[graft.functions.DotProduct]]).
     * The built-in aggregate/zip_with lambdas evaluate interpreted and land
     * inside join conditions — orders of magnitude too slow for pairwise
@@ -61,7 +75,7 @@ object Similarity {
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    rebalance(spark, e).join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -135,7 +149,7 @@ object Similarity {
       .withColumn("nrm", graft.functions.VectorExpressions.vec_norm(col("v")))
     val cent = e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    e.join(broadcast(cent))
+    rebalance(spark, e).join(broadcast(cent))
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
         cosinePre(col("v"), col("cv"), col("nrm"), col("cnrm")).as("ccos"))
       .groupBy(col("vec_id"))
@@ -550,7 +564,9 @@ object Similarity {
       .select(col("vec_id").as("code"), col("m").as("cm"), col("sv").as("cv"))
     // encode: per (vec, subspace) the argmin code; broadcast join so the
     // K' candidate rows collapse map-side, then pivot to one row per vector
-    val enc = sub.join(broadcast(cb), col("m") === col("cm"))
+    // (input re-balanced first — the join amplifies ×K' downstream of a
+    // bytes-partitioned scan; see [[rebalance]])
+    val enc = rebalance(spark, sub).join(broadcast(cb), col("m") === col("cm"))
       .withColumn("d2", dist2(col("sv"), col("cv")))
       .groupBy(col("vec_id"), col("m"))
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))

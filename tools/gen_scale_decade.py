@@ -86,8 +86,11 @@ def shifted_copy(table: pa.Table, tname: str, shifts: dict, c: int) -> pa.Table:
 
 def rename_tokens(text: str, c: int) -> str:
     # Injective per-copy token rename: within-copy similarity structure is
-    # preserved exactly; cross-copy token sets are disjoint.
-    return " ".join(f"c{c}{t}" for t in text.split(" "))
+    # preserved exactly; cross-copy token sets are disjoint. The prefix is
+    # FIXED-WIDTH: a variable-width "c{c}" would collide across copies
+    # (copy 1 + token "0abc" == "c10abc" == copy 10 + token "abc"),
+    # manufacturing cross-copy shingle matches once COPIES > 10.
+    return " ".join(f"c{c:03d}{t}" for t in text.split(" "))
 
 
 def gen_documents(t: pa.Table, c: int) -> pa.Table:
@@ -110,6 +113,14 @@ def gen_embeddings(t: pa.Table, c: int) -> pa.Table:
         return t
     mat = np.stack(t.column("embedding").to_pylist()).astype(np.float32)
     rolled = np.roll(mat, 7 * c, axis=1)  # orthogonal: within-copy geometry intact
+    # Rolls repeat mod the vector dim: copies dim apart would otherwise get
+    # IDENTICAL vectors (spurious cross-copy exact dups once COPIES > dim).
+    # A global sign flip per roll cycle is also orthogonal, preserves
+    # within-copy pairwise cosines, and puts repeat-cycle copies at
+    # cosine -1 from their twins — decorrelated, like every other pair.
+    dim = mat.shape[1]
+    if ((7 * c) // dim) % 2 == 1:
+        rolled = -rolled
     emb = pa.array([row for row in rolled], type=t.schema.field("embedding").type)
     vec = pa.array(t.column("vec_id").combine_chunks().to_numpy() + V_OFF * c,
                    type=pa.int64())
