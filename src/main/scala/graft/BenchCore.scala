@@ -1,0 +1,121 @@
+package graft
+
+/** The bench measurement loop, factored pure so the noise defense is
+  * TESTABLE: pass-runner and calibrator are injected functions, which lets
+  * BenchChaosSpec replay a recorded throttle window deterministically and
+  * assert the defense actually recovers clean medians — the round-5 driver
+  * capture (noise_index 18.44, a ~18× mid-run throttle) showed the 5-pass
+  * adaptive rescue alone can be beaten when the throttle outlasts every
+  * pass of a query.
+  *
+  * Defense layers (cheapest first):
+  *   1. median of 3 passes — rejects one corrupted pass;
+  *   2. adaptive re-measurement to 5 passes when the good-pass spread
+  *      exceeds 50% — rejects two;
+  *   3. NEW (round 6): post-run noise recovery. If the calibration
+  *      noise_index exceeds [[NoiseThreshold]], the host was throttled
+  *      during the window; wait until a fresh calibration lands within
+  *      [[RecoveredFactor]]× of the best calibration seen (bounded
+  *      retries), then run ONE clean SCREENING pass per query: where it
+  *      undercuts the recorded median by more than [[ScreenSlack]], the
+  *      first-round median was throttle-inflated — re-measure that query
+  *      in full and keep the smaller median. Screening the whole surface
+  *      (≈⅓ of a bench) instead of a worst-spread decile is deliberate: a
+  *      query whose EVERY pass fell inside the throttle window has
+  *      near-zero spread, so spread cannot identify exactly the queries
+  *      the window fully covered (proven in BenchChaosSpec). min(old,
+  *      re-run) is safe because external throttling only ever inflates a
+  *      timing and the re-run happens AFTER recovery was observed.
+  */
+object BenchCore {
+  val NoiseThreshold = 3.0
+  val RecoveredFactor = 1.5
+  val ScreenSlack = 0.8 // screening pass < 80% of old median → re-measure
+  val MaxRecoveryProbes = 40
+
+  case class Q(name: String, median: Double, spreadPct: Double, passes: Int,
+      ok: Boolean, rescued: Boolean = false)
+
+  case class Result(queries: Seq[Q], calibrations: Seq[Double], noiseIndex: Double,
+      rescueRan: Boolean, recoveryProbes: Int)
+
+  def stats(samples: Seq[Double]): (Double, Double) = {
+    val s = samples.sorted
+    // True median: average the two middle samples when the good-pass count
+    // is even (a failed pass leaves an even count; upper-middle alone would
+    // report toward the max).
+    val med =
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    val spread = if (med > 0) (s.max - s.min) / med * 100 else 0.0
+    (med, spread)
+  }
+
+  /** Layers 1+2 for one query: 3 passes, adaptively up to 5. */
+  private def measureOne(name: String, onePass: String => (Double, Boolean)): Q = {
+    var passes = (1 to 3).map(_ => onePass(name))
+    var good = passes.filter(_._2).map(_._1)
+    while (good.nonEmpty && passes.size < 5 && stats(good)._2 > 50.0) {
+      passes = passes :+ onePass(name)
+      good = passes.filter(_._2).map(_._1)
+    }
+    if (good.isEmpty) Q(name, 0.0, 0.0, passes.size, ok = false)
+    else {
+      val (med, spread) = stats(good)
+      Q(name, med, spread, passes.size, ok = passes.forall(_._2))
+    }
+  }
+
+  def measure(names: Seq[String], onePass: String => (Double, Boolean),
+      calibrate: () => Double,
+      log: String => Unit = _ => ()): Result = {
+    val calStart = calibrate()
+    val midpoint = names.size / 2
+    var calMiddle = calStart // overwritten at the midpoint query
+    val firstRound = names.zipWithIndex.map { case (name, i) =>
+      if (i == midpoint) calMiddle = calibrate()
+      measureOne(name, onePass)
+    }
+    val calEnd = calibrate()
+    val cals = Seq(calStart, calMiddle, calEnd)
+    val noiseIndex = cals.max / math.max(cals.min, 1e-9)
+    if (noiseIndex <= NoiseThreshold)
+      return Result(firstRound, cals, noiseIndex, rescueRan = false, recoveryProbes = 0)
+
+    // Layer 3: the window was throttled. Wait for the host to come back —
+    // a fresh calibration within RecoveredFactor of the best one seen —
+    // then re-measure the queries most likely corrupted.
+    log(f"[bench] noise_index $noiseIndex%.2f > $NoiseThreshold: waiting for host recovery")
+    val baseline = cals.min
+    var probes = 0
+    var recovered = false
+    while (probes < MaxRecoveryProbes && !recovered) {
+      probes += 1
+      recovered = calibrate() <= baseline * RecoveredFactor
+    }
+    if (!recovered) {
+      log(s"[bench] host never recovered within $MaxRecoveryProbes probes; keeping first-round medians")
+      return Result(firstRound, cals, noiseIndex, rescueRan = false, recoveryProbes = probes)
+    }
+    // Screening sweep: one clean pass per query decides whether its
+    // first-round median was throttle-inflated. (Spread CANNOT make that
+    // call — a fully-covered query times consistently slow, spread ≈ 0.)
+    var rescuedCount = 0
+    val rescuedRound = firstRound.map { q =>
+      if (!q.ok) q
+      else {
+        val (screen, screenOk) = onePass(q.name)
+        if (!screenOk || screen >= q.median * ScreenSlack) q
+        else {
+          val re = measureOne(q.name, onePass)
+          // Throttling only inflates; the re-run happened after observed
+          // recovery, so the smaller median is the honest one.
+          if (re.ok && re.median < q.median) { rescuedCount += 1; re.copy(rescued = true) }
+          else q
+        }
+      }
+    }
+    log(s"[bench] screening sweep re-measured $rescuedCount of ${firstRound.count(_.ok)} queries")
+    Result(rescuedRound, cals, noiseIndex, rescueRan = true, recoveryProbes = probes)
+  }
+}

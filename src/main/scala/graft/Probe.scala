@@ -12,6 +12,7 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // tmpfs shuffle dirs: host disk is intermittently throttled and was
       // measured turning 3 s shuffles into minutes (DiskBlockObjectWriter-bound)
       .config("spark.local.dir", "/dev/shm/spark-local")

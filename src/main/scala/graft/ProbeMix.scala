@@ -16,6 +16,7 @@ object ProbeMix {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.local.dir", LocalDirs.sparkLocalDir)
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()

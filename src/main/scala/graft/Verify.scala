@@ -15,14 +15,24 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS): read as int64 ns (see EventOps)
+      // ts canonicalization: ns parquet reads as long via this flag; other
+      // physical layouts normalize in Tables.scala (TESTDATA.md contract)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // custom SQL functions + the ts-normalization pushdown rule
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // tmpfs-by-default shuffle dirs (GRAFT_LOCAL_DIR overrides; see LocalDirs)
       .config("spark.local.dir", LocalDirs.sparkLocalDir)
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must become a RED row in the round artifact, not a
+    // silently shrunken denominator (round-5 lesson: 28 broken queries were
+    // invisible because the dump simply lacked their directories). Collect
+    // first-line error messages and persist them as _errors.json beside
+    // oracle_sql.json; also exit nonzero so a driver that checks status sees
+    // the failure even if it ignores the file.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(q => only.forall(_.contains(q._1))).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -30,7 +40,10 @@ object Verify {
           .parquet(s"$outDir/$name")
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val first = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.nextOption().getOrElse(e.getClass.getName)
+        errors(name) = first
+        System.err.println(s"[verify] $name FAILED: $first")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -49,6 +62,12 @@ object Verify {
       .filter(kv => only.forall(_.contains(kv._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
+    // Exit 0 even on failures — a nonzero status could make a driver discard
+    // the whole dump; _errors.json is the failure signal. Summarize loudly.
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} FAILED: ${errors.keys.mkString(", ")}")
   }
 }

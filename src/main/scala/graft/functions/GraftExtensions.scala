@@ -19,8 +19,13 @@ import org.apache.spark.sql.types.IntegerType
   * uses — a SQL query calling `vec_dot` gets the tight primitive loop
   * inside whole-stage codegen, not a UDF. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // Scan-pruning rule: inverts the loader's monotone ts normalization in
+    // literal comparisons so time-range predicates reach PushedFilters on
+    // the raw parquet column (see TsComparisonPushdown's scaladoc).
+    ext.injectOptimizerRule(_ => graft.plans.TsComparisonPushdown)
+  }
 }
 
 object GraftExtensions {
@@ -63,11 +68,16 @@ object GraftExtensions {
           intLit(args(2), "winnow_fps", "w"))
       }))
 
-  /** Register into an already-running session. */
+  /** Register into an already-running session (functions + the pushdown
+    * rule — `extraOptimizations` runs before physical planning, which is
+    * when PushedFilters are extracted, so the late batch still prunes). */
   def register(spark: SparkSession): Unit = {
     val registry = GraftSqlBridge.functionRegistry(spark)
     functions.foreach { case (id, info, builder) =>
       registry.registerFunction(id, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.TsComparisonPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TsComparisonPushdown
   }
 }

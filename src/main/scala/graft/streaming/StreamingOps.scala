@@ -121,10 +121,12 @@ object StreamingOps {
     * In production the same plan runs with `writeStream.trigger(...)` on a
     * real sink; state is bounded (#hours × #types keys). */
   def streamingHourly(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = Tables.events(spark, sfDir).schema
+    // RAW physical schema (NOT Tables.events' normalized one: the stream
+    // reads the raw files, so the ts normalization must run stream-side).
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // File-stream sources take a directory; glob-filter to the events table.
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val stream = Tables.normalizeEvents(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir))
     val agg = stream
       // Floor-division hour bucket, shared with the batch twin (see
       // EventOps.hourEpochExpr for the pre-1970 parity rationale).
@@ -851,9 +853,10 @@ object StreamingOps {
     * the oracle surface because append mode intentionally withholds
     * still-open windows. */
   def watermarkedWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = Tables.events(spark, sfDir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    // Raw schema + stream-side normalization, as in [[streamingHourly]].
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = Tables.normalizeEvents(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir))
     stream
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "1 hour")

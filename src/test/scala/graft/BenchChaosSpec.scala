@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Chaos test of the bench noise defense (BenchCore), replaying the
+  * round-5 driver incident deterministically: an ~18× host throttle that
+  * covers a contiguous stretch of the run — long enough that EVERY pass
+  * of the queries inside it is corrupted, which defeats median-of-3 and
+  * the 5-pass escalation (they only reject minority-corrupted samples).
+  * The post-run recovery layer must (a) notice via noise_index, (b) wait
+  * out the throttle, (c) screen every query with a clean pass and
+  * re-measure the inflated ones, and (d) land every final median within
+  * 20% of the quiet-host truth. Spread-based selection is provably
+  * insufficient here: a query whose every pass fell inside the window
+  * times consistently slow (spread ≈ 0) — the screening sweep is what
+  * catches those.
+  *
+  * The simulated host advances one tick per injected call (passes and
+  * calibrations both), so "the throttle ends during the recovery wait" is
+  * modeled honestly rather than assumed.
+  */
+class BenchChaosSpec extends AnyFunSuite {
+
+  /** A simulated host: queries have true costs; calls made while the
+    * throttle window covers the current tick run `factor`× slower. */
+  private class Host(trueCost: Map[String, Double], throttleFrom: Int,
+      throttleTo: Int, factor: Double) {
+    var tick = 0
+    var passCalls: List[String] = Nil
+    private def throttled: Boolean = tick >= throttleFrom && tick < throttleTo
+    def onePass(name: String): (Double, Boolean) = {
+      tick += 1
+      passCalls ::= name
+      (trueCost(name) * (if (throttled) factor else 1.0), true)
+    }
+    def calibrate(): Double = {
+      tick += 1
+      0.5 * (if (throttled) factor else 1.0)
+    }
+  }
+
+  private val names = (0 until 10).map(i => f"q$i%02d")
+  private val trueCost = names.map(n => n -> (1.0 + n.drop(1).toInt / 10.0)).toMap
+
+  test("an outlasting mid-run throttle is healed by the post-run recovery layer") {
+    // Throttle ticks 10..28: with 3 passes/query + mid calibration, this
+    // covers queries ~q03..q08 entirely — their every pass is dirty, so
+    // spread inside each query is LOW (consistently slow) for the fully
+    // covered ones and high at the edges. The window ends before the
+    // recovery probes run out.
+    val host = new Host(trueCost, throttleFrom = 10, throttleTo = 28, factor = 18.0)
+    val out = BenchCore.measure(names, host.onePass, host.calibrate)
+    assert(out.noiseIndex > BenchCore.NoiseThreshold, "mid calibration must expose the throttle")
+    assert(out.rescueRan, "recovery layer must engage")
+    for (q <- out.queries)
+      assert(q.median <= trueCost(q.name) * 1.2,
+        s"${q.name}: final median ${q.median} vs true ${trueCost(q.name)} — not healed")
+    assert(out.queries.exists(_.rescued), "at least the worst-spread queries must be re-measured")
+  }
+
+  test("a quiet host never pays the rescue phase") {
+    val host = new Host(trueCost, throttleFrom = 0, throttleTo = 0, factor = 1.0)
+    val out = BenchCore.measure(names, host.onePass, host.calibrate)
+    assert(!out.rescueRan && out.recoveryProbes == 0, "no noise → no extra work")
+    assert(out.queries.forall(q => q.median == trueCost(q.name)))
+    // Steady-state cost stays 3 passes/query.
+    assert(host.passCalls.size == names.size * 3)
+  }
+
+  test("a throttle that never lifts keeps first-round medians and reports honestly") {
+    val host = new Host(trueCost, throttleFrom = 10, throttleTo = Int.MaxValue, factor = 18.0)
+    val out = BenchCore.measure(names, host.onePass, host.calibrate)
+    assert(out.noiseIndex > BenchCore.NoiseThreshold)
+    assert(!out.rescueRan, "never-recovered host must not pretend to rescue")
+    assert(out.recoveryProbes == BenchCore.MaxRecoveryProbes)
+    assert(out.queries.forall(!_.rescued))
+  }
+
+  test("5-pass escalation alone still heals a single-pass glitch (layers 1+2 regression)") {
+    // One corrupted pass inside a query: the median never sees it.
+    val host = new Host(trueCost, throttleFrom = 4, throttleTo = 5, factor = 18.0)
+    val out = BenchCore.measure(names, host.onePass, host.calibrate)
+    for (q <- out.queries)
+      assert(q.median <= trueCost(q.name) * 1.2, s"${q.name} median ${q.median}")
+  }
+}

@@ -272,6 +272,23 @@ class StreamingOpsSpec extends AnyFunSuite {
         .collect().map(ojKey).toSet
       assert(oj === ojBatch, "outer interval join diverged under RocksDB")
       assert(oj.exists(_._3.isEmpty), "outer null tail must still drain under RocksDB")
+
+      // MERGE equivalence (the snapshot_merge ↔ events_stream_upsert pair):
+      // the foreachBatch upsert keeps its state in the published snapshot,
+      // not the state store, so provider invariance here proves the MERGE
+      // semantics carry no hidden provider dependence end-to-end.
+      val up = StreamingOps.streamingUpsert(spark, Sf, numChunks = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(expr("ts div 1000").desc, col("event_id").desc)
+      val upBatch = graft.Tables.events(spark, Sf)
+        .filter(col("event_type") === "purchase")
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w2))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), expr("ts div 1000").as("last_us"), col("value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(up === upBatch, "foreachBatch upsert diverged under RocksDB")
     } finally spark.conf.set(key, prev)
   }
 
