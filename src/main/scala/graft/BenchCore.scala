@@ -13,8 +13,12 @@ package graft
   *   2. adaptive re-measurement to 5 passes when the good-pass spread
   *      exceeds 50% — rejects two;
   *   3. NEW (round 6): post-run noise recovery. If the calibration
-  *      noise_index exceeds [[NoiseThreshold]], the host was throttled
-  *      during the window; wait until a fresh calibration lands within
+  *      noise_index exceeds [[NoiseThreshold]] — or any query escalated
+  *      to 5 passes and STILL shows >[[UnstableSpread]]% spread (a
+  *      throttle window the three calibration points missed but which
+  *      provably landed on that query and outlasted its escalation) —
+  *      the host was throttled during the window; wait until a fresh
+  *      calibration lands within
   *      [[RecoveredFactor]]× of the best calibration seen (bounded
   *      retries), then run ONE clean SCREENING pass per query: where it
   *      undercuts the recorded median by more than [[ScreenSlack]], the
@@ -29,6 +33,7 @@ package graft
   */
 object BenchCore {
   val NoiseThreshold = 3.0
+  val UnstableSpread = 50.0 // escalated to 5 passes AND still above = dirty window
   val RecoveredFactor = 1.5
   val ScreenSlack = 0.8 // screening pass < 80% of old median → re-measure
   val MaxRecoveryProbes = 40
@@ -79,13 +84,23 @@ object BenchCore {
     val calEnd = calibrate()
     val cals = Seq(calStart, calMiddle, calEnd)
     val noiseIndex = cals.max / math.max(cals.min, 1e-9)
-    if (noiseIndex <= NoiseThreshold)
+    // Two triggers (round-6 lesson: a 2.85× throttle slipped under the
+    // calibration threshold while individual queries carried 240–305%
+    // spreads through all 5 passes): the three-point calibration can MISS
+    // a throttle window that falls between its samples, but a query that
+    // ESCALATED to 5 passes and still shows >50% spread is direct
+    // evidence the window landed on it and outlasted the escalation.
+    // (Not plain spread>N: under a uniform k× throttle a dirty median's
+    // spread is (k-1)/k < 100%, so no fixed percentage separates dirty
+    // medians from clean ones — failed stabilization does.)
+    val spreadDirty = firstRound.exists(q => q.ok && q.passes >= 5 && q.spreadPct > UnstableSpread)
+    if (noiseIndex <= NoiseThreshold && !spreadDirty)
       return Result(firstRound, cals, noiseIndex, rescueRan = false, recoveryProbes = 0)
 
     // Layer 3: the window was throttled. Wait for the host to come back —
     // a fresh calibration within RecoveredFactor of the best one seen —
     // then re-measure the queries most likely corrupted.
-    log(f"[bench] noise_index $noiseIndex%.2f > $NoiseThreshold: waiting for host recovery")
+    log(f"[bench] noise_index $noiseIndex%.2f (threshold $NoiseThreshold) / max surviving spread trigger: waiting for host recovery")
     val baseline = cals.min
     var probes = 0
     var recovered = false

@@ -364,6 +364,76 @@ object Relational {
        |   OR (n1.n_name = '$nationB' AND n2.n_name = '$nationA')
        |GROUP BY 1, 2, 3""".stripMargin
 
+  /** TPC-H Q8 analog (national market share): of all revenue from one
+    * part type sold to customers in one region over two order years, the
+    * fraction supplied by one nation, per year. The last classic TPC-H
+    * shape expressible on these tables (Q2/Q9/Q11/Q20 need the absent
+    * partsupp table). Plan discipline at 100 TB:
+    *   - the SELECTIVE dim (p_type filter, ~1/5 of `part`) joins the fact
+    *     FIRST — the q17 runtime-filter shape, so at cluster scale the
+    *     lineitem scan is Bloom-pruned before its shuffle;
+    *   - the o_orderdate window reaches the orders scan as PushedFilters;
+    *   - region restriction pre-joins nation⋈region into ONE broadcast
+    *     (25×5 rows — dimension work never touches an exchange), and the
+    *     supplier nation rides a second tiny broadcast;
+    *   - market share = conditional DECIMAL sum / total DECIMAL sum, one
+    *     IEEE divide per year row — bit-portable like q14's ratio.
+    * The share nation participates via the CASE, not a filter, so the
+    * denominator keeps all nations — the part TPC-H implementations get
+    * wrong first. */
+  def q8MktShare(spark: SparkSession, sfDir: String, region: String = "AMERICA",
+      pType: String = "PROMO", nation: String = "NATION_3"): DataFrame = {
+    val p = Tables.part(spark, sfDir).filter(col("p_type") === pType)
+      .select(col("p_partkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    // nation⋈region collapses to one ≤25-row broadcast keyed on nationkey.
+    val custNations = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val suppNations = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, sfDir)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNations), col("c_nationkey") === col("cn_key"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNations), col("s_nationkey") === col("sn_key"))
+      .groupBy(col("o_year"))
+      .agg(
+        dsum(when(col("supp_nation") === nation, rev).otherwise(lit(0.0)))
+          .as("nation_volume"),
+        dsum(rev).as("total_volume"))
+      .select(col("o_year"), col("nation_volume"), col("total_volume"),
+        round(col("nation_volume") / col("total_volume"), 6).as("mkt_share"))
+  }
+
+  def q8MktShareSql(region: String = "AMERICA", pType: String = "PROMO",
+      nation: String = "NATION_3"): String =
+    s"""SELECT o_year, nation_volume, total_volume,
+       |  round(nation_volume / total_volume, 6) AS mkt_share
+       |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  ${sqlSum(s"CASE WHEN n2.n_name = '$nation' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS nation_volume,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS total_volume
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |JOIN region ON n1.n_regionkey = r_regionkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |WHERE r_name = '$region' AND p_type = '$pType'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY 1)""".stripMargin
+
   /** LEFT OUTER join coverage: every customer with their count/total of
     * high-value (> 300k) orders, customers with none kept at explicit
     * zeros via COALESCE. The fact side pre-aggregates to ≤ one row per

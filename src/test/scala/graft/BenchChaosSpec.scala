@@ -58,6 +58,22 @@ class BenchChaosSpec extends AnyFunSuite {
     assert(out.queries.exists(_.rescued), "at least the worst-spread queries must be re-measured")
   }
 
+  test("a calibration-blind window is caught by the failed-stabilization trigger") {
+    // Throttle ticks 6..10 cover q01's last two passes AND both of its
+    // escalation passes, then lift before the mid calibration — all three
+    // calibration points read clean (noise_index 1.0), which is exactly
+    // the round-6 real capture shape (noise 2.85 under the 3.0 threshold,
+    // spreads 240–305% surviving 5 passes). The escalated-but-unstable
+    // spread must trigger the rescue anyway.
+    val host = new Host(trueCost, throttleFrom = 6, throttleTo = 10, factor = 18.0)
+    val out = BenchCore.measure(names, host.onePass, host.calibrate)
+    assert(out.noiseIndex <= BenchCore.NoiseThreshold, "calibrations must all miss the window")
+    assert(out.rescueRan, "failed-stabilization spread must trigger the rescue")
+    for (q <- out.queries)
+      assert(q.median <= trueCost(q.name) * 1.2,
+        s"${q.name}: final median ${q.median} vs true ${trueCost(q.name)} — not healed")
+  }
+
   test("a quiet host never pays the rescue phase") {
     val host = new Host(trueCost, throttleFrom = 0, throttleTo = 0, factor = 1.0)
     val out = BenchCore.measure(names, host.onePass, host.calibrate)

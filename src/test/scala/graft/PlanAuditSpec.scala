@@ -35,6 +35,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("l_comment"), "lineitem scan must be column-pruned")
   }
 
+  test("q8_mkt_share: selective dims pushed, nation/region broadcast, no cartesian") {
+    val p = plan("q8_mkt_share")
+    assert(p.contains("EqualTo(p_type,PROMO)"), "part type filter must reach PushedFilters")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") && p.contains("LessThan(o_orderdate"),
+      "order-date window must reach the orders scan as PushedFilters")
+    assert(!p.contains("CartesianProduct"), s"q8 must stay equi-joined:\n$p")
+    assert(nodes(p, "BroadcastExchange") >= 2,
+      s"nation-region and supplier-nation dims must ride broadcasts:\n$p")
+    assert(!p.contains("p_name"), "part scan must be column-pruned")
+  }
+
   test("results are invariant under AQE on/off (plan-variation robustness)") {
     // AQE re-plans joins/partitions at runtime on a real cluster; a result
     // that depends on which physical plan won would be nondeterministic at
