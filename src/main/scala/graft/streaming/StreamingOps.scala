@@ -600,6 +600,78 @@ object StreamingOps {
       |      FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND c.cus BETWEEN p.pus - 3600000000 AND p.pus""".stripMargin
 
+  /** Watermarked stream-stream FULL OUTER interval join — completing the
+    * outer family: matches emit on arrival, unmatched PURCHASES
+    * null-extend when the click watermark passes their window (as in
+    * [[streamingJoinOuter]]), and unmatched CLICKS null-extend when the
+    * purchase watermark passes theirs — BOTH sides' state is
+    * watermark-evicted, both tails need the flush. The same one-sentinel-
+    * per-side fold drains both directions in one watermark advancement
+    * (each side's sentinel advances ITS event-time max, and the no-data
+    * micro-batch evicts both stores). user_id comes back via COALESCE of
+    * the two key columns — for a match either side supplies it, for an
+    * outer row the surviving side does; the sentinel filter works on that
+    * coalesced key exactly because sentinels are the only negative ids. */
+  def streamingJoinFull(spark: SparkSession, sfDir: String,
+      numChunks: Int = 2): DataFrame = {
+    import spark.implicits._
+    def side(tpe: String) = Tables.events(spark, sfDir)
+      .filter(col("event_type") === tpe)
+      .selectExpr("user_id", "event_id", "ts div 1000 AS us")
+    val clickDf = side("click")
+    val purchDf = side("purchase")
+    val base = ckptDir("graft_stream_fojoin_feed")
+    val cFeed = stageTimeChunks(clickDf, "us", numChunks, s"$base/clicks")
+    val pFeed = stageTimeChunks(purchDf, "us", numChunks, s"$base/purchases")
+    val name = "graft_stream_fojoin"
+    try {
+      val maxUs = math.max(
+        clickDf.agg(max(col("us"))).head.getLong(0),
+        purchDf.agg(max(col("us"))).head.getLong(0)) // two scalars, not data
+      val hourUs = 3600L * 1000000L
+      def dropSentinel(watchDir: String, userId: Long, us: Long): Unit =
+        Seq((userId, -1L, us)).toDF("user_id", "event_id", "us")
+          .coalesce(1).write.mode("append").parquet(watchDir)
+      val clicks = spark.readStream.schema(clickDf.schema).parquet(cFeed.watchDir)
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          timestamp_micros(col("us")).as("c_time"))
+        .withWatermark("c_time", "0 seconds")
+      val purchases = spark.readStream.schema(purchDf.schema).parquet(pFeed.watchDir)
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          timestamp_micros(col("us")).as("p_time"))
+        .withWatermark("p_time", "0 seconds")
+      val joined = purchases.join(clicks, expr(
+          "p_user = c_user AND c_time >= p_time - INTERVAL 1 HOUR AND c_time <= p_time"),
+          "fullOuter")
+        .select(col("purchase_id"),
+          coalesce(col("p_user"), col("c_user")).as("user_id"), col("click_id"))
+      withStateParts(spark) {
+        val q = joined.writeStream.outputMode("append").format("memory").queryName(name)
+          .option("checkpointLocation", ckptDir(name)).start()
+        try {
+          (0 until numChunks).foreach { k =>
+            dropChunk(cFeed, k); dropChunk(pFeed, k)
+            if (k == numChunks - 1) { // fold the watermark flush into the last batch
+              dropSentinel(cFeed.watchDir, -1L, maxUs + 2L * hourUs)
+              dropSentinel(pFeed.watchDir, -2L, maxUs + 2L * hourUs)
+            }
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+    } finally cleanupFeed(cFeed, pFeed)
+    spark.table(name).filter(col("user_id") >= 0)
+  }
+
+  val streamingJoinFullSql: String =
+    """SELECT p.purchase_id,
+      |  CAST(coalesce(p.user_id, c.user_id) AS BIGINT) AS user_id, c.click_id
+      |FROM (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+      |      FROM events WHERE event_type = 'purchase') p
+      |FULL JOIN (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+      |      FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.cus BETWEEN p.pus - 3600000000 AND p.pus""".stripMargin
+
   val streamingIntervalJoinSql: String =
     """SELECT p.purchase_id, p.user_id, c.click_id
       |FROM (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
