@@ -46,6 +46,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("p_name"), "part scan must be column-pruned")
   }
 
+  test("events_transitions: ONE corpus scan — the share total must not re-run the lag lineage") {
+    val p = plan("events_transitions")
+    assert(nodes(p, "Scan parquet") == 1,
+      s"transition shares must come from a window over the aggregated frame, not a second corpus pass:\n$p")
+    assert(nodes(p, "Window") == 2, "lag window + tiny global share window")
+  }
+
+  test("events_attribution: pushed type filters, equi-join carries the shuffle, no cartesian") {
+    val p = plan("events_attribution")
+    assert(p.contains("EqualTo(event_type,purchase)") && p.contains("EqualTo(event_type,click)"),
+      "both type filters must reach PushedFilters")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the hour bound must ride the user_id equi-join as a residual, never a loop join:\n$p")
+  }
+
   test("results are invariant under AQE on/off (plan-variation robustness)") {
     // AQE re-plans joins/partitions at runtime on a real cluster; a result
     // that depends on which physical plan won would be nondeterministic at
