@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -106,4 +106,52 @@ object Audit {
        | (SELECT count(*) FROM ${e.parent} p
        |   WHERE NOT EXISTS (SELECT 1 FROM ${e.child} c WHERE c.${e.childKey} = p.${e.parentKey})) AS unreferenced_parents""".stripMargin
   }.mkString("\nUNION ALL\n")
+
+  /** ROW-level data-quality gate — the per-row twin of the table-level
+    * [[fkIntegrity]] audit (Deequ's Check vs Analyzer split): every
+    * ingest-validation rule evaluates as a conditional counter inside ONE
+    * map-side-combined aggregation over ONE scan — the 100 TB shape where
+    * per-rule passes (or a quarantine anti-join per rule) would multiply
+    * fact IO by |rules|. The single stat row then unpivots to one row per
+    * rule via `stack` (constant-width, no shuffle), with the violation
+    * rate in integer ppm so the output is hash-portable. The testdata
+    * REALLY violates the user-id rule (negative/zero ids), so the gate's
+    * counting is oracle-verified on live violations, not just zeros. */
+  def rowQualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val knownTypes = Seq("click", "signup", "error", "view", "purchase")
+    def viol(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val lowNs = 946684800L * 1000000000L // 2000-01-01
+    val highNs = 2051222400L * 1000000000L // 2035-01-01
+    Tables.events(spark, sfDir).agg(
+        count(lit(1)).as("total"),
+        viol(col("user_id").isNull || col("user_id") <= 0).as("r1"),
+        viol(col("value").isNull || col("value") < 0).as("r2"),
+        viol(!col("event_type").isin(knownTypes.map(lit): _*)).as("r3"),
+        viol(col("ts") < lowNs || col("ts") >= highNs).as("r4"))
+      .select(expr(
+        """stack(4,
+          |  'null_or_nonpositive_user', r1,
+          |  'negative_or_null_value', r2,
+          |  'unknown_event_type', r3,
+          |  'ts_outside_2000_2035', r4) AS (rule, n_violations)""".stripMargin),
+        col("total"))
+      .withColumn("violation_ppm", expr("n_violations * 1000000 div total"))
+  }
+
+  val rowQualityGateSql: String =
+    """WITH agg AS (SELECT count(*) AS total,
+      |  sum(CASE WHEN user_id IS NULL OR user_id <= 0 THEN 1 ELSE 0 END) AS r1,
+      |  sum(CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END) AS r2,
+      |  sum(CASE WHEN event_type NOT IN ('click','signup','error','view','purchase') THEN 1 ELSE 0 END) AS r3,
+      |  sum(CASE WHEN epoch_us(ts) < 946684800000000 OR epoch_us(ts) >= 2051222400000000 THEN 1 ELSE 0 END) AS r4
+      |  FROM events),
+      |rules AS (
+      |  SELECT 'null_or_nonpositive_user' AS rule, r1 AS n_violations, total FROM agg
+      |  UNION ALL SELECT 'negative_or_null_value', r2, total FROM agg
+      |  UNION ALL SELECT 'unknown_event_type', r3, total FROM agg
+      |  UNION ALL SELECT 'ts_outside_2000_2035', r4, total FROM agg)
+      |SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+      |  CAST(total AS BIGINT) AS total,
+      |  CAST(n_violations * 1000000 // total AS BIGINT) AS violation_ppm
+      |FROM rules""".stripMargin
 }

@@ -148,6 +148,40 @@ object Sampling {
        |FROM documents""".stripMargin
   }
 
+  /** SHARD MANIFEST — the reproducibility "data card" a training run pins
+    * its input to: per [[shardAssign]] shard, row count, total characters,
+    * doc-id range, and an ORDER-INDEPENDENT content fingerprint
+    * (`bit_xor` of the portable md5-int64 of each doc's text). XOR is the
+    * right fold at 100 TB: commutative/associative (any partition merge
+    * order), overflow-free (unlike a wrapping sum, which DuckDB would
+    * widen to HUGEINT and disagree on), and any single changed document
+    * flips the fingerprint. One scan, one |shards|-bounded aggregation;
+    * verifying a delivered corpus against the manifest is the same
+    * aggregation re-run. */
+  def shardManifest(spark: SparkSession, sfDir: String, nShards: Int = NumShards): DataFrame = {
+    val h = Hashing.md5Long(col("doc_id").cast("string"))
+    Tables.documents(spark, sfDir)
+      .select((h % nShards).as("shard"), col("doc_id"), col("n_chars"),
+        Hashing.md5Long(col("text")).as("content_h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        expr("bit_xor(content_h)").as("content_fingerprint"))
+  }
+
+  def shardManifestSql(nShards: Int = NumShards): String = {
+    val h = Hashing.md5LongSql("CAST(doc_id AS VARCHAR)")
+    val ch = Hashing.md5LongSql("text")
+    s"""SELECT CAST($h % $nShards AS BIGINT) AS shard,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+       |  bit_xor($ch) AS content_fingerprint
+       |FROM documents GROUP BY 1""".stripMargin
+  }
+
   /** The end-to-end CURATION composite the individual operators exist for:
     *
     * {{{ documents → quality gate → drop non-canonical near-dups
