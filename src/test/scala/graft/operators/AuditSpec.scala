@@ -42,4 +42,30 @@ class AuditSpec extends AnyFunSuite {
     assert(r.getLong(3) === 4L) // orphan rows: three 99s + the NULL
     assert(r.getLong(4) === 2L) // unreferenced parents: 20, 30
   }
+
+  test("row_quality_gate counts every crafted violation class exactly once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rqg").toString
+    val ns2024 = 1704067200L * 1000000000L
+    // (event_id, ts_ns, user_id, type, value): one clean row + one or two
+    // violations per rule, including the NULL forms.
+    Seq(
+      (1L, Option(ns2024), Option(7L), "click", Option(1.0)), // clean
+      (2L, Option(ns2024), Option(0L), "click", Option(1.0)), // user_id = 0
+      (3L, Option(ns2024), None: Option[Long], "view", Option(1.0)), // user_id NULL
+      (4L, Option(ns2024), Option(8L), "click", Option(-0.5)), // negative value
+      (5L, Option(ns2024), Option(9L), "purchase", None: Option[Double]), // value NULL
+      (6L, Option(ns2024), Option(10L), "bogus", Option(2.0)), // unknown type
+      (7L, Option(915148800L * 1000000000L), Option(11L), "click", Option(1.0)), // 1999
+      (8L, Option(2082758400L * 1000000000L), Option(12L), "click", Option(1.0)) // 2036
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Audit.rowQualityGate(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("null_or_nonpositive_user") === ((2L, 8L, 250000L)))
+    assert(got("negative_or_null_value") === ((2L, 8L, 250000L)))
+    assert(got("unknown_event_type") === ((1L, 8L, 125000L)))
+    assert(got("ts_outside_2000_2035") === ((2L, 8L, 250000L)))
+  }
 }
