@@ -130,6 +130,31 @@ class SchemaDriftSpec extends AnyFunSuite {
     assert(shipT == TimestampType || shipT == TimestampNTZType, s"got $shipT")
   }
 
+  test("int32-id / decimal-value physical drift still analyzes and keeps cardinalities") {
+    // Ids and values are PASSTHROUGH columns (both engines read the same
+    // file, so a drift shifts them in lockstep — Tables.scala note); the
+    // engine-side guarantee to prove is weaker but real: every operator
+    // must still ANALYZE (Spark's numeric coercion absorbs the types) and
+    // produce the same row cardinalities. Regression target: a Row
+    // accessor or case-class encoder hard-bound to LongType/DoubleType
+    // would throw here.
+    val dir = Files.createTempDirectory("graft-drift-narrow").toString
+    rowsUs.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")).cast(TimestampNTZType))
+      .withColumn("user_id", col("user_id").cast(IntegerType)) // int32 drift
+      .withColumn("value", col("value").cast(DecimalType(9, 3))) // decimal drift
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val canonical = writeEventsVariant("ts_ntz")
+    for (q <- Seq("events_hourly", "events_sliding", "events_first_per_user",
+        "row_quality_gate", "events_type_pivot")) {
+      val drifted = SparkEntry.queries(q)(spark, dir).count()
+      val base = SparkEntry.queries(q)(spark, canonical).count()
+      assert(drifted === base, s"$q cardinality drifted under int32/decimal physical types")
+    }
+  }
+
   test("an unnormalizable ts physical type fails loudly at the loader, not downstream") {
     val dir = Files.createTempDirectory("graft-drift-bad").toString
     rowsUs.toDF("event_id", "us", "user_id", "event_type", "value")
