@@ -38,6 +38,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql === viaCol)
   }
 
+  test("register(spark): the ts-pushdown rule lands in extraOptimizations exactly once") {
+    GraftExtensions.register(spark)
+    GraftExtensions.register(spark) // idempotent — no duplicate rule
+    val rules = spark.experimental.extraOptimizations
+      .filter(_ eq graft.plans.TsComparisonPushdown)
+    assert(rules.size === 1,
+      s"live-session registration must inject the pushdown rule once, got ${rules.size}")
+  }
+
   test("non-literal arity/type misuse fails analysis with a clear message") {
     GraftExtensions.register(spark)
     val e = intercept[Exception](spark.sql("SELECT word_shingles(array('a'), 1 + 1)").collect())
