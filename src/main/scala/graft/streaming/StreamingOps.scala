@@ -462,6 +462,84 @@ object StreamingOps {
        |FROM sess GROUP BY user_id, session_id""".stripMargin
   }
 
+  case class TEv(user_id: Long, event_id: Long, us: Long, event_type: String)
+  case class LastEv(us: Long, eventId: Long, tpe: String)
+  case class TransitionRow(prev_type: String, next_type: String)
+
+  /** Per-user LAST-EVENT state for continuous Markov transition
+    * extraction: O(1) state per user (one (us, id, type) triple — never an
+    * event buffer), each arriving event emits exactly one (prev → next)
+    * step against it. No timers: a transition needs no timeout semantics,
+    * so this is the MINIMAL transformWithState shape — pure keyed state,
+    * append emission on arrival. */
+  class TransitionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TEv, TransitionRow] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var last: ValueState[LastEv] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[LastEv]("last", Encoders.product[LastEv], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[TEv],
+        tv: TimerValues): Iterator[TransitionRow] = {
+      // Within a batch events sort here; ACROSS batches the time-split
+      // feed preserves per-user order (chunks partition event time), so
+      // the fold reproduces the batch lag() pairing exactly.
+      val sorted = rows.toIndexedSeq.sortBy(e => (e.us, e.event_id))
+      val out = List.newBuilder[TransitionRow]
+      var cur = if (last.exists()) last.get() else null
+      sorted.foreach { e =>
+        if (cur != null) out += TransitionRow(cur.tpe, e.event_type)
+        cur = LastEv(e.us, e.event_id, e.event_type)
+      }
+      last.update(cur)
+      out.result().iterator
+    }
+  }
+
+  /** The Markov transition matrix computed THROUGH the streaming engine —
+    * the continuous twin of [[graft.operators.EventOps.transitions]] and
+    * the second `transformWithState` operator (alongside the tws
+    * sessionizer, which needs timers; this one shows the pure-keyed-state
+    * minimum). Runs under the RocksDB provider like every tws path.
+    * Transition steps emit on arrival (append mode, no flush round
+    * needed); the final matrix aggregation + integer-ppm share runs over
+    * the emitted steps and hash-matches the batch oracle. */
+  def streamingTransitions(spark: SparkSession, sfDir: String,
+      numChunks: Int = 2): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.expressions.Window
+    val evs = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "ts div 1000 AS us", "event_type")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.get(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val name = "graft_stream_transitions"
+    try {
+      val feed = stageTimeChunks(evs, "us", numChunks,
+        ckptDir("graft_stream_transitions_feed"))
+      try {
+        val steps = spark.readStream.schema(evs.schema).parquet(feed.watchDir)
+          .as[TEv]
+          .groupByKey(_.user_id)
+          .transformWithState(new TransitionProcessor, TimeMode.None(), OutputMode.Append())
+        withStateParts(spark) {
+          val q = steps.writeStream.outputMode("append").format("memory").queryName(name)
+            .option("checkpointLocation", ckptDir(name)).start()
+          try (0 until numChunks).foreach { k => dropChunk(feed, k); q.processAllAvailable() }
+          finally q.stop()
+        }
+      } finally cleanupFeed(feed)
+    } finally spark.conf.set(providerKey, prevProvider)
+    spark.table(name)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("t", sum(col("n")).over(Window.partitionBy()))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("n * 1000000 div t").as("share_ppm"))
+  }
+
   case class Doc(doc_id: Long, text: String)
 
   /** Watermarked STREAM-STREAM interval join: clicks and purchases arrive
