@@ -115,8 +115,10 @@ object Audit {
     * fact IO by |rules|. The single stat row then unpivots to one row per
     * rule via `stack` (constant-width, no shuffle), with the violation
     * rate in integer ppm so the output is hash-portable. The testdata
-    * REALLY violates the user-id rule (negative/zero ids), so the gate's
-    * counting is oracle-verified on live violations, not just zeros. */
+    * REALLY violates the user-id rule (zero ids — no negatives or NULLs in
+    * the generated data; those halves of the predicate are covered by
+    * AuditSpec's crafted-violation rows), so the gate's counting is
+    * oracle-verified on live violations, not just zeros. */
   def rowQualityGate(spark: SparkSession, sfDir: String): DataFrame = {
     val knownTypes = Seq("click", "signup", "error", "view", "purchase")
     def viol(c: Column) = sum(when(c, 1L).otherwise(0L))

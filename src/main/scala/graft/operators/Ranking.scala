@@ -118,7 +118,7 @@ object Ranking {
     val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
     s"""WITH tokd AS (SELECT doc_id, ${TextOps.tokensSql} AS t FROM documents),
        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tokd WHERE len(t) > 0),
-       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
        |occ AS (SELECT doc_id, unnest(t) AS term FROM tokd),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM occ
        |       WHERE term IN ($terms) GROUP BY 1, 2),

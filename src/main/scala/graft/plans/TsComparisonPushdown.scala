@@ -45,7 +45,26 @@ object TsComparisonPushdown extends Rule[LogicalPlan] {
 
   private def utc: Boolean = SQLConf.get.sessionLocalTimeZone == "UTC"
 
-  private def ceilDiv(l: Long, k: Long): Long = Math.floorDiv(l - 1, k) + 1
+  // floorDiv + remainder form: exact for the WHOLE long domain including
+  // l = Long.MinValue (the `floorDiv(l - 1, k) + 1` spelling wraps there,
+  // inverting the bound — ADVICE r6).
+  private def ceilDiv(l: Long, k: Long): Long =
+    Math.floorDiv(l, k) + (if (l % k == 0) 0 else 1)
+
+  /** The rule fires ONLY on the loader's own ts-normalization shape —
+    * `unix_micros(cast(col))` under zero or more positive-literal
+    * multiplies. An unguarded `long_expr * k cmp lit` rewrite would replace
+    * legacy-mode wrapped-overflow comparison semantics with exact-quotient
+    * semantics on arbitrary user arithmetic registered under the same
+    * extensions (ADVICE r6); unix_micros of a real parquet timestamp is
+    * bounded far from Long overflow under the loader's k = 1000, so the
+    * inversion is exact precisely on the shape we created. */
+  private def isTsNormShape(e: Expression): Boolean = e match {
+    case UnixMicros(c) => c.dataType == TimestampType
+    case Multiply(u, Literal(k: Long, LongType), _) if k > 0 => isTsNormShape(u)
+    case Multiply(Literal(k: Long, LongType), u, _) if k > 0 => isTsNormShape(u)
+    case _ => false
+  }
 
   /** cmp ops as (strict, flipped) so one helper serves all four. */
   private sealed trait Op
@@ -74,7 +93,7 @@ object TsComparisonPushdown extends Rule[LogicalPlan] {
     //   u*k <= L ⟺ u <= floorDiv(L, k)
     //   u*k >  L ⟺ u >  floorDiv(L, k)
     //   u*k >= L ⟺ u >= ceilDiv(L, k)
-    case Multiply(u, Literal(k: Long, LongType), _) if k > 0 =>
+    case Multiply(u, Literal(k: Long, LongType), _) if k > 0 && isTsNormShape(u) =>
       val l2 = op match {
         case Lt => ceilDiv(lit, k)
         case Le => Math.floorDiv(lit, k)
@@ -82,7 +101,7 @@ object TsComparisonPushdown extends Rule[LogicalPlan] {
         case Ge => ceilDiv(lit, k)
       }
       Some((u, l2, op, false))
-    case Multiply(Literal(k: Long, LongType), u, _) if k > 0 =>
+    case Multiply(Literal(k: Long, LongType), u, _) if k > 0 && isTsNormShape(u) =>
       step(Multiply(u, Literal(k, LongType), EvalMode.LEGACY), lit, op)
         .map { case (u2, l2, o2, _) => (u2, l2, o2, false) }
     // unix_micros(c) cmp M with c already TIMESTAMP: literal reinterprets.

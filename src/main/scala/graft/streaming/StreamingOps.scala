@@ -101,6 +101,19 @@ object StreamingOps {
         java.nio.file.Paths.get(feed.watchDir, s"chunk$k-${f.getName}"))
     }
 
+  /** Max of `us` across the given side(s), read NULL-safely: `max` over an
+    * empty side is NULL and a bare `getLong(0)` would NPE (a testdata round
+    * with no clicks at smoke scale). Sides may individually be empty; only
+    * when EVERY side is empty is there no watermark flush target, and that
+    * fails with a named message instead of an opaque NullPointerException. */
+  private def maxUsOrFail(what: String, sides: DataFrame*): Long = {
+    val maxes = sides.flatMap(df =>
+      Option(df.agg(max(col("us"))).head.getAs[java.lang.Long](0)).map(_.longValue))
+    require(maxes.nonEmpty, s"$what: every input side is empty — the sentinel " +
+      "watermark flush needs at least one real event time to advance past")
+    maxes.max
+  }
+
   /** Local-mode state-partition tuning, not semantics: each micro-batch
     * pays a fixed per-state-partition cost (store open/commit/snapshot)
     * and the demo keyspaces are small, so 8 state partitions beat the
@@ -249,7 +262,7 @@ object StreamingOps {
       .selectExpr("user_id", "event_id", "ts div 1000 AS us", "value")
     val feed = stageTimeChunks(evs, "us", numChunks,
       ckptDir("graft_stream_sessionize_feed"))
-    val maxUs = evs.agg(max(col("us"))).head().getLong(0)
+    val maxUs = maxUsOrFail("streamingSessionize", evs)
     val stream = spark.readStream.schema(evs.schema).parquet(feed.watchDir).as[Ev]
     val sessions = sessionizeStream(stream, gapUs)
     val name = "graft_stream_sessionize"
@@ -269,7 +282,13 @@ object StreamingOps {
         q.processAllAvailable()
       } finally q.stop()
     } finally cleanupFeed(feed)
-    spark.table(name).filter(col("user_id") >= 0)
+    // Sentinel discrimination by the event_id = -1 MARKER the feeder set,
+    // never by user_id sign: negative/NULL user ids are legal data the
+    // quality gate contemplates, so a sign filter would silently drop real
+    // rows under generator drift (ADVICE r6). A real session can't consist
+    // solely of the marker id — only the sentinel's own session matches.
+    spark.table(name)
+      .filter(!(col("first_event_id") === -1L && col("last_event_id") === -1L))
   }
 
   /** Gap-based sessionization via Spark's NATIVE `session_window`
@@ -298,7 +317,7 @@ object StreamingOps {
       .selectExpr("user_id", "event_id", "ts div 1000 AS us", "value")
     val feed = stageTimeChunks(evs, "us", numChunks,
       ckptDir("graft_stream_session_native_feed"))
-    val maxUs = evs.agg(max(col("us"))).head().getLong(0)
+    val maxUs = maxUsOrFail("streamingSessionWindow", evs)
     val sessions = spark.readStream.schema(evs.schema).parquet(feed.watchDir)
       .withColumn("event_time", timestamp_micros(col("us")))
       .withWatermark("event_time", "0 seconds")
@@ -323,7 +342,9 @@ object StreamingOps {
         q.processAllAvailable()
       } finally q.stop()
     } finally cleanupFeed(feed)
-    spark.table(name).filter(col("user_id") >= 0)
+    // Marker-based sentinel filter — see [[streamingSessionize]]'s note.
+    spark.table(name)
+      .filter(!(col("first_event_id") === -1L && col("last_event_id") === -1L))
   }
 
   /** Gap sessionization as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
@@ -418,7 +439,7 @@ object StreamingOps {
       val feed = stageTimeChunks(evs, "us", numChunks,
         ckptDir("graft_stream_session_tws_feed"))
       try {
-        val maxUs = evs.agg(max(col("us"))).head().getLong(0)
+        val maxUs = maxUsOrFail("streamingSessionizeTws", evs)
         val sessions = spark.readStream.schema(evs.schema).parquet(feed.watchDir)
           .withColumn("event_time", timestamp_micros(col("us")))
           .withWatermark("event_time", "0 seconds")
@@ -438,7 +459,9 @@ object StreamingOps {
         }
       } finally cleanupFeed(feed)
     } finally spark.conf.set(providerKey, prevProvider)
-    spark.table(name).filter(col("user_id") >= 0)
+    // Marker-based sentinel filter — see [[streamingSessionize]]'s note.
+    spark.table(name)
+      .filter(!(col("first_event_id") === -1L && col("last_event_id") === -1L))
   }
 
   /** Island oracle with the session-window boundary rule (`>= gap` starts a
@@ -633,9 +656,9 @@ object StreamingOps {
     // try/finally: the staged corpus copies are garbage whether the run
     // succeeded or threw — without it, a failed run leaks them into /dev/shm.
     try {
-      val maxUs = math.max(
-        clickDf.agg(max(col("us"))).head.getLong(0),
-        purchDf.agg(max(col("us"))).head.getLong(0)) // two scalars, not data
+      // NULL-safe per side: either side may legitimately be empty (a round
+      // with no clicks); only both-empty aborts. Two scalars, not data.
+      val maxUs = maxUsOrFail("streaming interval join", clickDf, purchDf)
       val hourUs = 3600L * 1000000L
       def dropSentinel(watchDir: String, userId: Long, us: Long): Unit =
         Seq((userId, -1L, us)).toDF("user_id", "event_id", "us")
@@ -667,7 +690,12 @@ object StreamingOps {
         } finally q.stop()
       }
     } finally cleanupFeed(cFeed, pFeed)
-    spark.table(name).filter(col("user_id") >= 0)
+    // The purchase-side sentinel surfaces as an unmatched row whose
+    // purchase_id IS the event_id = -1 marker the feeder wrote; the click
+    // sentinel is inner-side and never emits. Discriminating on the marker
+    // (never the user_id sign) keeps real negative/NULL-user purchases —
+    // the drift case the quality gate contemplates (ADVICE r6).
+    spark.table(name).filter(col("purchase_id") =!= -1L)
   }
 
   val streamingJoinOuterSql: String =
@@ -688,8 +716,8 @@ object StreamingOps {
     * (each side's sentinel advances ITS event-time max, and the no-data
     * micro-batch evicts both stores). user_id comes back via COALESCE of
     * the two key columns — for a match either side supplies it, for an
-    * outer row the surviving side does; the sentinel filter works on that
-    * coalesced key exactly because sentinels are the only negative ids. */
+    * outer row the surviving side does; sentinel rows are discriminated by
+    * the event_id = -1 marker they carry, never by the user_id sign. */
   def streamingJoinFull(spark: SparkSession, sfDir: String,
       numChunks: Int = 2): DataFrame = {
     import spark.implicits._
@@ -703,9 +731,9 @@ object StreamingOps {
     val pFeed = stageTimeChunks(purchDf, "us", numChunks, s"$base/purchases")
     val name = "graft_stream_fojoin"
     try {
-      val maxUs = math.max(
-        clickDf.agg(max(col("us"))).head.getLong(0),
-        purchDf.agg(max(col("us"))).head.getLong(0)) // two scalars, not data
+      // NULL-safe per side: either side may legitimately be empty (a round
+      // with no clicks); only both-empty aborts. Two scalars, not data.
+      val maxUs = maxUsOrFail("streaming interval join", clickDf, purchDf)
       val hourUs = 3600L * 1000000L
       def dropSentinel(watchDir: String, userId: Long, us: Long): Unit =
         Seq((userId, -1L, us)).toDF("user_id", "event_id", "us")
@@ -738,7 +766,15 @@ object StreamingOps {
         } finally q.stop()
       }
     } finally cleanupFeed(cFeed, pFeed)
-    spark.table(name).filter(col("user_id") >= 0)
+    // Sentinels surface only as unmatched outer rows carrying the
+    // event_id = -1 marker in their surviving side's id column (their
+    // far-future event times sit beyond every real join window, so they can
+    // never MATCH a real row). Filtering on the marker — not the user_id
+    // sign — keeps real negative/NULL-user rows and NULL-keyed outer rows,
+    // exactly what streamingJoinFullSql's oracle keeps (ADVICE r6).
+    spark.table(name).filter(
+      coalesce(col("purchase_id"), lit(0L)) =!= -1L &&
+      coalesce(col("click_id"), lit(0L)) =!= -1L)
   }
 
   val streamingJoinFullSql: String =

@@ -155,6 +155,105 @@ class SchemaDriftSpec extends AnyFunSuite {
     }
   }
 
+  // ---- embedding / documents drift (round-6 verdict gap #1) -------------
+  //
+  // Tables.documents/embeddings are deliberate passthroughs (lockstep note
+  // in Tables.scala), but the engine COMPUTES on `embedding` via
+  // toDoubleVec, so a regeneration to list<float64> (or an arrow
+  // fixed-size list, which parquet stores as an ordinary LIST group that
+  // Spark reads as array) must still analyze AND produce the same values.
+  // Vector values are multiples of 0.25 — exactly representable in
+  // float32 — so every physical variant carries identical doubles and the
+  // results must be BIT-identical, not just analyzable. Output rows are
+  // compared via Row.toString so an int32 id drift (engine emits int where
+  // canonical emits long — lockstep with what the oracle would emit from
+  // the same file) doesn't fail the value comparison on type alone.
+
+  private val embDim = 8
+  private def embVal(i: Int, j: Int): Double = ((i * 7 + j * 3) % 16) / 4.0
+
+  /** Write one physical variant of the embeddings table (20 × dim-8). */
+  private def writeEmbeddingsVariant(variant: String): String = {
+    val dir = Files.createTempDirectory(s"graft-drift-emb-$variant").toString
+    val base = (0 until 20).map { i =>
+      (i.toLong, (0 until embDim).map(j => embVal(i, j)).toArray, (i % 3))
+    }.toDF("vec_id", "embedding", "label")
+    val df = variant match {
+      case "f64" => base // array<double> as written
+      case "f32" => base.withColumn("embedding",
+        col("embedding").cast(ArrayType(FloatType))) // the current generator layout
+      case "i32" => base
+        .withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+        .withColumn("vec_id", col("vec_id").cast(IntegerType))
+        .withColumn("label", col("label").cast(LongType))
+    }
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private val annQueries = Seq("knn_brute", "knn_ivf", "dedup_embedding_srp")
+
+  test("ANN queries are value-identical across embedding physical variants (f32/f64/i32-ids)") {
+    def run(dir: String): Map[String, Seq[String]] =
+      annQueries.map { q =>
+        q -> SparkEntry.queries(q)(spark, dir).collect().map(_.toString).toSeq.sorted
+      }.toMap
+    val ref = run(writeEmbeddingsVariant("f32"))
+    assert(ref("knn_brute").nonEmpty && ref("dedup_embedding_srp").nonEmpty,
+      "drift fixture must actually exercise the operators")
+    for (v <- Seq("f64", "i32")) {
+      val got = run(writeEmbeddingsVariant(v))
+      for (q <- annQueries)
+        assert(got(q) === ref(q), s"$q drifted under embedding variant '$v'")
+    }
+  }
+
+  test("an arrow fixed-size-list embedding file analyzes and matches the list<float32> layout") {
+    // Checked-in pyarrow fixture: same 20×8 values written as
+    // fixed_size_list<float>[8] (src/test/resources/graft/drift/). Parquet
+    // stores it as a LIST group + arrow schema metadata; the contract under
+    // test is that Spark's reader lands it as array<float> and every ANN
+    // query stays in lockstep with the Spark-written float32 layout.
+    val fsl = getClass.getResource("/graft/drift/embeddings_fsl").getPath
+    val arrived = Tables.embeddings(spark, fsl).schema("embedding").dataType
+    assert(arrived.isInstanceOf[ArrayType],
+      s"fixed-size-list embedding must arrive as array, got $arrived")
+    val ref = writeEmbeddingsVariant("f32")
+    for (q <- annQueries) {
+      val got = SparkEntry.queries(q)(spark, fsl).collect().map(_.toString).toSeq.sorted
+      val want = SparkEntry.queries(q)(spark, ref).collect().map(_.toString).toSeq.sorted
+      assert(got === want, s"$q drifted under fixed-size-list embedding layout")
+    }
+  }
+
+  test("text queries survive int32 doc_id/n_chars drift on documents (value lockstep)") {
+    def writeDocs(narrow: Boolean): String = {
+      val dir = Files.createTempDirectory(s"graft-drift-docs-$narrow").toString
+      val base = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog", "en", "web"),
+        (2L, "the quick brown fox jumps over the lazy dog", "en", "web"), // exact dup
+        (3L, "le renard brun rapide saute par dessus le chien", "fr", "web"),
+        (4L, "pack my box with five dozen liquor jugs", "en", "books"),
+        (5L, "", "en", "web") // empty text edge
+      ).toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast(LongType))
+      val df = if (narrow) base
+        .withColumn("doc_id", col("doc_id").cast(IntegerType))
+        .withColumn("n_chars", col("n_chars").cast(IntegerType))
+      else base
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val canonical = writeDocs(narrow = false)
+    val narrow = writeDocs(narrow = true)
+    for (q <- Seq("dedup_exact", "text_quality", "lang_id")) {
+      val want = SparkEntry.queries(q)(spark, canonical).collect().map(_.toString).toSeq.sorted
+      val got = SparkEntry.queries(q)(spark, narrow).collect().map(_.toString).toSeq.sorted
+      assert(want.nonEmpty, s"$q fixture must produce rows")
+      assert(got === want, s"$q drifted under int32 doc_id/n_chars physical types")
+    }
+  }
+
   test("an unnormalizable ts physical type fails loudly at the loader, not downstream") {
     val dir = Files.createTempDirectory("graft-drift-bad").toString
     rowsUs.toDF("event_id", "us", "user_id", "event_type", "value")

@@ -53,6 +53,7 @@ class AuditSpec extends AnyFunSuite {
       (1L, Option(ns2024), Option(7L), "click", Option(1.0)), // clean
       (2L, Option(ns2024), Option(0L), "click", Option(1.0)), // user_id = 0
       (3L, Option(ns2024), None: Option[Long], "view", Option(1.0)), // user_id NULL
+      (9L, Option(ns2024), Option(-3L), "click", Option(1.0)), // user_id negative
       (4L, Option(ns2024), Option(8L), "click", Option(-0.5)), // negative value
       (5L, Option(ns2024), Option(9L), "purchase", None: Option[Double]), // value NULL
       (6L, Option(ns2024), Option(10L), "bogus", Option(2.0)), // unknown type
@@ -63,9 +64,10 @@ class AuditSpec extends AnyFunSuite {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = Audit.rowQualityGate(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(got("null_or_nonpositive_user") === ((2L, 8L, 250000L)))
-    assert(got("negative_or_null_value") === ((2L, 8L, 250000L)))
-    assert(got("unknown_event_type") === ((1L, 8L, 125000L)))
-    assert(got("ts_outside_2000_2035") === ((2L, 8L, 250000L)))
+    // 9 rows total: user rule trips on 0, NULL, and -3 (all three forms).
+    assert(got("null_or_nonpositive_user") === ((3L, 9L, 333333L)))
+    assert(got("negative_or_null_value") === ((2L, 9L, 222222L)))
+    assert(got("unknown_event_type") === ((1L, 9L, 111111L)))
+    assert(got("ts_outside_2000_2035") === ((2L, 9L, 222222L)))
   }
 }

@@ -65,6 +65,25 @@ class TsComparisonPushdownSpec extends AnyFunSuite {
       s"ts range predicate must prune at the scan:\n$p")
   }
 
+  test("the rule leaves arbitrary long arithmetic alone (fires only on the ts-norm shape)") {
+    // `value_cents * 3 < lit` is user arithmetic, not the loader's
+    // unix_micros(cast(...)) normalization: legacy-mode overflow semantics
+    // must survive, so the multiply must still be present in the optimized
+    // plan (no exact-quotient rewrite) — ADVICE r6 guard.
+    val df = spark.range(5).select((col("id") * 3L).as("m")).filter(col("m") < 7L)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("* 3") || opt.contains("3 *"),
+      s"non-ts multiply must not be rewritten:\n$opt")
+    assert(df.count() === 3L) // 0,3,6 — semantics unchanged
+  }
+
+  test("ceilDiv edge: Long.MinValue literal does not wrap (bound stays correct)") {
+    // ts >= Long.MinValue must keep ALL rows: the old `floorDiv(l-1,k)+1`
+    // spelling wrapped l-1 to Long.MaxValue, inverting the bound.
+    assert(events.filter(col("ts") >= Long.MinValue).count() === micros.size.toLong)
+    assert(events.filter(col("ts") < Long.MinValue).count() === 0L)
+  }
+
   test("a range query over normalized ts prunes row groups identically to raw (count parity)") {
     // End-to-end sanity on the REAL testdata: normalized filter result ==
     // the same cutoff applied via a raw timestamp comparison.
