@@ -437,4 +437,84 @@ object Multimodal {
       |  i * (n // (1 + n % 16)) AS frame_offset,
       |  md5(payload_hash || ':' || CAST(i AS VARCHAR)) AS frame_hash
       |FROM p, LATERAL (SELECT unnest(generate_series(0, 1 + n % 16 - 1)) AS i) g""".stripMargin
+
+  case class FrameHashRow(doc_id: Long, frame_hash: Long)
+
+  /** FRAME-level CONTENT dedup across multimodal containers — the
+    * video-dedup shape an LLM data pipeline runs over scraped media: hash
+    * every frame the decoder PARSED out of each container, then find frame
+    * contents that recur (within a video or across videos) by a plain
+    * hash-keyed aggregation. This links the multimodal frame walk to the
+    * dedup family: candidates come from grouping identical 56-bit content
+    * hashes — the degenerate (exact-match) band of the banded-dedup
+    * machinery — never from pairwise comparison, so the plan is one
+    * map-side-combined shuffle on `frame_hash` with NO join at all; output
+    * is bounded by the number of actually-duplicated frame contents.
+    *
+    * Hash portability (the cross-engine contract): the frame's bytes are
+    * UPPERCASE-hex-encoded and md5'd AS THAT ASCII STRING, because DuckDB's
+    * md5 only accepts VARCHAR and its `hex(encode(text))` produces exactly
+    * the same uppercase encoding of the same bytes — so the oracle can
+    * re-derive each frame's hash from the text via the slice arithmetic the
+    * container builder used, byte-exact even for multi-byte UTF-8 (the
+    * slices split raw bytes, which only a byte-level encoding survives).
+    * The 56-bit int64 form is the repo-wide portable-hash idiom
+    * (Dedup.scala's `conv(md5…,16,10)` note). A container that fails to
+    * parse contributes no frames (corrupt media drops, as in
+    * [[frameSamples]]). */
+  def frameDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val payloads: Dataset[Payload] = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[Payload]
+    val frameHashes = payloads.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hexU = "0123456789ABCDEF".toCharArray
+      def hexUpper(bs: Array[Byte]): String = {
+        val sb = new java.lang.StringBuilder(bs.length * 2)
+        bs.foreach { b => sb.append(hexU((b >> 4) & 0xF)).append(hexU(b & 0xF)) }
+        sb.toString
+      }
+      def hexLower(bs: Array[Byte]): String = bs.map("%02x".format(_)).mkString
+      rows.flatMap { p =>
+        ImageHeaders.decode(buildContainer(p.doc_id, p.payload)) match {
+          case Some(d) =>
+            var off = 0
+            d.frameSizes.iterator.map { sz =>
+              val slice = java.util.Arrays.copyOfRange(d.payload, off, off + sz)
+              off += sz
+              md.reset()
+              val h = hexLower(md.digest(hexUpper(slice).getBytes("US-ASCII")))
+              FrameHashRow(p.doc_id, java.lang.Long.parseLong(h.substring(0, 14), 16))
+            }
+          case None => Iterator.empty
+        }
+      }
+    }.toDF()
+    frameHashes.groupBy(col("frame_hash"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keep_doc"))
+      .filter(col("n_frames") > 1)
+  }
+
+  /** The oracle re-derives every frame hash from the text alone: the same
+    * byte-slice arithmetic the builder wrote into the container (step =
+    * n div k, last frame takes the remainder), sliced on the uppercase-hex
+    * encoding (2 hex chars per byte) since DuckDB's md5 is VARCHAR-only. */
+  val frameDedupSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(substring(hx, 1 + 2 * i * (n // (1 + n % 16)),
+      |      2 * CASE WHEN i = n % 16 THEN n - i * (n // (1 + n % 16))
+      |               ELSE n // (1 + n % 16) END)), 1, 14))::BIGINT AS frame_hash
+      |  FROM p, LATERAL (SELECT unnest(generate_series(0, n % 16)) AS i) g)
+      |SELECT frame_hash, CAST(count(*) AS BIGINT) AS n_frames,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  min(doc_id) AS keep_doc
+      |FROM f GROUP BY 1 HAVING count(*) > 1""".stripMargin
 }
