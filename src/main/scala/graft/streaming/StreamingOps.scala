@@ -40,7 +40,7 @@ object StreamingOps {
     * `baseDir` owns both and is deleted by [[cleanupFeed]] once the run's
     * result is materialized. */
   private case class ChunkFeed(baseDir: String, watchDir: String,
-      chunks: IndexedSeq[Seq[java.io.File]])
+      chunks: IndexedSeq[Seq[java.io.File]], maxOrder: Option[Long])
 
   /** Deletes a feed's staging + watch dirs. Every demo query drains into a
     * memory sink (fully materialized before return), so the corpus copy in
@@ -74,11 +74,18 @@ object StreamingOps {
     val stageDir = s"$baseDir/stage"
     val watchDir = s"$baseDir/in"
     new java.io.File(watchDir).mkdirs()
-    val probs = (1 until numChunks).map(_.toDouble / numChunks).toArray
     // relativeError 0 = exact quantiles. orderCol values are epoch-µs/ids
-    // well under 2^53, so the double round-trip is exact too.
-    val bounds =
-      if (numChunks > 1) df.stat.approxQuantile(orderCol, probs, 0.0) else Array.empty[Double]
+    // well under 2^53, so the double round-trip is exact too. The appended
+    // p=1.0 probe returns the column MAX in the SAME distributed pass — the
+    // sentinel watermark flushes need it, and the separate agg(max) job
+    // each caller previously ran per side was pure fixed overhead on the
+    // streaming demos. An empty input yields an empty quantile array →
+    // maxOrder = None (the callers' named both-empty failure).
+    val probs = ((1 until numChunks).map(_.toDouble / numChunks) :+ 1.0).toArray
+    val qs = df.stat.approxQuantile(orderCol, probs, 0.0)
+    val (bounds, maxOrder) =
+      if (qs.isEmpty) (Array.empty[Double], None)
+      else (qs.init, Some(qs.last.toLong))
     val chunkExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col(orderCol) > lit(b), 1).otherwise(0)
     }
@@ -89,7 +96,7 @@ object StreamingOps {
       if (d.isDirectory) d.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
       else Seq.empty[java.io.File]
     }
-    ChunkFeed(baseDir, watchDir, chunks)
+    ChunkFeed(baseDir, watchDir, chunks, maxOrder)
   }
 
   /** Moves chunk k's staged part-files into the watch dir (file rename —
@@ -101,28 +108,77 @@ object StreamingOps {
         java.nio.file.Paths.get(feed.watchDir, s"chunk$k-${f.getName}"))
     }
 
-  /** Max of `us` across the given side(s), read NULL-safely: `max` over an
-    * empty side is NULL and a bare `getLong(0)` would NPE (a testdata round
-    * with no clicks at smoke scale). Sides may individually be empty; only
-    * when EVERY side is empty is there no watermark flush target, and that
-    * fails with a named message instead of an opaque NullPointerException. */
-  private def maxUsOrFail(what: String, sides: DataFrame*): Long = {
-    val maxes = sides.flatMap(df =>
-      Option(df.agg(max(col("us"))).head.getAs[java.lang.Long](0)).map(_.longValue))
+  /** Stages a sentinel frame as parquet part-files OUTSIDE the watch dir,
+    * before the stream starts; [[dropFiles]] renames them in later. Writing
+    * the sentinel directly into the watch dir mid-replay (the previous
+    * form) raced the trigger loop: the Spark write job takes long enough
+    * that the engine's background listing often split the final chunk and
+    * its sentinels into two data micro-batches — a whole extra
+    * batch+commit cycle of pure overhead (measured on the join demos). A
+    * rename is sub-millisecond, so folding the pre-staged files into the
+    * last chunk drop reliably lands them in the SAME listing. */
+  private def stageSentinel(df: DataFrame, dir: String): Seq[java.io.File] = {
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+  }
+
+  /** Renames pre-staged files into the watch dir (metadata op). */
+  private def dropFiles(watchDir: String, tag: String, files: Seq[java.io.File]): Unit =
+    files.foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(watchDir, s"$tag-${f.getName}"))
+    }
+
+  /** Deletes a whole scratch tree (feeds + sentinel staging under one
+    * base) — the join demos' two feeds and sentinels share a parent. */
+  private def rmTree(path: String): Unit = {
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(rm)
+      x.delete(): Unit
+    }
+    rm(new java.io.File(path))
+  }
+
+  /** Max event time across the given staged side(s) — read from the feeds'
+    * own quantile pass (zero extra jobs), NULL-safely: an empty side has no
+    * max ([[ChunkFeed.maxOrder]] = None; a testdata round with no clicks at
+    * smoke scale). Sides may individually be empty; only when EVERY side is
+    * empty is there no watermark flush target, and that fails with a named
+    * message instead of an opaque NullPointerException. */
+  private def maxUsOrFail(what: String, feeds: ChunkFeed*): Long = {
+    val maxes = feeds.flatMap(_.maxOrder)
     require(maxes.nonEmpty, s"$what: every input side is empty — the sentinel " +
       "watermark flush needs at least one real event time to advance past")
     maxes.max
   }
 
-  /** Local-mode state-partition tuning, not semantics: each micro-batch
-    * pays a fixed per-state-partition cost (store open/commit/snapshot)
-    * and the demo keyspaces are small, so 8 state partitions beat the
-    * session default. Restored afterwards; a cluster run would size this
-    * to its executors. */
+  /** Local-mode state-partition + checkpoint-IO tuning, not semantics:
+    * each micro-batch pays a fixed per-state-partition cost (store open/
+    * commit/snapshot — a stream-stream join commits FOUR stores per
+    * partition) and the demo keyspaces are small, so 4 state partitions
+    * beat the session default (32) and the previous 8 — measured on the
+    * sf0.1 join family; 2 over-serializes. Spark 4's checkpoint file CHECKSUMS
+    * (`ChecksumCheckpointFileManager`, twin .checksum file per delta/log
+    * write) are also disabled for the demos: these are throwaway
+    * unique-per-run checkpoints that are never restarted from, so
+    * bit-rot protection buys nothing and doubles the per-commit file
+    * count (measured: summed per-batch store commit time ~3-5 s across
+    * the 32 store instances of a join batch). Both settings are restored
+    * afterwards; a production run keeps checksums on its durable
+    * checkpoints and sizes partitions to its executors. */
   private def withStateParts[A](spark: SparkSession)(body: => A): A = {
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val prevCk = spark.conf.getOption(ckKey)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(ckKey, "false")
+    try body finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevCk match {
+        case Some(v) => spark.conf.set(ckKey, v)
+        case None => spark.conf.unset(ckKey)
+      }
+    }
   }
 
   /** Hourly per-type counts/sums computed THROUGH the streaming engine:
@@ -262,24 +318,29 @@ object StreamingOps {
       .selectExpr("user_id", "event_id", "ts div 1000 AS us", "value")
     val feed = stageTimeChunks(evs, "us", numChunks,
       ckptDir("graft_stream_sessionize_feed"))
-    val maxUs = maxUsOrFail("streamingSessionize", evs)
+    val maxUs = maxUsOrFail("streamingSessionize", feed)
     val stream = spark.readStream.schema(evs.schema).parquet(feed.watchDir).as[Ev]
     val sessions = sessionizeStream(stream, gapUs)
     val name = "graft_stream_sessionize"
+    // Sentinel: one literal row (driver-built by construction, not a
+    // corpus collect) whose far-future timestamp pushes the watermark
+    // past every real session's gap edge, firing the timeouts. Its own
+    // (marker-id) session stays open and is filtered out below. Pre-staged
+    // before the stream starts and folded into the LAST chunk drop — see
+    // [[stageSentinel]] for why this costs one fewer micro-batch.
+    val sent = stageSentinel(Seq(Ev(-1L, -1L, maxUs + 1000L * gapUs, 0.0)).toDS().toDF(),
+      s"${feed.baseDir}/sentinel")
     // try/finally: a failed run must still reclaim the staged corpus copy
     // (tmpfs scratch) — the memory-sink table is complete or irrelevant.
     try withStateParts(spark) {
       val q = sessions.writeStream.outputMode("append").format("memory").queryName(name)
         .option("checkpointLocation", ckptDir(name)).start()
       try {
-        (0 until numChunks).foreach { k => dropChunk(feed, k); q.processAllAvailable() }
-        // Sentinel: one literal row (driver-built by construction, not a
-        // corpus collect) whose far-future timestamp pushes the watermark
-        // past every real session's gap edge, firing the timeouts. Its own
-        // (negative-user) session stays open and is filtered out below.
-        Seq(Ev(-1L, -1L, maxUs + 1000L * gapUs, 0.0)).toDS().toDF()
-          .coalesce(1).write.mode("append").parquet(feed.watchDir)
-        q.processAllAvailable()
+        (0 until numChunks).foreach { k =>
+          dropChunk(feed, k)
+          if (k == numChunks - 1) dropFiles(feed.watchDir, "sentinel", sent)
+          q.processAllAvailable()
+        }
       } finally q.stop()
     } finally cleanupFeed(feed)
     // Sentinel discrimination by the event_id = -1 MARKER the feeder set,
@@ -317,7 +378,7 @@ object StreamingOps {
       .selectExpr("user_id", "event_id", "ts div 1000 AS us", "value")
     val feed = stageTimeChunks(evs, "us", numChunks,
       ckptDir("graft_stream_session_native_feed"))
-    val maxUs = maxUsOrFail("streamingSessionWindow", evs)
+    val maxUs = maxUsOrFail("streamingSessionWindow", feed)
     val sessions = spark.readStream.schema(evs.schema).parquet(feed.watchDir)
       .withColumn("event_time", timestamp_micros(col("us")))
       .withWatermark("event_time", "0 seconds")
@@ -329,17 +390,21 @@ object StreamingOps {
         (unix_micros(col("session_window.end")) - gapUs).as("session_last_us"),
         col("n_events"), col("first_event_id"), col("last_event_id"), col("sum_value"))
     val name = "graft_stream_session_native"
+    // Far-future sentinel (same pattern as streamingSessionize): advances
+    // the watermark past every real session's end so append mode emits
+    // them all; its own session is filtered out below. Pre-staged, folded
+    // into the last chunk drop ([[stageSentinel]]).
+    val sent = stageSentinel(Seq(Ev(-1L, -1L, maxUs + 2000L * gapUs, 0.0)).toDS().toDF(),
+      s"${feed.baseDir}/sentinel")
     try withStateParts(spark) {
       val q = sessions.writeStream.outputMode("append").format("memory").queryName(name)
         .option("checkpointLocation", ckptDir(name)).start()
       try {
-        (0 until numChunks).foreach { k => dropChunk(feed, k); q.processAllAvailable() }
-        // Far-future sentinel (same pattern as streamingSessionize):
-        // advances the watermark past every real session's end so append
-        // mode emits them all; its own session is filtered out below.
-        Seq(Ev(-1L, -1L, maxUs + 2000L * gapUs, 0.0)).toDS().toDF()
-          .coalesce(1).write.mode("append").parquet(feed.watchDir)
-        q.processAllAvailable()
+        (0 until numChunks).foreach { k =>
+          dropChunk(feed, k)
+          if (k == numChunks - 1) dropFiles(feed.watchDir, "sentinel", sent)
+          q.processAllAvailable()
+        }
       } finally q.stop()
     } finally cleanupFeed(feed)
     // Marker-based sentinel filter — see [[streamingSessionize]]'s note.
@@ -439,7 +504,7 @@ object StreamingOps {
       val feed = stageTimeChunks(evs, "us", numChunks,
         ckptDir("graft_stream_session_tws_feed"))
       try {
-        val maxUs = maxUsOrFail("streamingSessionizeTws", evs)
+        val maxUs = maxUsOrFail("streamingSessionizeTws", feed)
         val sessions = spark.readStream.schema(evs.schema).parquet(feed.watchDir)
           .withColumn("event_time", timestamp_micros(col("us")))
           .withWatermark("event_time", "0 seconds")
@@ -447,14 +512,18 @@ object StreamingOps {
           .groupByKey(_.user_id)
           .transformWithState(new GapSessionProcessor(gapUs),
             TimeMode.EventTime(), OutputMode.Append())
+        // Pre-staged sentinel, folded into the last chunk ([[stageSentinel]]).
+        val sent = stageSentinel(Seq(Ev(-1L, -1L, maxUs + 1000L * gapUs, 0.0)).toDS().toDF(),
+          s"${feed.baseDir}/sentinel")
         withStateParts(spark) {
           val q = sessions.writeStream.outputMode("append").format("memory").queryName(name)
             .option("checkpointLocation", ckptDir(name)).start()
           try {
-            (0 until numChunks).foreach { k => dropChunk(feed, k); q.processAllAvailable() }
-            Seq(Ev(-1L, -1L, maxUs + 1000L * gapUs, 0.0)).toDS().toDF()
-              .coalesce(1).write.mode("append").parquet(feed.watchDir)
-            q.processAllAvailable()
+            (0 until numChunks).foreach { k =>
+              dropChunk(feed, k)
+              if (k == numChunks - 1) dropFiles(feed.watchDir, "sentinel", sent)
+              q.processAllAvailable()
+            }
           } finally q.stop()
         }
       } finally cleanupFeed(feed)
@@ -657,12 +726,16 @@ object StreamingOps {
     // succeeded or threw — without it, a failed run leaks them into /dev/shm.
     try {
       // NULL-safe per side: either side may legitimately be empty (a round
-      // with no clicks); only both-empty aborts. Two scalars, not data.
-      val maxUs = maxUsOrFail("streaming interval join", clickDf, purchDf)
+      // with no clicks); only both-empty aborts. Read from the feeds'
+      // staging pass — no extra jobs.
+      val maxUs = maxUsOrFail("streaming interval join", cFeed, pFeed)
       val hourUs = 3600L * 1000000L
-      def dropSentinel(watchDir: String, userId: Long, us: Long): Unit =
-        Seq((userId, -1L, us)).toDF("user_id", "event_id", "us")
-          .coalesce(1).write.mode("append").parquet(watchDir)
+      // Pre-staged per-side sentinels ([[stageSentinel]]): renamed in with
+      // the last chunk so chunk + flush share ONE micro-batch listing.
+      def sentinel(userId: Long, dir: String) = stageSentinel(
+        Seq((userId, -1L, maxUs + 2L * hourUs)).toDF("user_id", "event_id", "us"), dir)
+      val cSent = sentinel(-1L, s"$base/sent_c")
+      val pSent = sentinel(-2L, s"$base/sent_p")
       val clicks = spark.readStream.schema(clickDf.schema).parquet(cFeed.watchDir)
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
           timestamp_micros(col("us")).as("c_time"))
@@ -682,14 +755,14 @@ object StreamingOps {
           (0 until numChunks).foreach { k =>
             dropChunk(cFeed, k); dropChunk(pFeed, k)
             if (k == numChunks - 1) { // fold the watermark flush into the last batch
-              dropSentinel(cFeed.watchDir, -1L, maxUs + 2L * hourUs)
-              dropSentinel(pFeed.watchDir, -2L, maxUs + 2L * hourUs)
+              dropFiles(cFeed.watchDir, "sentinel", cSent)
+              dropFiles(pFeed.watchDir, "sentinel", pSent)
             }
             q.processAllAvailable()
           }
         } finally q.stop()
       }
-    } finally cleanupFeed(cFeed, pFeed)
+    } finally rmTree(base) // feeds + sentinel staging share the base dir
     // The purchase-side sentinel surfaces as an unmatched row whose
     // purchase_id IS the event_id = -1 marker the feeder wrote; the click
     // sentinel is inner-side and never emits. Discriminating on the marker
@@ -732,12 +805,16 @@ object StreamingOps {
     val name = "graft_stream_fojoin"
     try {
       // NULL-safe per side: either side may legitimately be empty (a round
-      // with no clicks); only both-empty aborts. Two scalars, not data.
-      val maxUs = maxUsOrFail("streaming interval join", clickDf, purchDf)
+      // with no clicks); only both-empty aborts. Read from the feeds'
+      // staging pass — no extra jobs.
+      val maxUs = maxUsOrFail("streaming interval join", cFeed, pFeed)
       val hourUs = 3600L * 1000000L
-      def dropSentinel(watchDir: String, userId: Long, us: Long): Unit =
-        Seq((userId, -1L, us)).toDF("user_id", "event_id", "us")
-          .coalesce(1).write.mode("append").parquet(watchDir)
+      // Pre-staged per-side sentinels ([[stageSentinel]]): renamed in with
+      // the last chunk so chunk + flush share ONE micro-batch listing.
+      def sentinel(userId: Long, dir: String) = stageSentinel(
+        Seq((userId, -1L, maxUs + 2L * hourUs)).toDF("user_id", "event_id", "us"), dir)
+      val cSent = sentinel(-1L, s"$base/sent_c")
+      val pSent = sentinel(-2L, s"$base/sent_p")
       val clicks = spark.readStream.schema(clickDf.schema).parquet(cFeed.watchDir)
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
           timestamp_micros(col("us")).as("c_time"))
@@ -758,14 +835,14 @@ object StreamingOps {
           (0 until numChunks).foreach { k =>
             dropChunk(cFeed, k); dropChunk(pFeed, k)
             if (k == numChunks - 1) { // fold the watermark flush into the last batch
-              dropSentinel(cFeed.watchDir, -1L, maxUs + 2L * hourUs)
-              dropSentinel(pFeed.watchDir, -2L, maxUs + 2L * hourUs)
+              dropFiles(cFeed.watchDir, "sentinel", cSent)
+              dropFiles(pFeed.watchDir, "sentinel", pSent)
             }
             q.processAllAvailable()
           }
         } finally q.stop()
       }
-    } finally cleanupFeed(cFeed, pFeed)
+    } finally rmTree(base) // feeds + sentinel staging share the base dir
     // Sentinels surface only as unmatched outer rows carrying the
     // event_id = -1 marker in their surviving side's id column (their
     // far-future event times sit beyond every real join window, so they can
