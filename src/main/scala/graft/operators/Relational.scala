@@ -858,6 +858,192 @@ object Relational {
       |                    AND l3.l_returnflag = 'R')
       |GROUP BY s_suppkey, s_name""".stripMargin
 
+  /** TPC-H Q2 analog (minimum-cost supplier): the testdata has no partsupp,
+    * so the part↔supplier supply relation is derived from lineitem (the
+    * [[q16SupplierCnt]] precedent) with the supply cost read as the best
+    * unit price the supplier ever shipped the part at. Unit cost is kept as
+    * FIXED-POINT int64 — `floor(extendedprice * 10⁴ / quantity)` — because
+    * every op in that chain (multiply, divide, floor) is a primitive IEEE
+    * double op that is bit-identical across engines, whereas `round()`'s
+    * half-way tie handling is implementation-defined (Spark HALF_UP via
+    * BigDecimal vs DuckDB's C-library rounding) and here the value feeds an
+    * EQUALITY compare, where one ulp would change rows, not just a cell.
+    *
+    * Shape: the filtered part dimension (a handful of rows after the
+    * size+type cut) broadcasts into the fact scan FIRST, so the
+    * (part,supplier) pair shuffle carries only matching parts' rows; the
+    * region-restricted supplier list is a second broadcast; the correlated
+    * `cost = (SELECT min…)` of the textbook form decorrelates to ONE
+    * partkey window over the already-collapsed pair frame. Ties (several
+    * suppliers at the min) surface as rows in both engines — no LIMIT. */
+  def q2MinCost(spark: SparkSession, sfDir: String, size: Int = 15,
+      pType: String = "SMALL", region: String = "EUROPE"): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+      .filter(col("p_size") === size && col("p_type") === pType)
+      .select(col("p_partkey"), col("p_name"))
+    val rs = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === region)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+      .agg(min(floor(col("l_extendedprice") * lit(10000.0) / col("l_quantity"))
+        .cast("long")).as("cost_fp"))
+      .join(broadcast(rs), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("min_cost", min(col("cost_fp")).over(w))
+      .filter(col("cost_fp") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("cost_fp"))
+  }
+
+  /** Oracle keeps the textbook correlated-min form. */
+  def q2MinCostSql(size: Int = 15, pType: String = "SMALL",
+      region: String = "EUROPE"): String =
+    s"""WITH supply AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    min(CAST(floor(l_extendedprice * 10000.0 / l_quantity) AS BIGINT)) AS cost_fp
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey
+       |  WHERE p_size = $size AND p_type = '$pType'
+       |  GROUP BY 1, 2)
+       |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost_fp
+       |FROM supply
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation ON n_nationkey = s_nationkey
+       |JOIN region ON r_regionkey = n_regionkey
+       |WHERE r_name = '$region'
+       |  AND cost_fp = (
+       |    SELECT min(s2.cost_fp) FROM supply s2
+       |    JOIN supplier ON s_suppkey = s2.l_suppkey
+       |    JOIN nation ON n_nationkey = s_nationkey
+       |    JOIN region ON r_regionkey = n_regionkey
+       |    WHERE s2.l_partkey = supply.l_partkey AND r_name = '$region')""".stripMargin
+
+  /** TPC-H Q9 analog (product-type profit by nation and year): no partsupp
+    * means no ps_supplycost, so cost is proxied as 80% of the part's list
+    * price (`0.8 * p_retailprice * l_quantity`) — the query keeps Q9's
+    * whole point, a multi-dimension profit rollup whose measure needs
+    * columns from THREE tables in one expression. The name-filtered part
+    * dim broadcasts into the fact scan; the supplier→nation side carries NO
+    * hint — supplier is sf-scaled (~1B rows at the 100 TB target), so that
+    * join is left to AQE, which broadcasts at small SF and shuffles on
+    * l_suppkey at scale. After the joins the only reduction exchange is the
+    * final (nation, year) aggregate — ≤ |nations| × |years| rows per task
+    * after map-side partials. Profit routes through [[Exact.dsum]]. */
+  def q9Profit(spark: SparkSession, sfDir: String, nameToken: String = "widget"): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+      .filter(col("p_name").contains(nameToken))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supNation = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).cast("long").as("o_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        lit(0.8) * col("p_retailprice") * col("l_quantity")).as("sum_profit"))
+  }
+
+  def q9ProfitSql(nameToken: String = "widget"): String =
+    s"""SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       |  ${sqlSum("l_extendedprice * (1.0 - l_discount) - 0.8 * p_retailprice * l_quantity")} AS sum_profit
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation ON n_nationkey = s_nationkey
+       |WHERE p_name LIKE '%$nameToken%'
+       |GROUP BY 1, 2""".stripMargin
+
+  /** TPC-H Q11 analog (important stock): with no partsupp availqty, a
+    * part's "stock value" is read as the revenue one nation's suppliers
+    * shipped of it, and "important" means above a fixed fraction of that
+    * nation's total — the HAVING-against-a-scalar-global-aggregate shape.
+    * The fraction compare stays EXACT end-to-end: per-part values are
+    * decimal sums (never re-rounded through double), and the 1/500
+    * threshold is applied as `500 * value > total` — integer-scaled decimal
+    * arithmetic both engines compute exactly, where `value > total * 0.002`
+    * would put an engine-specific double rounding on the boundary rows.
+    * Plan: one broadcast (nation's suppliers) into the fact scan, one
+    * partkey shuffle, then the 1-row total broadcast-crossed back against
+    * the checkpointed per-part frame ([[q15TopSupplier]] discipline). */
+  def q11ImportantPart(spark: SparkSession, sfDir: String,
+      nationName: String = "NATION_3", denom: Int = 500): DataFrame = {
+    val sup = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === nationName)
+      .select(col("s_suppkey"))
+    val supVal = Tables.lineitem(spark, sfDir)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(org.apache.spark.sql.types.DecimalType(24, 6))).as("value_dec"))
+      .localCheckpoint()
+    supVal
+      .join(broadcast(supVal.agg(sum(col("value_dec")).as("total_dec"))))
+      .filter(col("value_dec") * lit(denom) > col("total_dec"))
+      .select(col("p_partkey"), col("value_dec").cast("double").as("value"))
+  }
+
+  def q11ImportantPartSql(nationName: String = "NATION_3", denom: Int = 500): String =
+    s"""WITH sup_val AS (
+       |  SELECT l_partkey AS p_partkey,
+       |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS value_dec
+       |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN nation ON n_nationkey = s_nationkey
+       |  WHERE n_name = '$nationName' GROUP BY 1)
+       |SELECT p_partkey, CAST(value_dec AS DOUBLE) AS value
+       |FROM sup_val WHERE value_dec * $denom > (SELECT sum(value_dec) FROM sup_val)""".stripMargin
+
+  /** TPC-H Q20 analog (potential part promotion): with no partsupp
+    * availqty, "has excess stock to promote" is re-read as "dominates the
+    * part's supply" — suppliers who shipped MORE THAN HALF of a part
+    * family's total 1995 quantity, counted per supplier. The >½ threshold
+    * is deliberate: `0.5 * total` is an exact IEEE scaling of an exact
+    * integer-valued double sum (quantities are whole numbers ≪ 2⁵³), so the
+    * comparison is engine-independent, and at most one supplier can qualify
+    * per part. Plan: name-filtered part broadcast + shipdate range pushed
+    * into the fact scan, one (part,supplier) shuffle with map-side
+    * partials, a partkey window over the collapsed pair frame (never raw
+    * lineitem rows), then the supplier dimension broadcast. */
+  def q20PotentialPromo(spark: SparkSession, sfDir: String,
+      namePrefix: String = "small ", year0: Int = 1995): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+      .filter(col("p_name").startsWith(namePrefix))
+      .select(col("p_partkey"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(s"$year0-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year0 + 1}-01-01").cast("timestamp"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .withColumn("total", sum(col("qty")).over(w))
+      .filter(col("qty") > lit(0.5) * col("total"))
+      // no broadcast hint: supplier is sf-scaled (10k rows/SF — ~1B at the
+      // 100 TB target), so the supplier⋈dominated join is left to AQE, which
+      // broadcasts at small SF and shuffles on l_suppkey at scale
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_dominated"))
+  }
+
+  def q20PotentialPromoSql(namePrefix: String = "small ", year0: Int = 1995): String =
+    s"""WITH shipped AS (
+       |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey
+       |  WHERE p_name LIKE '$namePrefix%'
+       |    AND l_shipdate >= TIMESTAMP '$year0-01-01' AND l_shipdate < TIMESTAMP '${year0 + 1}-01-01'
+       |  GROUP BY 1, 2)
+       |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_dominated FROM (
+       |  SELECT *, sum(qty) OVER (PARTITION BY l_partkey) AS total FROM shipped)
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |WHERE qty > 0.5 * total
+       |GROUP BY 1, 2""".stripMargin
+
   val snapshotMergeSql: String =
     """WITH ev AS (
       |  SELECT user_id, epoch_us(ts) AS us, value, event_id

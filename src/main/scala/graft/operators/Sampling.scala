@@ -182,6 +182,46 @@ object Sampling {
        |FROM documents GROUP BY 1""".stripMargin
   }
 
+  /** COMPACTION PLAN — the OPTIMIZE/bin-packing step a table maintenance
+    * pass runs over a small-file manifest: pack the [[shardManifest]]
+    * units into target-size output files. Packing is start-offset binning
+    * over the size-descending order (largest first — the greedy direction
+    * FFD uses): running total of chars before each unit, output file =
+    * `cum_before div target`. Deterministic, one expression, and exactly
+    * reproducible in SQL — unlike an iterative best-fit loop, which would
+    * be driver-side and engine-specific.
+    *
+    * Scale shape: the input is the MANIFEST (per-shard aggregates), so the
+    * global-order window runs over |shards| metadata rows, never data rows
+    * — the same bounded-frame argument as the transition matrix's global
+    * window. At 100 TB the data-side work stays inside [[shardManifest]]'s
+    * one scan+agg; planning cost is O(|files| log |files|) regardless of
+    * corpus bytes, which is why table formats (Delta OPTIMIZE, Iceberg
+    * rewrite_data_files) plan exactly this way from their file manifests. */
+  def compactionPlan(spark: SparkSession, sfDir: String,
+      targetChars: Long = 30000L, nShards: Int = NumShards): DataFrame = {
+    val w = Window.orderBy(col("total_chars").desc, col("shard").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    shardManifest(spark, sfDir, nShards)
+      .select(col("shard"), col("n_docs"), col("total_chars"))
+      .withColumn("cum_before", coalesce(sum(col("total_chars")).over(w), lit(0L)))
+      .select(col("shard"), col("n_docs"), col("total_chars"),
+        expr(s"cum_before div $targetChars").as("out_file"))
+  }
+
+  def compactionPlanSql(targetChars: Long = 30000L, nShards: Int = NumShards): String = {
+    val h = Hashing.md5LongSql("CAST(doc_id AS VARCHAR)")
+    s"""WITH manifest AS (
+       |  SELECT CAST($h % $nShards AS BIGINT) AS shard,
+       |    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |  FROM documents GROUP BY 1)
+       |SELECT shard, n_docs, total_chars,
+       |  CAST(coalesce(sum(total_chars) OVER (
+       |    ORDER BY total_chars DESC, shard ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $targetChars AS BIGINT) AS out_file
+       |FROM manifest""".stripMargin
+  }
+
   /** The end-to-end CURATION composite the individual operators exist for:
     *
     * {{{ documents → quality gate → drop non-canonical near-dups

@@ -191,6 +191,56 @@ object Similarity {
        |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
        |WHERE ${cosineSql("a", "b")} >= $threshold""".stripMargin
 
+  /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus, then inside each cluster keep ONE representative of
+    * every near-identical group and drop the rest — the standard
+    * embedding-level pass an LLM data pipeline runs after exact/minhash
+    * dedup. The keep rule is deterministic and local: a vector is dropped
+    * iff a LOWER-id vector in its cluster sits within cosine ≥ `threshold`,
+    * and `dup_of` names the smallest such id (the survivor it deduplicates
+    * into). This is the greedy per-cluster rule (not transitive closure —
+    * [[Dedup.dedupClusters]] is the CC variant for that semantics), so no
+    * iteration is needed: one candidate join + one min-aggregate.
+    *
+    * Scale shape: candidates come from the shared [[ivfAssigned]] frame
+    * (broadcast centroid assignment, pair expansion per-cluster ~n/C, never
+    * corpus²); the verdict join back to the corpus is a LEFT join on vec_id
+    * (one key shuffle of n rows). At 100 TB the cluster count C scales with
+    * the corpus so per-cluster candidate frames stay executor-sized —
+    * exactly the published SemDeDup deployment shape. */
+  def dedupSemantic(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
+    val a = ivfAssigned(spark, sfDir)
+    val dupOf = a.as("a").join(a.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosinePre(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")) >= threshold)
+      .groupBy(col("b.vec_id").as("dup_id"))
+      .agg(min(col("a.vec_id")).as("dup_of"))
+    a.select(col("vec_id"), col("cluster"))
+      .join(dupOf, col("vec_id") === col("dup_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("dup_of").isNull.as("kept"),
+        coalesce(col("dup_of"), col("vec_id")).as("canonical"))
+  }
+
+  def dedupSemanticSql(threshold: Double = 0.4): String =
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < $NumCentroids),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cent_id AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("e", "c")} DESC, c.cent_id ASC) AS arn
+       |    FROM embeddings e CROSS JOIN cent c)
+       |  WHERE arn = 1),
+       |dup_of AS (
+       |  SELECT b.vec_id AS dup_id, min(a.vec_id) AS dup_of
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${cosineSql("a", "b")} >= $threshold
+       |  GROUP BY 1)
+       |SELECT s.vec_id, s.cluster, d.dup_of IS NULL AS kept,
+       |  coalesce(d.dup_of, s.vec_id) AS canonical
+       |FROM assigned s LEFT JOIN dup_of d ON s.vec_id = d.dup_id""".stripMargin
+
   // ---- sign-random-projection LSH (centroid-free scale path) --------------
 
   /** SRP-LSH geometry: 32 hyperplanes = 4 bands × 8 bits. Bit j of a vector

@@ -124,7 +124,7 @@ class PlanAuditSpec extends AnyFunSuite {
     //   - or it is driver-built data (LocalRelation / checkpointed
     //     LogicalRDD: K-row codebooks, ADC tables).
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, LocalRelation, ResolvedHint}
-    import org.apache.spark.sql.catalyst.expressions.BinaryComparison
+    import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, StringPredicate}
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     val fixedDims = Set("nation", "region")
     val exempt = Set.empty[String]
@@ -163,6 +163,11 @@ class PlanAuditSpec extends AnyFunSuite {
             // foldable covers Literal and Cast(Literal) — Spark wraps the
             // comparison constant in a cast to the column type
             case bc: BinaryComparison => bc.children.exists(_.foldable)
+            // string-pattern dims (StartsWith/Contains against a literal,
+            // q9/q20's name-token cut) are the same selective-dim shape as
+            // a literal equality — the pattern bounds selectivity, and the
+            // side stays dimension-sized relative to the fact it joins
+            case sp: StringPredicate => sp.right.foldable
             case _ => false
           } => f
         }.nonEmpty

@@ -235,4 +235,89 @@ class RelationalSpec extends AnyFunSuite {
     val q = Relational.q21Waiting(spark, Sf)
     assert(q.exceptAll(naive).isEmpty && naive.exceptAll(q).isEmpty)
   }
+
+  test("q2MinCost equals the correlated-min formulation; region restriction holds") {
+    val q = Relational.q2MinCost(spark, Sf01)
+    val rows = q.collect()
+    assert(rows.nonEmpty, "size/type cut should leave parts at sf0.01")
+    // Naive twin: supply pairs filtered to region suppliers, per-part min by
+    // a plain self-join (the textbook correlated subquery, undecorrelated).
+    val supply = Tables.lineitem(spark, Sf01)
+      .join(Tables.part(spark, Sf01).filter(col("p_size") === 15 && col("p_type") === "SMALL"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+      .agg(min(floor(col("l_extendedprice") * lit(10000.0) / col("l_quantity"))
+        .cast("long")).as("cost_fp"))
+      .join(Tables.supplier(spark, Sf01), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, Sf01), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, Sf01), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+    val mins = supply.groupBy(col("p_partkey").as("pk")).agg(min(col("cost_fp")).as("mc"))
+    val naive = supply.join(mins, col("p_partkey") === col("pk") && col("cost_fp") === col("mc"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("cost_fp"))
+    assert(q.exceptAll(naive).isEmpty && naive.exceptAll(q).isEmpty)
+  }
+
+  test("q9Profit groups cover exactly the filtered fact's (nation, year) pairs") {
+    val q = Relational.q9Profit(spark, Sf01)
+    val expected = Tables.lineitem(spark, Sf01)
+      .join(Tables.part(spark, Sf01).filter(col("p_name").contains("widget")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, Sf01), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, Sf01), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("l_shipdate")).cast("long").as("y"))
+      .distinct().count()
+    assert(q.count() === expected)
+    // Profit must be strictly less than gross revenue for every group (the
+    // 0.8·retailprice cost is positive on every contributing line).
+    val gross = Tables.lineitem(spark, Sf01)
+      .join(Tables.part(spark, Sf01).filter(col("p_name").contains("widget")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, Sf01), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, Sf01), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation2"), year(col("l_shipdate")).cast("long").as("y"))
+      .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val bad = q.join(gross, col("nation") === col("nation2") && col("o_year") === col("y"))
+      .filter(col("sum_profit") >= col("rev")).count()
+    assert(bad === 0L)
+  }
+
+  test("q11ImportantPart: exact threshold semantics on both sides of the boundary") {
+    val q = Relational.q11ImportantPart(spark, Sf01)
+    val all = Tables.lineitem(spark, Sf01)
+      .join(Tables.supplier(spark, Sf01), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, Sf01).filter(col("n_name") === "NATION_3"),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(org.apache.spark.sql.types.DecimalType(24, 6))).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val total = all.values.map(BigDecimal(_)).sum
+    val expectKeys = all.collect { case (k, v) if BigDecimal(v) * 500 > total => k }.toSet
+    val gotKeys = q.collect().map(_.getLong(0)).toSet
+    assert(gotKeys === expectKeys)
+    assert(gotKeys.nonEmpty && gotKeys.size < all.size, "threshold must actually select")
+  }
+
+  test("q20PotentialPromo: at most one dominant supplier per part; counts match naive") {
+    val q = Relational.q20PotentialPromo(spark, Sf01)
+    val shipped = Tables.lineitem(spark, Sf01)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .join(Tables.part(spark, Sf01).filter(col("p_name").startsWith("small ")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val totals = shipped.groupBy(col("l_partkey").as("pk")).agg(sum(col("qty")).as("total"))
+    val dominant = shipped.join(totals, col("l_partkey") === col("pk"))
+      .filter(col("qty") > lit(0.5) * col("total"))
+    // >1/2 admits at most one winner per part
+    val multi = dominant.groupBy(col("l_partkey")).count().filter(col("count") > 1).count()
+    assert(multi === 0L)
+    val naive = dominant
+      .join(Tables.supplier(spark, Sf01), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name")).agg(count(lit(1)).as("n_dominated"))
+    assert(q.exceptAll(naive).isEmpty && naive.exceptAll(q).isEmpty)
+  }
 }

@@ -131,4 +131,26 @@ class SamplingSpec extends AnyFunSuite {
       assert((f1 ^ f2) === fp, s"shard $shard fingerprints must XOR-merge")
     }
   }
+
+  test("compactionPlan: start-offset binning is exact and covers every shard once") {
+    import org.apache.spark.sql.functions._
+    val target = 30000L
+    val rows = Sampling.compactionPlan(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val manifest = Sampling.shardManifest(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.map(_._1).toSet === manifest.keySet, "every shard planned exactly once")
+    // Re-derive the binning driver-side from the manifest alone.
+    val ordered = manifest.toSeq.map { case (s, (n, c)) => (s, n, c) }
+      .sortBy { case (s, _, c) => (-c, s) }
+    var cum = 0L
+    val expected = ordered.map { case (s, _, c) =>
+      val bin = cum / target; cum += c; s -> bin
+    }.toMap
+    for ((shard, _, _, bin) <- rows)
+      assert(bin === expected(shard), s"shard $shard bin mismatch")
+    // bins are contiguous from 0 (no empty output file in the plan)
+    val bins = rows.map(_._4).toSet
+    assert(bins === (0L until bins.size).toSet, s"bins must be contiguous: $bins")
+  }
 }

@@ -154,4 +154,35 @@ class SimilaritySpec extends AnyFunSuite {
     val expected = (Integer.parseInt(hex.substring(0, 1), 16) % 2) * 2 - 1
     assert(v.head === expected.toDouble)
   }
+
+  test("dedupSemantic: greedy keep rule matches the pair set; kept+dropped partition the corpus") {
+    import org.apache.spark.sql.functions._
+    val verdict = Similarity.dedupSemantic(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    val n = graft.Tables.embeddings(spark, Sf).count()
+    assert(verdict.length === n, "one verdict row per vector")
+    // Independent derivation of the rule from the near-dup PAIR set: a
+    // vector is dropped iff it appears as the HIGHER id of some pair, and
+    // its canonical is the smallest lower-id partner.
+    val pairs = Similarity.embeddingNearDupIvf(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val minPartner = pairs.groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).min }
+    for ((id, _, kept, canonical) <- verdict) {
+      minPartner.get(id) match {
+        case Some(exp) =>
+          assert(!kept && canonical === exp, s"vec $id must drop into $exp")
+        case None =>
+          assert(kept && canonical === id, s"vec $id must survive as itself")
+      }
+    }
+    // survivors of a dup group are themselves kept (greedy rule sanity)
+    val keptSet = verdict.filter(_._3).map(_._1).toSet
+    val danglingCanon = verdict.filter(v => !v._3 && !keptSet.contains(v._4) &&
+      minPartner.contains(v._4))
+    // NOTE: greedy (not transitive) semantics - a canonical may itself be
+    // dropped only if IT has a lower-id near partner; assert the chain
+    // terminates at a kept vector within the pair graph.
+    for ((_, _, _, c) <- danglingCanon)
+      assert(minPartner.contains(c), s"canonical $c neither kept nor pair-covered")
+  }
 }
