@@ -632,6 +632,159 @@ object StreamingOps {
         expr("n * 1000000 div t").as("share_ppm"))
   }
 
+  case class KEv(win_us: Long, h: Long, us: Long)
+  case class KmvSt(hs: Array[Long])
+  case class KmvRow(win_us: Long, n_sketch: Long, kmv_estimate: Long)
+
+  /** Per-WINDOW KMV cardinality state: the k smallest DISTINCT 56-bit
+    * user hashes seen for the hour, kept sorted — O(k) longs per window
+    * forever, the whole point of running a sketch instead of a streaming
+    * `count(DISTINCT)` whose state grows with the user population. The
+    * min-k-of-distinct merge is a set union followed by trim, so it is
+    * associative, commutative and idempotent — batch order, chunk
+    * boundaries and intra-window duplicates cannot change the final
+    * sketch, which is why the streaming result hash-matches the batch
+    * oracle exactly. ONE event-time timer per window, armed once at the
+    * fixed window end (the window end never moves, so there is no
+    * delete/re-arm dance like the gap sessionizer's moving timer — just an
+    * armed flag): when the watermark passes it, the window's final
+    * estimate emits once and the state drops. */
+  class KmvWindowProcessor(k: Int, numerator: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, KEv, KmvRow] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+      ExpiredTimerInfo, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var sk: ValueState[KmvSt] = _
+    @transient private var armed: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sk = getHandle.getValueState[KmvSt]("sk", Encoders.product[KmvSt], TTLConfig.NONE)
+      armed = getHandle.getValueState[Boolean]("armed", Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+    override def handleInputRows(win: Long, rows: Iterator[KEv],
+        tv: TimerValues): Iterator[KmvRow] = {
+      val prev = if (sk.exists()) sk.get().hs else Array.empty[Long]
+      val merged = (prev ++ rows.map(_.h)).distinct.sorted.take(k)
+      sk.update(KmvSt(merged))
+      // Fixed end-of-window timer, armed ONCE per window (re-registering
+      // the same instant would be a warned no-op); max() only guards the
+      // (impossible under time-partitioned chunks) late-row case from
+      // registering in the past.
+      if (!armed.exists()) {
+        getHandle.registerTimer(
+          math.max((win + WinUs) / 1000L + 1L, tv.getCurrentWatermarkInMs() + 1L))
+        armed.update(true)
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(win: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[KmvRow] =
+      if (!sk.exists()) Iterator.empty
+      else {
+        val hs = sk.get().hs
+        sk.clear()
+        armed.clear()
+        val est = if (hs.length < k) hs.length.toLong else numerator / hs.last
+        Iterator.single(KmvRow(win, hs.length.toLong, est))
+      }
+  }
+
+  private val WinUs = 3600000000L // 1-hour tumbling windows, µs
+
+  /** Streaming DISTINCT-USERS-PER-HOUR via a KMV sketch — the continuous
+    * twin of [[graft.operators.TextAnalysis.distinctKmv]] and the third
+    * `transformWithState` operator, showing the shape the other two don't:
+    * keyed state PLUS a fixed event-time timer (the sessionizer's timer
+    * moves; the transition extractor has none). Cardinality-per-window is
+    * the canonical streaming-sketch job: exact distinct needs per-window
+    * state proportional to the user population, the sketch needs k longs,
+    * and because KMV's estimate is a pure integer function of the min-k
+    * distinct hashes (TextAnalysis.scala KMV scaladoc) the streaming
+    * output is bit-comparable against a batch DuckDB oracle — HLL's float
+    * harmonic mean could never be. Windows close on WATERMARK ADVANCEMENT:
+    * the far-future sentinel folded into the last chunk pushes the
+    * watermark past every real window end, firing all timers in the final
+    * no-data micro-batch (same flush discipline as the outer joins).
+    * Runs under the RocksDB provider like every tws path.
+    *
+    * At 100 TB the plan holds: the keyed shuffle ships (window, hash)
+    * pairs — the same volume any windowed count pays — and per-window
+    * state stays k longs no matter how many users an hour holds; hot
+    * windows are a fan-in concern for the batch-side `distinct` that
+    * Spark's partial aggregation already bounds. */
+  def streamingKmv(spark: SparkSession, sfDir: String, numChunks: Int = 2): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.operators.{Hashing, TextAnalysis}
+    val evs = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(
+        expr(s"(ts div 1000) div $WinUs * $WinUs").as("win_us"),
+        Hashing.md5Long(col("user_id").cast("string")).as("h"),
+        expr("ts div 1000").as("us"))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.get(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val name = "graft_stream_kmv"
+    var sentWin = Long.MaxValue // sentinel window start, set once staged
+    try {
+      val feed = stageTimeChunks(evs, "us", numChunks, ckptDir("graft_stream_kmv_feed"))
+      try {
+        val maxUs = maxUsOrFail("streamingKmv", feed)
+        val sketches = spark.readStream.schema(evs.schema).parquet(feed.watchDir)
+          .withColumn("event_time", timestamp_micros(col("us")))
+          .withWatermark("event_time", "0 seconds")
+          .as[KEv]
+          .groupByKey(_.win_us)
+          .transformWithState(
+            new KmvWindowProcessor(TextAnalysis.KmvK, TextAnalysis.KmvNumerator),
+            TimeMode.EventTime(), OutputMode.Append())
+        // Sentinel two windows past the data: its OWN window's end stays
+        // above the watermark it sets, so it never emits; every real
+        // window's end falls below it, so every real timer fires.
+        val sentUs = (maxUs / WinUs + 2L) * WinUs
+        sentWin = sentUs / WinUs * WinUs
+        val sent = stageSentinel(Seq(KEv(sentWin, -1L, sentUs)).toDS().toDF(),
+          s"${feed.baseDir}/sentinel")
+        withStateParts(spark) {
+          val q = sketches.writeStream.outputMode("append").format("memory").queryName(name)
+            .option("checkpointLocation", ckptDir(name)).start()
+          try {
+            (0 until numChunks).foreach { k =>
+              dropChunk(feed, k)
+              if (k == numChunks - 1) dropFiles(feed.watchDir, "sentinel", sent)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
+      } finally cleanupFeed(feed)
+    } finally spark.conf.set(providerKey, prevProvider)
+    // Structural sentinel filter: the sentinel's window START is beyond
+    // every real event by construction (no marker-column dependence). Its
+    // timer never fires anyway (own window end > the watermark it sets) —
+    // this is belt-and-braces against a future flush-discipline change.
+    spark.table(name).filter(col("win_us") < lit(sentWin))
+  }
+
+  /** Batch oracle for [[streamingKmv]]: the same min-k-of-distinct
+    * integer pipeline as `distinct_kmv`'s, keyed by the hour window. */
+  def streamingKmvSql: String = {
+    import graft.operators.{Hashing, TextAnalysis}
+    val k = TextAnalysis.KmvK
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT (epoch_us(ts) // $WinUs) * $WinUs AS win_us,
+       |    ${Hashing.md5LongSql("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events WHERE user_id IS NOT NULL),
+       |ranked AS (SELECT win_us, h,
+       |    row_number() OVER (PARTITION BY win_us ORDER BY h) AS rn FROM pairs),
+       |topk AS (SELECT win_us, count(*) AS n_sketch, max(h) AS kth
+       |  FROM ranked WHERE rn <= $k GROUP BY 1)
+       |SELECT win_us, CAST(n_sketch AS BIGINT) AS n_sketch,
+       |  CAST(CASE WHEN n_sketch < $k THEN n_sketch
+       |            ELSE ${TextAnalysis.KmvNumerator} // kth END AS BIGINT) AS kmv_estimate
+       |FROM topk""".stripMargin
+  }
+
   case class Doc(doc_id: Long, text: String)
 
   /** Watermarked STREAM-STREAM interval join: clicks and purchases arrive

@@ -344,4 +344,36 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(resumed === batch)
     assert(resumed !== afterChunk1) // chunk 2 really arrived after the stop
   }
+
+  test("streaming KMV (chunked feed, watermark-fired windows) equals the batch min-k sketch") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Hashing, TextAnalysis}
+    // 3 chunks so at least one hourly window is guaranteed to straddle a
+    // chunk boundary — the cross-batch set-union-and-trim merge path.
+    val streamed = StreamingOps.streamingKmv(spark, Sf, numChunks = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val k = TextAnalysis.KmvK
+    val pairs = graft.Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull)
+      .select(expr("(ts div 1000) div 3600000000 * 3600000000").as("win_us"),
+        Hashing.md5Long(col("user_id").cast("string")).as("h"))
+      .distinct()
+    val ranked = pairs
+      .withColumn("rn", row_number().over(Window.partitionBy("win_us").orderBy("h")))
+      .filter(col("rn") <= k)
+    val batch = ranked.groupBy("win_us")
+      .agg(count(lit(1)).as("n"), max(col("h")).as("kth"))
+      .select(col("win_us"), col("n"),
+        when(col("n") < k, col("n"))
+          .otherwise(expr(s"${TextAnalysis.KmvNumerator}L div kth")).cast("long").as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // Exactly-once window close: one row per window, no sentinel leak.
+    assert(streamed.map(_._1).size === streamed.size)
+    // Small-range rule engaged somewhere (sf0.001 hours hold < k users) —
+    // there the sketch IS exact.
+    assert(streamed.exists { case (_, n, est) => n < k && n === est })
+  }
 }
