@@ -132,12 +132,27 @@ object Bpe {
     * BOTH p(k) and v(k), and DuckDB's default CTE inlining would otherwise
     * expand the chain to 2^numMerges scans of the base table. */
   def bpeTrainSql(numMerges: Int = 20): String = {
+    val union = (1 to numMerges)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, " +
+        s"a || b AS merged, cnt AS pair_count FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${chainSql(numMerges)}\n$union"
+  }
+
+  /** The shared training-chain WITH body: v0 symbolizes the weighted
+    * vocabulary, layer k = (pair count over v(k-1), deterministic argmax
+    * b(k), literal-replace state v(k)). Each v(k) carries the word column
+    * through: the training union only reads the b(k) argmax rows, while
+    * the ENCODE oracle reads the final state v(numMerges) — which, because
+    * training rewrites the whole vocabulary in place, IS the fully-encoded
+    * vocabulary, keyed by word. */
+  private def chainSql(numMerges: Int): String = {
     val base =
       s"""words AS (
          |  SELECT w, count(*) AS n FROM (
          |    SELECT unnest(${TextOps.tokensSql}) AS w FROM documents) GROUP BY w),
          |v0 AS MATERIALIZED (
-         |  SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ')
+         |  SELECT w, ' ' || array_to_string(regexp_extract_all(w, '.'), ' ')
          |           || ' $EndOfWord ' AS sym, n
          |  FROM words)""".stripMargin
     val layers = (1 to numMerges).map { k =>
@@ -148,13 +163,55 @@ object Bpe {
          |  GROUP BY a, b),
          |b$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
          |v$k AS MATERIALIZED (
-         |  SELECT replace(sym, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS sym, n
+         |  SELECT w, replace(sym, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS sym, n
          |  FROM v${k - 1}, b$k)""".stripMargin
     }
-    val union = (1 to numMerges)
-      .map(k => s"SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, " +
-        s"a || b AS merged, cnt AS pair_count FROM b$k")
-      .mkString("\nUNION ALL\n")
-    s"WITH ${(base +: layers).mkString(",\n")}\n$union"
+    (base +: layers).mkString(",\n")
+  }
+
+  /** Corpus TOKENIZATION with the in-engine-trained tokenizer — the serve
+    * side of [[bpeTrain]], closing the train→encode loop the way
+    * `knn_ivf_trained` closes kmeans→serve. Per document: the whitespace
+    * token count and the BPE symbol count under the learned merge list.
+    *
+    * The decomposition is what makes this a 100 TB plan: the merge chain
+    * is applied to each DISTINCT word once (the |vocab|-bounded `wl`
+    * frame — [[bpeApply]]'s literal-replace expression tree, codegen'd, no
+    * UDF), and documents then pay ONE (doc, word)-count aggregation plus
+    * an equi-join on the word — the corpus is never re-scanned per merge
+    * and never carries the symbol strings. The vocab join gets NO
+    * broadcast hint (a 100 TB corpus's vocabulary is not driver-bounded);
+    * AQE broadcasts it at bench scale. Merges themselves are an
+    * O(numMerges) driver artifact folded into the expression, exactly like
+    * the kmeans codebook pull (Similarity.scala). */
+  def bpeEncode(spark: SparkSession, sfDir: String, numMerges: Int = 20): DataFrame = {
+    val ms = bpeTrain(spark, sfDir, numMerges).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val dw = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      // read twice (distinct vocab + the join probe): materialize once
+      .localCheckpoint()
+    val wl = dw.select(col("w")).distinct()
+      .withColumn("ns",
+        size(split(trim(bpeApply(ms)(symbolize(col("w")))), " ")).cast("long"))
+    dw.join(wl, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), sum(col("c") * col("ns")).as("n_bpe"))
+  }
+
+  /** Oracle for [[bpeEncode]]: the same chain, reading the final vocab
+    * state v(numMerges) as the encoded-word symbol counts. */
+  def bpeEncodeSql(numMerges: Int = 20): String = {
+    // chainSql is interpolated AFTER stripMargin: running stripMargin over
+    // the combined text would eat the chain's leading `||` concat operators
+    val tail =
+      s"""wl AS (SELECT w, len(string_split(trim(sym), ' ')) AS ns FROM v$numMerges),
+         |dw AS (SELECT doc_id, w, count(*) AS c FROM (
+         |  SELECT doc_id, unnest(${TextOps.tokensSql}) AS w FROM documents) GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(sum(c * ns) AS BIGINT) AS n_bpe
+         |FROM dw JOIN wl USING (w) GROUP BY 1""".stripMargin
+    s"WITH ${chainSql(numMerges)},\n$tail"
   }
 }

@@ -106,4 +106,42 @@ class BpeSpec extends AnyFunSuite {
       .agg(sum(length(col("w")))).collect()(0).getLong(0)
     assert(full.map(_.getLong(2)).sum === want)
   }
+
+  test("bpeEncode: per-doc token counts match a driver scan-merge reference") {
+    val numMerges = 20
+    val merges = Bpe.bpeTrain(spark, Sf, numMerges).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    // Scan-merge encoder (same mechanism family as refBpe, NOT a string
+    // replace): apply each merge greedily left-to-right in training order.
+    def encLen(w: String): Long = {
+      var syms = w.map(_.toString).toVector :+ Bpe.EndOfWord
+      merges.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length.toLong
+    }
+    // Tokenization via the engine's own tokens() so the reference diffs
+    // ONLY the encode step.
+    val docToks = Tables.documents(spark, Sf)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val encCache = scala.collection.mutable.Map.empty[String, Long]
+    val want = docToks.groupBy(_._1).map { case (doc, ws) =>
+      val lens = ws.map(t => encCache.getOrElseUpdate(t._2, encLen(t._2)))
+      (doc, ws.length.toLong, lens.sum)
+    }.toSet
+    val got = Bpe.bpeEncode(spark, Sf, numMerges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // merging can only shrink: per doc, tokens <= bpe symbols <= chars+tokens
+    assert(got.forall { case (_, nt, nb) => nb >= nt })
+  }
 }
