@@ -402,6 +402,47 @@ object Dedup {
     s"""WITH RECURSIVE $clusterCtes
        |SELECT doc_id, cluster_id FROM comp""".stripMargin
 
+  /** QUALITY-PRIORITY canonical selection — the production survivor rule.
+    * [[clusters]] names each component after its min doc_id, but a real
+    * pipeline does not keep the lowest id: it keeps the BEST copy (the
+    * cleanest mirror of a templated page, the longest crawl of a truncated
+    * article) and drops the rest. Per cluster: rank members by
+    * ([[TextAnalysis.qualityOfTokenized]]'s composite score DESC, doc_id
+    * ASC — the id breaks rounded-score ties deterministically), the rank-1
+    * member is `canonical`, everyone else is `kept = false`.
+    *
+    * Cost on top of the component loop: one doc_id equi-join against the
+    * zero-shuffle quality map, then a cluster-keyed window and a
+    * cluster-keyed join that share ONE exchange (same key) — nothing here
+    * scales worse than the CC loop that precedes it. */
+  def keepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val comp = clusters(spark, sfDir)
+    val q = TextAnalysis.quality(spark, sfDir).select(col("doc_id"), col("quality_score"))
+    val scored = comp.join(q, Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val best = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical"))
+    scored.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("canonical")).as("kept"), col("canonical"))
+  }
+
+  def keepBestSql: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |${TextAnalysis.qualityFeatureCtes},
+       |q AS (SELECT doc_id, ${TextAnalysis.qualityScoreSqlExpr} AS quality_score
+       |      FROM qg WHERE n_tokens > 0),
+       |scored AS (SELECT c.doc_id, c.cluster_id, q.quality_score
+       |           FROM comp c JOIN q USING (doc_id)),
+       |best AS (SELECT cluster_id, doc_id AS canonical FROM (
+       |    SELECT scored.*, row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY quality_score DESC, doc_id ASC) AS rn FROM scored)
+       |  WHERE rn = 1)
+       |SELECT s.doc_id, s.cluster_id, s.doc_id = b.canonical AS kept, b.canonical
+       |FROM scored s JOIN best b USING (cluster_id)""".stripMargin
+
   // ---- PageRank over the duplicate graph ----------------------------------
 
   /** Fixed-point scale for [[pagerank]]: ranks are BIGINTs in units of

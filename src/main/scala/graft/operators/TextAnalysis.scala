@@ -46,27 +46,40 @@ object TextAnalysis {
       .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio", "quality_score")
   }
 
-  val qualitySql: String = {
+  /** The composite-score formula as SQL text over columns (n_stop,
+    * n_tokens, n_punct, n_chars) — ONE definition shared by [[qualitySql]]
+    * and the keep-best dedup oracle, so the ranking score cannot silently
+    * diverge from the reported score. */
+  val qualityScoreSqlExpr: String =
+    """round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.3
+      |    + CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 0.4
+      |    + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.3, 6)""".stripMargin
+
+  /** CTE text `qg(doc_id, n_tokens, sum_tok_len, n_stop, n_punct,
+    * n_chars)` — the quality feature extraction over `documents`, shared
+    * by [[qualitySql]] and composed oracles. */
+  val qualityFeatureCtes: String = {
     val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
-    s"""WITH f AS (
+    s"""qf AS (
        |  SELECT doc_id, ${TextOps.tokensSql} AS t, text FROM documents),
-       |g AS (
+       |qg AS (
        |  SELECT doc_id,
        |    CAST(len(t) AS BIGINT) AS n_tokens,
        |    list_sum(list_transform(t, x -> length(x))) AS sum_tok_len,
        |    len(list_filter(t, x -> x IN ($stopList))) AS n_stop,
        |    length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
        |    length(text) AS n_chars
-       |  FROM f)
+       |  FROM qf)""".stripMargin
+  }
+
+  val qualitySql: String =
+    s"""WITH $qualityFeatureCtes
        |SELECT doc_id, n_tokens,
        |  round(CAST(sum_tok_len AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
        |  round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
        |  round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
-       |  round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.3
-       |    + CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 0.4
-       |    + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.3, 6) AS quality_score
-       |FROM g WHERE n_tokens > 0""".stripMargin
-  }
+       |  $qualityScoreSqlExpr AS quality_score
+       |FROM qg WHERE n_tokens > 0""".stripMargin
 
   /** Language-marker vote lists (tiny, broadcast as literals into the
     * expression — no dimension table needed). */

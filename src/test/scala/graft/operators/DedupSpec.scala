@@ -150,4 +150,28 @@ class DedupSpec extends AnyFunSuite {
     assert(inc.exists(_._2 > 0) && inc.exists(_._2 === 0L),
       "fixture should exercise both matched and novel batch docs")
   }
+
+  test("keepBest: per cluster exactly one survivor, and it is the (score desc, id asc) argmax") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.keepBest(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val q = TextAnalysis.quality(spark, Sf)
+      .select(col("doc_id"), col("quality_score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.groupBy(_._2).foreach { case (cluster, members) =>
+      val kept = members.filter(_._3)
+      assert(kept.length === 1, s"cluster $cluster must keep exactly one member")
+      val want = members.map(_._1).minBy(id => (-q(id), id))
+      assert(kept.head._1 === want, s"cluster $cluster survivor must be the quality argmax")
+      assert(members.forall(_._4 === want), "canonical must point at the survivor")
+    }
+    // membership matches the min-label clustering exactly (same components)
+    val comp = Dedup.clusters(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(t => (t._1, t._2)).toSet === comp)
+    // the survivor rule genuinely differs from min-id somewhere on this corpus
+    assert(rows.exists { case (doc, cluster, kept, _) => kept && doc != cluster },
+      "fixture should contain a cluster whose best member is not the min id")
+  }
 }
