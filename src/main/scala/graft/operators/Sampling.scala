@@ -462,4 +462,118 @@ object Sampling {
        |  min(l_suppkey) AS min_suppkey, max(l_suppkey) AS max_suppkey
        |FROM z GROUP BY 1""".stripMargin
   }
+
+  /** Buckets ("files") per layout and probe ranges per dimension for
+    * [[zonemapPrune]]. Probes are FRACTIONS of the observed key domain
+    * (probe i covers [i/4, i/4 + 1/16) of the max key), so the experiment
+    * is scale-free: the same query shapes at any SF. */
+  val PruneBuckets = 64
+  val PruneProbes = 4
+
+  /** ZONE-MAP PRUNING effectiveness — the measurement that justifies (or
+    * indicts) a table layout before anyone rewrites 100 TB. Every lakehouse
+    * scan planner skips a file when the file's min/max statistics cannot
+    * intersect the filter; how many files that skips is purely a property
+    * of HOW ROWS WERE LAID OUT. This operator lays the fact table out
+    * three ways at [[PruneBuckets]] files — `hash` (md5 of the row keys:
+    * the default write path, every file spans the whole domain), `range`
+    * (sorted by l_partkey: perfect on that column, blind on the other),
+    * `zorder` ([[zorderLayout]]'s interleaved curve: moderate on BOTH) —
+    * computes each file's min/max zone maps in ONE scan + ONE shuffle (the
+    * three bucket ids ride the same row, stacked by an explode, so the
+    * exchange carries 3× rows into a 3·B-row aggregate), and probes them
+    * with [[PruneProbes]] range filters per dimension. `scan_ppm` = the
+    * fraction of files a planner would still read: ~10^6 for hash
+    * everywhere, ~62k for range on partkey probes but 10^6 on suppkey,
+    * and a balanced middle for zorder — the zone-map trade-off quantified
+    * as one 24-row table. Probes are a constant 8-row broadcast derived
+    * from the 1-row max aggregate; nothing in the plan scales with more
+    * than one corpus pass. */
+  def zonemapPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = PruneBuckets
+    val scale = 1 << ZBits
+    val bucketWidth = (1L << (2 * ZBits)) / ZBuckets
+    val mx = Tables.lineitem(spark, sfDir)
+      .agg(max(col("l_partkey")).as("mp"), max(col("l_suppkey")).as("ms"))
+    val zones = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .crossJoin(broadcast(mx))
+      .withColumn("bh", Hashing.md5Long(
+        concat_ws("#", col("l_partkey"), col("l_suppkey"))) % b)
+      .withColumn("br", expr(s"((l_partkey - 1) * $b) div mp"))
+      .withColumn("bp", expr(s"((l_partkey - 1) * $scale) div mp"))
+      .withColumn("bs", expr(s"((l_suppkey - 1) * $scale) div ms"))
+      .withColumn("bz", expr(s"(${zInterleave("div")}) div $bucketWidth"))
+      .select(col("l_partkey"), col("l_suppkey"), explode(array(
+        struct(lit("hash").as("layout"), col("bh").as("bucket")),
+        struct(lit("range").as("layout"), col("br").as("bucket")),
+        struct(lit("zorder").as("layout"), col("bz").as("bucket")))).as("lb"))
+      .groupBy(col("lb.layout").as("layout"), col("lb.bucket").as("bucket"))
+      .agg(min(col("l_partkey")).as("mn_p"), max(col("l_partkey")).as("mx_p"),
+        min(col("l_suppkey")).as("mn_s"), max(col("l_suppkey")).as("mx_s"))
+    val probes = mx.select(explode(expr(
+      s"""flatten(array(
+         |  transform(sequence(0, ${PruneProbes - 1}), i -> struct(
+         |    'partkey' AS dim, CAST(i AS BIGINT) AS pid,
+         |    (CAST(i AS BIGINT) * mp) div ${PruneProbes} AS lo,
+         |    (CAST(i AS BIGINT) * mp) div ${PruneProbes} + mp div 16 AS hi)),
+         |  transform(sequence(0, ${PruneProbes - 1}), i -> struct(
+         |    'suppkey' AS dim, CAST(i AS BIGINT) AS pid,
+         |    (CAST(i AS BIGINT) * ms) div ${PruneProbes} AS lo,
+         |    (CAST(i AS BIGINT) * ms) div ${PruneProbes} + ms div 16 AS hi))))""".stripMargin))
+      .as("p"))
+      .select(col("p.dim"), col("p.pid"), col("p.lo"), col("p.hi"))
+    zones.crossJoin(broadcast(probes))
+      .withColumn("scanned",
+        when(col("dim") === "partkey", col("mn_p") <= col("hi") && col("mx_p") >= col("lo"))
+          .otherwise(col("mn_s") <= col("hi") && col("mx_s") >= col("lo")))
+      .groupBy(col("layout"), col("dim"), col("pid"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("scanned"), lit(1L)).otherwise(lit(0L))).as("n_scanned"))
+      .withColumn("scan_ppm", expr("n_scanned * 1000000 div n_buckets"))
+  }
+
+  def zonemapPruneSql: String = {
+    val b = PruneBuckets
+    val scale = 1 << ZBits
+    val bucketWidth = (1L << (2 * ZBits)) / ZBuckets
+    val h = Hashing.md5LongSql("l_partkey::VARCHAR || '#' || l_suppkey::VARCHAR")
+    s"""WITH mx AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem),
+       |r AS (SELECT l_partkey, l_suppkey,
+       |    $h % $b AS bh,
+       |    ((l_partkey - 1) * $b) // mp AS br,
+       |    ((l_partkey - 1) * $scale) // mp AS bp,
+       |    ((l_suppkey - 1) * $scale) // ms AS bs
+       |  FROM lineitem, mx),
+       |z AS (SELECT l_partkey, l_suppkey, bh, br,
+       |    (${zInterleave("//")}) // $bucketWidth AS bz FROM r),
+       |stack AS (
+       |  SELECT 'hash' AS layout, bh AS bucket, l_partkey, l_suppkey FROM z
+       |  UNION ALL SELECT 'range', br, l_partkey, l_suppkey FROM z
+       |  UNION ALL SELECT 'zorder', bz, l_partkey, l_suppkey FROM z),
+       |zones AS (SELECT layout, bucket,
+       |    min(l_partkey) AS mn_p, max(l_partkey) AS mx_p,
+       |    min(l_suppkey) AS mn_s, max(l_suppkey) AS mx_s
+       |  FROM stack GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT 'partkey' AS dim, CAST(i AS BIGINT) AS pid,
+       |    (CAST(i AS BIGINT) * mp) // ${PruneProbes} AS lo,
+       |    (CAST(i AS BIGINT) * mp) // ${PruneProbes} + mp // 16 AS hi
+       |  FROM mx, (SELECT unnest(range(0, ${PruneProbes})) AS i) t
+       |  UNION ALL
+       |  SELECT 'suppkey', CAST(i AS BIGINT),
+       |    (CAST(i AS BIGINT) * ms) // ${PruneProbes},
+       |    (CAST(i AS BIGINT) * ms) // ${PruneProbes} + ms // 16
+       |  FROM mx, (SELECT unnest(range(0, ${PruneProbes})) AS i) t)
+       |SELECT layout, dim, pid,
+       |  CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(sum(CASE WHEN (dim = 'partkey' AND mn_p <= hi AND mx_p >= lo)
+       |                  OR (dim = 'suppkey' AND mn_s <= hi AND mx_s >= lo)
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+       |  CAST(sum(CASE WHEN (dim = 'partkey' AND mn_p <= hi AND mx_p >= lo)
+       |                  OR (dim = 'suppkey' AND mn_s <= hi AND mx_s >= lo)
+       |           THEN 1 ELSE 0 END) * 1000000
+       |       // count(*) AS BIGINT) AS scan_ppm
+       |FROM zones, probes GROUP BY 1, 2, 3""".stripMargin
+  }
 }

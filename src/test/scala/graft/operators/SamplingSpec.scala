@@ -153,4 +153,19 @@ class SamplingSpec extends AnyFunSuite {
     val bins = rows.map(_._4).toSet
     assert(bins === (0L until bins.size).toSet, s"bins must be contiguous: $bins")
   }
+
+  test("zonemapPrune: hash layout never prunes, range is one-sided, zorder prunes both dims") {
+    val rows = Sampling.zonemapPrune(spark, Sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(5)))
+      .groupBy(_._1).view.mapValues(v => v.map(_._2).max).toMap
+    // hash: every file spans the whole domain — every probe scans everything
+    assert(rows(("hash", "partkey")) === 1000000L)
+    assert(rows(("hash", "suppkey")) === 1000000L)
+    // range on its sort column: strictly better than zorder on that column…
+    assert(rows(("range", "partkey")) < rows(("zorder", "partkey")))
+    // …but blind on the other column, where zorder still prunes
+    assert(rows(("range", "suppkey")) === 1000000L)
+    assert(rows(("zorder", "partkey")) < 1000000L)
+    assert(rows(("zorder", "suppkey")) < 1000000L)
+  }
 }
