@@ -16,6 +16,16 @@ object Hashing {
 
   def md5LongSql(e: String): String =
     s"('0x' || substr(md5($e), 1, 14))::BIGINT"
+
+  /** Driver-side JVM twin of [[md5Long]] — for the handful of constant
+    * probe keys an operator needs hashed OUTSIDE a Catalyst expression
+    * (e.g. the streaming CMS probe cells). Must stay bit-identical to the
+    * Column form; HashingSpec pins the equivalence. */
+  def md5LongJvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.substring(0, 14), 16)
+  }
 }
 
 /** In-bucket pair expansion shared by every LSH-family operator (MinHash

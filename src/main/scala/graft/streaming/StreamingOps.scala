@@ -766,6 +766,164 @@ object StreamingOps {
     spark.table(name).filter(col("win_us") < lit(sentWin))
   }
 
+  case class CmsEv(win_us: Long, b0: Long, b1: Long, b2: Long, b3: Long, us: Long)
+  case class CmsState(cs: Array[Long])
+  case class CmsProbeRow(win_us: Long, user_id: Long, cms_est: Long)
+
+  /** Per-WINDOW Count-Min sketch: depth×width int64 counters — 32 KiB per
+    * window forever, however many users the hour holds — completing the
+    * streaming sketch pair ([[KmvWindowProcessor]] answers "how many
+    * distinct", this answers "how often did THESE keys occur"). The
+    * per-depth bucket ids arrive PRE-COMPUTED on each row (Catalyst
+    * [[graft.operators.TextAnalysis.cmsBucket]] md5 expressions, codegen'd
+    * in the scan stage before the shuffle), so the hot loop is four array
+    * increments per event — no hashing inside the state store. Counter
+    * addition commutes, so chunk boundaries and arrival order cannot
+    * change the final sketch; at the fixed end-of-window timer the probe
+    * keys' cells (min over depth rows) emit once and the state drops. */
+  class CmsWindowProcessor(depth: Int, width: Int, probes: Seq[(Long, Array[Int])])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, CmsEv, CmsProbeRow] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+      ExpiredTimerInfo, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var st: ValueState[CmsState] = _
+    @transient private var armed: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[CmsState]("st", Encoders.product[CmsState], TTLConfig.NONE)
+      armed = getHandle.getValueState[Boolean]("armed", Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+    override def handleInputRows(win: Long, rows: Iterator[CmsEv],
+        tv: TimerValues): Iterator[CmsProbeRow] = {
+      val cs = if (st.exists()) st.get().cs else new Array[Long](depth * width)
+      rows.foreach { e =>
+        cs(e.b0.toInt) += 1
+        cs(width + e.b1.toInt) += 1
+        cs(2 * width + e.b2.toInt) += 1
+        cs(3 * width + e.b3.toInt) += 1
+      }
+      st.update(CmsState(cs))
+      if (!armed.exists()) {
+        getHandle.registerTimer(
+          math.max((win + WinUs) / 1000L + 1L, tv.getCurrentWatermarkInMs() + 1L))
+        armed.update(true)
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(win: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[CmsProbeRow] =
+      if (!st.exists()) Iterator.empty
+      else {
+        val cs = st.get().cs
+        st.clear()
+        armed.clear()
+        probes.iterator.map { case (u, cells) =>
+          var est = Long.MaxValue
+          var d = 0
+          while (d < depth) { est = math.min(est, cs(d * width + cells(d))); d += 1 }
+          CmsProbeRow(win, u, est)
+        }
+      }
+  }
+
+  /** Tracked probe users for [[streamingCms]] — the "watch these known
+    * keys" monitoring shape (a probe with no events in a window reports
+    * its collision mass, exactly as CMS defines it). */
+  val CmsProbeUsers: Seq[Long] = 0L until 8L
+
+  /** Streaming HEAVY-KEY FREQUENCY estimation per hour window via a
+    * Count-Min sketch — the fourth `transformWithState` operator and the
+    * frequency half of the streaming sketch pair (with [[streamingKmv]]).
+    * Exact per-user hourly counts need state proportional to the active
+    * user set; the CMS needs depth×width counters per window, full stop —
+    * the sketch contract an unbounded 100 TB ingest requires. Everything
+    * deterministic: md5-derived buckets (computed in the codegen'd scan
+    * projection, not in the state store), integer counters, and a min
+    * over depth cells per probe — so the streaming result hash-matches
+    * the batch DuckDB oracle cell-for-cell. Same fixed-timer /
+    * sentinel-flush / RocksDB discipline as the KMV window. */
+  def streamingCms(spark: SparkSession, sfDir: String, numChunks: Int = 2): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.operators.{Hashing, TextAnalysis}
+    val depth = TextAnalysis.CmsDepth
+    val width = TextAnalysis.CmsWidth
+    val uStr = col("user_id").cast("string")
+    val evs = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(
+        expr(s"(ts div 1000) div $WinUs * $WinUs").as("win_us"),
+        TextAnalysis.cmsBucket(lit(0), uStr).as("b0"),
+        TextAnalysis.cmsBucket(lit(1), uStr).as("b1"),
+        TextAnalysis.cmsBucket(lit(2), uStr).as("b2"),
+        TextAnalysis.cmsBucket(lit(3), uStr).as("b3"),
+        expr("ts div 1000").as("us"))
+    val probes = CmsProbeUsers.map { u =>
+      u -> Array.tabulate(depth)(d => (Hashing.md5LongJvm(s"$d:$u") % width).toInt)
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.get(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val name = "graft_stream_cms"
+    var sentWin = Long.MaxValue
+    try {
+      val feed = stageTimeChunks(evs, "us", numChunks, ckptDir("graft_stream_cms_feed"))
+      try {
+        val maxUs = maxUsOrFail("streamingCms", feed)
+        val rows = spark.readStream.schema(evs.schema).parquet(feed.watchDir)
+          .withColumn("event_time", timestamp_micros(col("us")))
+          .withWatermark("event_time", "0 seconds")
+          .as[CmsEv]
+          .groupByKey(_.win_us)
+          .transformWithState(new CmsWindowProcessor(depth, width, probes),
+            TimeMode.EventTime(), OutputMode.Append())
+        val sentUs = (maxUs / WinUs + 2L) * WinUs
+        sentWin = sentUs / WinUs * WinUs
+        val sent = stageSentinel(
+          Seq(CmsEv(sentWin, 0L, 0L, 0L, 0L, sentUs)).toDS().toDF(),
+          s"${feed.baseDir}/sentinel")
+        withStateParts(spark) {
+          val q = rows.writeStream.outputMode("append").format("memory").queryName(name)
+            .option("checkpointLocation", ckptDir(name)).start()
+          try {
+            (0 until numChunks).foreach { k =>
+              dropChunk(feed, k)
+              if (k == numChunks - 1) dropFiles(feed.watchDir, "sentinel", sent)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
+      } finally cleanupFeed(feed)
+    } finally spark.conf.set(providerKey, prevProvider)
+    spark.table(name).filter(col("win_us") < lit(sentWin))
+  }
+
+  /** Batch oracle for [[streamingCms]]: per-window sketch cells from the
+    * per-(window, user) counts, probe estimate = min over depth rows with
+    * absent cells reading zero (a fresh counter array). */
+  def streamingCmsSql: String = {
+    import graft.operators.{Hashing, TextAnalysis}
+    val width = TextAnalysis.CmsWidth
+    val ids = (0 until TextAnalysis.CmsDepth).map(i => s"($i)").mkString(", ")
+    val probeVals = CmsProbeUsers.map(u => s"('$u')").mkString(", ")
+    s"""WITH pu AS (
+       |  SELECT (epoch_us(ts) // $WinUs) * $WinUs AS win_us,
+       |    CAST(user_id AS VARCHAR) AS u, count(*) AS cnt
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+       |ids(i) AS (VALUES $ids),
+       |sketch AS (SELECT win_us, i, ${Hashing.md5LongSql("i || ':' || u")} % $width AS b,
+       |    CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM pu CROSS JOIN ids GROUP BY 1, 2, 3),
+       |probes(u) AS (VALUES $probeVals),
+       |wins AS (SELECT DISTINCT win_us FROM pu)
+       |SELECT w.win_us, CAST(p.u AS BIGINT) AS user_id,
+       |  CAST(min(COALESCE(s.c, 0)) AS BIGINT) AS cms_est
+       |FROM wins w CROSS JOIN probes p CROSS JOIN ids
+       |LEFT JOIN sketch s ON s.win_us = w.win_us AND s.i = ids.i
+       |  AND s.b = ${Hashing.md5LongSql("ids.i || ':' || p.u")} % $width
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** Batch oracle for [[streamingKmv]]: the same min-k-of-distinct
     * integer pipeline as `distinct_kmv`'s, keyed by the hour window. */
   def streamingKmvSql: String = {

@@ -376,4 +376,52 @@ class StreamingOpsSpec extends AnyFunSuite {
     // there the sketch IS exact.
     assert(streamed.exists { case (_, n, est) => n < k && n === est })
   }
+
+  test("streaming CMS (chunked feed) equals the batch sketch probe cells; JVM md5 twin matches Catalyst") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Hashing, TextAnalysis}
+    val depth = TextAnalysis.CmsDepth
+    val width = TextAnalysis.CmsWidth
+    // The driver-side hash twin must agree with the Column expression the
+    // scan projection uses — one divergent bucket would shift a counter.
+    val samples = (0 until depth).flatMap(d => StreamingOps.CmsProbeUsers.map(u => s"$d:$u"))
+    import spark.implicits._
+    val catalyst = samples.toDF("s").select(Hashing.md5Long(col("s")))
+      .collect().map(_.getLong(0))
+    assert(catalyst.toSeq === samples.map(Hashing.md5LongJvm))
+    // 3 chunks: cross-batch counter accumulation on boundary windows.
+    val streamed = StreamingOps.streamingCms(spark, Sf, numChunks = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // Batch twin: per-(window, user) counts -> cells -> min over depth,
+    // absent cells reading zero.
+    val pu = graft.Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull)
+      .groupBy(expr("(ts div 1000) div 3600000000 * 3600000000").as("win_us"),
+        col("user_id").cast("string").as("u"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+    val cells = scala.collection.mutable.Map.empty[(Long, Int, Int), Long]
+    pu.foreach { case ((win, u), cnt) =>
+      (0 until depth).foreach { d =>
+        val b = (Hashing.md5LongJvm(s"$d:$u") % width).toInt
+        cells((win, d, b)) = cells.getOrElse((win, d, b), 0L) + cnt
+      }
+    }
+    val wins = pu.map(_._1._1).distinct
+    val batch = (for {
+      win <- wins
+      u <- StreamingOps.CmsProbeUsers
+    } yield {
+      val est = (0 until depth).map { d =>
+        cells.getOrElse((win, d, (Hashing.md5LongJvm(s"$d:$u") % width).toInt), 0L)
+      }.min
+      (win, u, est)
+    }).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // CMS never underestimates: probe estimate >= the probe's true count.
+    val truth = pu.collect { case ((win, u), cnt) => (win, u) -> cnt }.toMap
+    assert(streamed.forall { case (win, u, est) =>
+      est >= truth.getOrElse((win, u.toString), 0L) })
+  }
 }
