@@ -498,6 +498,73 @@ object Multimodal {
       .filter(col("n_frames") > 1)
   }
 
+  case class FrameStatRow(doc_id: Long, frame_idx: Long, n_bytes: Long,
+      byte_sum: Option[Long], byte_min: Option[Long], byte_max: Option[Long])
+
+  /** Per-frame FEATURE EXTRACTION over decoded multimodal containers — the
+    * step between the frame walk ([[frameSamples]]) and anything learned
+    * downstream: every frame the parser recovered yields byte-level
+    * statistics (length, sum, min, max — the honest features computable
+    * without a pixel codec; a real pipeline swaps the stat kernel for its
+    * embedding model, the plumbing is identical). Pure narrow map: decode
+    * + stats run inside the scan partition, payload bytes never cross the
+    * network, NO shuffle at all — at 100 TB the only knob is
+    * `files.maxPartitionBytes`. Zero-length frames (containers whose
+    * payload is shorter than the frame count) report NULL stats, matching
+    * DuckDB's empty-list aggregates. The oracle re-derives each frame's
+    * bytes from the text via the container builder's slice arithmetic on
+    * the hex encoding — the [[frameDedupSql]] contract — and recomputes
+    * the same integers per hex pair. */
+  def frameStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val payloads: Dataset[Payload] = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[Payload]
+    payloads.mapPartitions { rows =>
+      rows.flatMap { p =>
+        ImageHeaders.decode(buildContainer(p.doc_id, p.payload)) match {
+          case Some(d) =>
+            var off = 0
+            d.frameSizes.iterator.zipWithIndex.map { case (sz, i) =>
+              val slice = java.util.Arrays.copyOfRange(d.payload, off, off + sz)
+              off += sz
+              if (sz == 0) FrameStatRow(p.doc_id, i.toLong, 0L, None, None, None)
+              else {
+                var s = 0L; var mn = 255L; var mx = 0L
+                slice.foreach { b =>
+                  val v = (b & 0xFF).toLong
+                  s += v; if (v < mn) mn = v; if (v > mx) mx = v
+                }
+                FrameStatRow(p.doc_id, i.toLong, sz.toLong, Some(s), Some(mn), Some(mx))
+              }
+            }
+          case None => Iterator.empty
+        }
+      }
+    }.toDF()
+  }
+
+  val frameStatsSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+      |    substring(hx, 1 + 2 * i * (n // (1 + n % 16)),
+      |      2 * CASE WHEN i = n % 16 THEN n - i * (n // (1 + n % 16))
+      |               ELSE n // (1 + n % 16) END) AS fh
+      |  FROM p, LATERAL (SELECT unnest(generate_series(0, n % 16)) AS i) g)
+      |SELECT doc_id, frame_idx,
+      |  CAST(length(fh) // 2 AS BIGINT) AS n_bytes,
+      |  CAST(list_sum(list_transform(range(0, length(fh) // 2),
+      |    j -> ('0x' || substr(fh, 1 + 2 * j, 2))::BIGINT)) AS BIGINT) AS byte_sum,
+      |  CAST(list_min(list_transform(range(0, length(fh) // 2),
+      |    j -> ('0x' || substr(fh, 1 + 2 * j, 2))::BIGINT)) AS BIGINT) AS byte_min,
+      |  CAST(list_max(list_transform(range(0, length(fh) // 2),
+      |    j -> ('0x' || substr(fh, 1 + 2 * j, 2))::BIGINT)) AS BIGINT) AS byte_max
+      |FROM f""".stripMargin
+
   /** The oracle re-derives every frame hash from the text alone: the same
     * byte-slice arithmetic the builder wrote into the container (step =
     * n div k, last frame takes the remainder), sliced on the uppercase-hex
