@@ -1008,7 +1008,8 @@ object Relational {
     * per part. Plan: name-filtered part broadcast + shipdate range pushed
     * into the fact scan, one (part,supplier) shuffle with map-side
     * partials, a partkey window over the collapsed pair frame (never raw
-    * lineitem rows), then the supplier dimension broadcast. */
+    * lineitem rows), then the unhinted supplier join AQE resolves (see
+    * the inline note — supplier is sf-scaled). */
   def q20PotentialPromo(spark: SparkSession, sfDir: String,
       namePrefix: String = "small ", year0: Int = 1995): DataFrame = {
     val parts = Tables.part(spark, sfDir)
