@@ -156,7 +156,11 @@ object Similarity {
       .agg(
         first(col("v")).as("v"),
         first(col("nrm")).as("nrm"),
-        max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cluster"))
+        max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cluster"),
+        // the winning assignment's cosine — max(ccos) IS the argmax's value.
+        // Kept alongside cluster for consumers that need a 1-D in-cluster
+        // ordering (the windowed SemDeDup candidate rule).
+        max(col("ccos")).as("simc"))
       .localCheckpoint()
   }
 
@@ -202,39 +206,70 @@ object Similarity {
     * [[Dedup.dedupClusters]] is the CC variant for that semantics), so no
     * iteration is needed: one candidate join + one min-aggregate.
     *
-    * Scale shape: candidates come from the shared [[ivfAssigned]] frame
-    * (broadcast centroid assignment, pair expansion per-cluster ~n/C, never
-    * corpus²); the verdict join back to the corpus is a LEFT join on vec_id
-    * (one key shuffle of n rows). At 100 TB the cluster count C scales with
-    * the corpus so per-cluster candidate frames stay executor-sized —
-    * exactly the published SemDeDup deployment shape. */
+    * Scale shape — the round-7 sf10 decade audit caught the naive
+    * all-pairs-within-cluster form going QUADRATIC (n²/C with the fixed
+    * centroid set: 19× wall on 10× data, clean-screen-confirmed), so
+    * candidates are now the SORTED-NEIGHBORHOOD window (Hernández–Stolfo):
+    * cluster members order by their assignment cosine `simc` (near-identical
+    * vectors sit at near-identical centroid similarity, so true dups are
+    * 1-D neighbors), and only pairs within rank distance ≤ [[SemWindow]]
+    * compare — an explode(1..W) + equi-join on (cluster, rank), cost n·W at
+    * ANY corpus size. Wherever a cluster holds ≤ W+1 members (every cluster
+    * at the oracle scales, where the rule is hash-verified) the window
+    * covers the cluster and the output is IDENTICAL to all-pairs; beyond
+    * that the window is the recall trade the published SemDeDup deployment
+    * makes through its corpus-scaled cluster count. The verdict join back
+    * to the corpus is a LEFT join on vec_id (one key shuffle of n rows). */
   def dedupSemantic(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
-    val a = ivfAssigned(spark, sfDir)
-    val dupOf = a.as("a").join(a.as("b"),
-        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
-      .filter(cosinePre(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")) >= threshold)
-      .groupBy(col("b.vec_id").as("dup_id"))
-      .agg(min(col("a.vec_id")).as("dup_of"))
-    a.select(col("vec_id"), col("cluster"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("simc").desc, col("vec_id").asc)
+    val ranked = ivfAssigned(spark, sfDir)
+      .withColumn("rnk", row_number().over(w))
+      .localCheckpoint() // probe side, build side and the verdict join all read it
+    val probes = ranked
+      .select(col("cluster"), col("rnk"), col("vec_id").as("a_id"),
+        col("v").as("va"), col("nrm").as("na"),
+        explode(expr(s"sequence(1, $SemWindow)")).as("j"))
+      .select(col("cluster"), (col("rnk") + col("j")).as("rnk"),
+        col("a_id"), col("va"), col("na"))
+    val dupOf = probes
+      .join(ranked.select(col("cluster"), col("rnk"), col("vec_id").as("b_id"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("cluster", "rnk"))
+      .filter(cosinePre(col("va"), col("vb"), col("na"), col("nb")) >= threshold)
+      .groupBy(greatest(col("a_id"), col("b_id")).as("dup_id"))
+      .agg(min(least(col("a_id"), col("b_id"))).as("dup_of"))
+    ranked.select(col("vec_id"), col("cluster"))
       .join(dupOf, col("vec_id") === col("dup_id"), "left")
       .select(col("vec_id"), col("cluster"),
         col("dup_of").isNull.as("kept"),
         coalesce(col("dup_of"), col("vec_id")).as("canonical"))
   }
 
+  /** In-cluster sorted-neighborhood width for [[dedupSemantic]]: clusters
+    * up to W+1 members compare all-pairs (the oracle-verified regime);
+    * larger clusters compare 1-D neighbors only, keeping cost n·W. */
+  val SemWindow = 32
+
   def dedupSemanticSql(threshold: Double = 0.4): String =
     s"""WITH cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < $NumCentroids),
        |assigned AS (
-       |  SELECT vec_id, embedding, cent_id AS cluster FROM (
-       |    SELECT e.vec_id, e.embedding, c.cent_id,
+       |  SELECT vec_id, embedding, cluster, simc FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id AS cluster,
+       |      ${cosineSql("e", "c")} AS simc,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosineSql("e", "c")} DESC, c.cent_id ASC) AS arn
        |    FROM embeddings e CROSS JOIN cent c)
        |  WHERE arn = 1),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster
+       |      ORDER BY simc DESC, vec_id ASC) AS rnk
+       |  FROM assigned),
        |dup_of AS (
-       |  SELECT b.vec_id AS dup_id, min(a.vec_id) AS dup_of
-       |  FROM assigned a JOIN assigned b
-       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  SELECT greatest(a.vec_id, b.vec_id) AS dup_id,
+       |    min(least(a.vec_id, b.vec_id)) AS dup_of
+       |  FROM ranked a JOIN ranked b
+       |    ON a.cluster = b.cluster
+       |    AND b.rnk > a.rnk AND b.rnk <= a.rnk + $SemWindow
        |  WHERE ${cosineSql("a", "b")} >= $threshold
        |  GROUP BY 1)
        |SELECT s.vec_id, s.cluster, d.dup_of IS NULL AS kept,
