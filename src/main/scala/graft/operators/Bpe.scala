@@ -145,7 +145,12 @@ object Bpe {
     * through: the training union only reads the b(k) argmax rows, while
     * the ENCODE oracle reads the final state v(numMerges) — which, because
     * training rewrites the whole vocabulary in place, IS the fully-encoded
-    * vocabulary, keyed by word. */
+    * vocabulary, keyed by word. v(k) takes b(k) by LEFT JOIN ON TRUE with
+    * a no-op fallback: if training EXHAUSTS before numMerges (a tiny
+    * corpus fully merges early) the empty b(k) must carry v(k-1) forward
+    * unchanged — a plain cross join would empty every later state and
+    * collapse the encode oracle to zero rows, silently diverging from the
+    * engine's early-stopping [[bpeTrain]] loop. */
   private def chainSql(numMerges: Int): String = {
     val base =
       s"""words AS (
@@ -163,8 +168,10 @@ object Bpe {
          |  GROUP BY a, b),
          |b$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
          |v$k AS MATERIALIZED (
-         |  SELECT w, replace(sym, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS sym, n
-         |  FROM v${k - 1}, b$k)""".stripMargin
+         |  SELECT w, CASE WHEN mk.a IS NULL THEN sym ELSE
+         |      replace(sym, ' ' || mk.a || ' ' || mk.b || ' ', ' ' || mk.a || mk.b || ' ')
+         |    END AS sym, n
+         |  FROM v${k - 1} LEFT JOIN b$k mk ON TRUE)""".stripMargin
     }
     (base +: layers).mkString(",\n")
   }

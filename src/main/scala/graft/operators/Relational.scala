@@ -948,7 +948,11 @@ object Relational {
         lit(0.8) * col("p_retailprice") * col("l_quantity")).as("sum_profit"))
   }
 
-  def q9ProfitSql(nameToken: String = "widget"): String =
+  def q9ProfitSql(nameToken: String = "widget"): String = {
+    // interpolated into LIKE '%token%': Spark's contains() is literal, so
+    // LIKE metacharacters (or quotes) in a non-default argument would make
+    // the two engines diverge — refuse them instead
+    require(nameToken.matches("[a-z0-9 ]+"), s"q9 nameToken must be literal-safe: $nameToken")
     s"""SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
        |  ${sqlSum("l_extendedprice * (1.0 - l_discount) - 0.8 * p_retailprice * l_quantity")} AS sum_profit
        |FROM lineitem
@@ -957,6 +961,7 @@ object Relational {
        |JOIN nation ON n_nationkey = s_nationkey
        |WHERE p_name LIKE '%$nameToken%'
        |GROUP BY 1, 2""".stripMargin
+  }
 
   /** TPC-H Q11 analog (important stock): with no partsupp availqty, a
     * part's "stock value" is read as the revenue one nation's suppliers
@@ -1032,7 +1037,9 @@ object Relational {
       .agg(count(lit(1)).as("n_dominated"))
   }
 
-  def q20PotentialPromoSql(namePrefix: String = "small ", year0: Int = 1995): String =
+  def q20PotentialPromoSql(namePrefix: String = "small ", year0: Int = 1995): String = {
+    // same literal-safety rule as q9ProfitSql (prefix lands in LIKE 'p%')
+    require(namePrefix.matches("[a-z0-9 ]+"), s"q20 namePrefix must be literal-safe: $namePrefix")
     s"""WITH shipped AS (
        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
        |  FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -1044,6 +1051,7 @@ object Relational {
        |JOIN supplier ON s_suppkey = l_suppkey
        |WHERE qty > 0.5 * total
        |GROUP BY 1, 2""".stripMargin
+  }
 
   val snapshotMergeSql: String =
     """WITH ev AS (

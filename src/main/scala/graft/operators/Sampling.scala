@@ -210,11 +210,11 @@ object Sampling {
   }
 
   def compactionPlanSql(targetChars: Long = 30000L, nShards: Int = NumShards): String = {
-    val h = Hashing.md5LongSql("CAST(doc_id AS VARCHAR)")
+    // composes on shardManifestSql (not a re-derivation) so a change to the
+    // shard hash or manifest aggregates reaches BOTH oracles by construction
+    // — the same lockstep the Spark side gets from calling shardManifest()
     s"""WITH manifest AS (
-       |  SELECT CAST($h % $nShards AS BIGINT) AS shard,
-       |    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
-       |  FROM documents GROUP BY 1)
+       |  SELECT shard, n_docs, total_chars FROM (${shardManifestSql(nShards)}))
        |SELECT shard, n_docs, total_chars,
        |  CAST(coalesce(sum(total_chars) OVER (
        |    ORDER BY total_chars DESC, shard ASC

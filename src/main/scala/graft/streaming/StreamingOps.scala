@@ -1039,7 +1039,7 @@ object StreamingOps {
       // NULL-safe per side: either side may legitimately be empty (a round
       // with no clicks); only both-empty aborts. Read from the feeds'
       // staging pass — no extra jobs.
-      val maxUs = maxUsOrFail("streaming interval join", cFeed, pFeed)
+      val maxUs = maxUsOrFail("streamingJoinOuter", cFeed, pFeed)
       val hourUs = 3600L * 1000000L
       // Pre-staged per-side sentinels ([[stageSentinel]]): renamed in with
       // the last chunk so chunk + flush share ONE micro-batch listing.
@@ -1118,7 +1118,7 @@ object StreamingOps {
       // NULL-safe per side: either side may legitimately be empty (a round
       // with no clicks); only both-empty aborts. Read from the feeds'
       // staging pass — no extra jobs.
-      val maxUs = maxUsOrFail("streaming interval join", cFeed, pFeed)
+      val maxUs = maxUsOrFail("streamingJoinFull", cFeed, pFeed)
       val hourUs = 3600L * 1000000L
       // Pre-staged per-side sentinels ([[stageSentinel]]): renamed in with
       // the last chunk so chunk + flush share ONE micro-batch listing.
