@@ -492,4 +492,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"word-count shuffle + alphabet-bounded pair shuffle, nothing else:\n$p")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
+
+  test("dedup_semantic: windowed candidates are an equi-join on (cluster, rank) — no in-cluster all-pairs") {
+    val p = plan("dedup_semantic")
+    // the sorted-neighborhood probe frame exists (explode of sequence(1, W))
+    assert(nodes(p, "Generate") >= 1,
+      s"rank-window expansion must ride an explode, not a range self-join:\n$p")
+    // and no nested-loop/cartesian shape anywhere: every join hash-keyed
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the sf10 quadratic regression guard:\n$p")
+  }
 }
