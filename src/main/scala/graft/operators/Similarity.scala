@@ -250,6 +250,68 @@ object Similarity {
     * larger clusters compare 1-D neighbors only, keeping cost n·W. */
   val SemWindow = 32
 
+  /** Corpus-wide kNN GRAPH build — every vector's top-k in-cluster
+    * neighbors, the bulk-inference shape behind kNN-graph clustering,
+    * diversity sampling and graph-based dedup (the `knn_*` family serves a
+    * FIXED query set; this serves the whole corpus as queries). Candidates
+    * reuse [[dedupSemantic]]'s sorted-neighborhood discipline — cluster
+    * members rank by assignment cosine and each vector compares both
+    * directions of its rank window (explode(±1..W) + equi-join on
+    * (cluster, rank)) — so candidate volume is n·2W at ANY corpus size,
+    * never the n²/C all-pairs the sf10 audit indicted; wherever clusters
+    * hold ≤ W+1 members the window covers the cluster exactly. Per query
+    * the top-k filter (`cos` DESC, neighbor ASC) compiles to
+    * WindowGroupLimit: ≤ k rows per vector survive pre-shuffle. */
+  def knnJoin(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("simc").desc, col("vec_id").asc)
+    val ranked = ivfAssigned(spark, sfDir)
+      .withColumn("rnk", row_number().over(w))
+      .localCheckpoint() // probe and build sides both read it
+    val offs = ((-SemWindow to -1) ++ (1 to SemWindow)).toArray
+    val probes = ranked
+      .select(col("cluster"), col("rnk"), col("vec_id").as("a_id"),
+        col("v").as("va"), col("nrm").as("na"),
+        explode(typedLit(offs)).as("j"))
+      .select(col("cluster"), (col("rnk") + col("j")).as("rnk"),
+        col("a_id"), col("va"), col("na"))
+    val topW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id").asc)
+    probes
+      .join(ranked.select(col("cluster"), col("rnk"), col("vec_id").as("b_id"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("cluster", "rnk"))
+      .withColumn("cos", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
+      .withColumn("nrank", row_number().over(topW))
+      .filter(col("nrank") <= k) // WindowGroupLimit
+      .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
+        col("nrank").cast("long").as("nrank"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  def knnJoinSql(k: Int = 3): String =
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < $NumCentroids),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cluster, simc FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id AS cluster,
+       |      ${cosineSql("e", "c")} AS simc,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("e", "c")} DESC, c.cent_id ASC) AS arn
+       |    FROM embeddings e CROSS JOIN cent c)
+       |  WHERE arn = 1),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster
+       |      ORDER BY simc DESC, vec_id ASC) AS rnk
+       |  FROM assigned),
+       |cand AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosineSql("a", "b")} AS cos
+       |  FROM ranked a JOIN ranked b
+       |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+       |    AND b.rnk BETWEEN a.rnk - $SemWindow AND a.rnk + $SemWindow)
+       |SELECT a_id AS vec_id, b_id AS neighbor_id,
+       |  CAST(nrank AS BIGINT) AS nrank, round(cos, 6) AS cos_sim
+       |FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+       |    ORDER BY cos DESC, b_id ASC) AS nrank FROM cand)
+       |WHERE nrank <= $k""".stripMargin
+
   def dedupSemanticSql(threshold: Double = 0.4): String =
     s"""WITH cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < $NumCentroids),
        |assigned AS (

@@ -185,4 +185,35 @@ class SimilaritySpec extends AnyFunSuite {
     for ((_, _, _, c) <- danglingCanon)
       assert(minPartner.contains(c), s"canonical $c neither kept nor pair-covered")
   }
+
+  test("knnJoin equals exact in-cluster top-k where clusters fit the window (sf0.001 regime)") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.knnJoin(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // driver reference: exact all-pairs within each cluster, top-3 by
+    // (cos desc, id asc) — valid because every sf0.001 cluster has <= W+1
+    // members, where the window degenerates to all-pairs
+    val a = Similarity.ivfAssigned(spark, Sf)
+      .select(col("vec_id"), col("cluster"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val byCluster = a.groupBy(_._2)
+    assert(byCluster.values.map(_.size).max <= Similarity.SemWindow + 1,
+      "reference regime requires clusters inside the window")
+    def cos(x: Array[Double], y: Array[Double]) = {
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    val want = (for {
+      (_, members) <- byCluster.toSeq
+      (id, _, v) <- members
+    } yield {
+      members.filter(_._1 != id)
+        .map { case (nid, _, nv) => (nid, cos(v, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(3).zipWithIndex
+        .map { case ((nid, _), i) => (id, nid, (i + 1).toLong) }
+    }).flatten.toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
