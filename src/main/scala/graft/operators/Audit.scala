@@ -156,4 +156,78 @@ object Audit {
       |  CAST(total AS BIGINT) AS total,
       |  CAST(n_violations * 1000000 // total AS BIGINT) AS violation_ppm
       |FROM rules""".stripMargin
+
+  /** JOIN-SIZE ESTIMATION from mergeable sketches — the optimizer-statistics
+    * shape: how many distinct `events.user_id` values will actually match
+    * `customer.c_custkey`, answered WITHOUT joining the tables, from two
+    * k-long KMV sketches (k = [[TextAnalysis.KmvK]] hashes per side — what
+    * a 1000-executor cluster would ship to the planner, not the key sets).
+    * Estimator (Beyer et al. 2007): union sketch = k smallest distinct
+    * hashes of S_A ∪ S_B, union_est from its k-th value (small-range rule
+    * below k), and inter_est = union_est · |union-sketch members present in
+    * BOTH side sketches| div |union sketch| — the Jaccard-from-KMV scale-up,
+    * all in the repo's portable integer arithmetic so the DuckDB oracle
+    * hash-matches. The EXACT distinct/intersection counts ride alongside as
+    * the validation columns (affordable at oracle scale; the sketch is the
+    * 100 TB answer). Side sketches are TakeOrderedAndProject (per-partition
+    * top-k, then a k-row merge — never a global sort); every crossJoin
+    * below carries a broadcast 1-row aggregate. */
+  def joinCardinalityKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = TextAnalysis.KmvK
+    val a = Tables.events(spark, sfDir).filter(col("user_id").isNotNull)
+      .select(Hashing.md5Long(col("user_id").cast("string")).as("h")).distinct()
+      .localCheckpoint() // sketch + exact counts + exact intersection all read it
+    val b = Tables.customer(spark, sfDir)
+      .select(Hashing.md5Long(col("c_custkey").cast("string")).as("h")).distinct()
+      .localCheckpoint()
+    val sa = a.orderBy(col("h")).limit(k).localCheckpoint()
+    val sb = b.orderBy(col("h")).limit(k).localCheckpoint()
+    val su = sa.union(sb).distinct().orderBy(col("h")).limit(k).localCheckpoint()
+    val both = su
+      .join(sa.select(col("h").as("ha")), col("h") === col("ha"), "left_semi")
+      .join(sb.select(col("h").as("hb")), col("h") === col("hb"), "left_semi")
+    val exactI = a.join(b.select(col("h").as("hb")), col("h") === col("hb"), "left_semi")
+      .agg(count(lit(1)).as("n_i"))
+    a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
+      .crossJoin(broadcast(exactI))
+      .crossJoin(broadcast(su.agg(count(lit(1)).as("u_n"), max(col("h")).as("u_kth"))))
+      .crossJoin(broadcast(both.agg(count(lit(1)).as("n_both"))))
+      .select(
+        col("n_a").as("n_a_exact"), col("n_b").as("n_b_exact"),
+        (col("n_a") + col("n_b") - col("n_i")).as("n_union_exact"),
+        col("n_i").as("n_inter_exact"),
+        expr(s"CASE WHEN u_n < $k THEN u_n ELSE ${TextAnalysis.KmvNumerator}L div u_kth END")
+          .as("union_est"),
+        expr(s"n_both * (CASE WHEN u_n < $k THEN u_n ELSE ${TextAnalysis.KmvNumerator}L div u_kth END) div u_n")
+          .as("inter_est"))
+  }
+
+  def joinCardinalityKmvSql: String = {
+    val k = TextAnalysis.KmvK
+    val num = TextAnalysis.KmvNumerator
+    val ha = Hashing.md5LongSql("CAST(user_id AS VARCHAR)")
+    val hb = Hashing.md5LongSql("CAST(c_custkey AS VARCHAR)")
+    s"""WITH a AS (SELECT DISTINCT $ha AS h FROM events WHERE user_id IS NOT NULL),
+       |b AS (SELECT DISTINCT $hb AS h FROM customer),
+       |sa AS (SELECT h FROM a ORDER BY h LIMIT $k),
+       |sb AS (SELECT h FROM b ORDER BY h LIMIT $k),
+       |su AS (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+       |       ORDER BY h LIMIT $k),
+       |m AS (SELECT
+       |    (SELECT count(*) FROM a) AS n_a,
+       |    (SELECT count(*) FROM b) AS n_b,
+       |    (SELECT count(*) FROM a WHERE h IN (SELECT h FROM b)) AS n_i,
+       |    (SELECT count(*) FROM su) AS u_n,
+       |    (SELECT max(h) FROM su) AS u_kth,
+       |    (SELECT count(*) FROM su
+       |     WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)) AS n_both)
+       |SELECT CAST(n_a AS BIGINT) AS n_a_exact, CAST(n_b AS BIGINT) AS n_b_exact,
+       |  CAST(n_a + n_b - n_i AS BIGINT) AS n_union_exact,
+       |  CAST(n_i AS BIGINT) AS n_inter_exact,
+       |  CAST(CASE WHEN u_n < $k THEN u_n ELSE $num // u_kth END AS BIGINT) AS union_est,
+       |  CAST(n_both * (CASE WHEN u_n < $k THEN u_n ELSE $num // u_kth END) // u_n
+       |       AS BIGINT) AS inter_est
+       |FROM m""".stripMargin
+  }
 }

@@ -70,4 +70,36 @@ class AuditSpec extends AnyFunSuite {
     assert(got("unknown_event_type") === ((1L, 9L, 111111L)))
     assert(got("ts_outside_2000_2035") === ((2L, 9L, 222222L)))
   }
+
+  test("joinCardinalityKmv matches a driver re-derivation of the KMV set algebra") {
+    import org.apache.spark.sql.functions._
+    val r = Audit.joinCardinalityKmv(spark, Sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (na, nb, nu, ni, uEst, iEst) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+       row.getLong(4), row.getLong(5))
+    // driver reference from the raw key sets, same hash + estimator
+    val k = TextAnalysis.KmvK
+    val ha = graft.Tables.events(spark, Sf).filter(col("user_id").isNotNull)
+      .select(col("user_id").cast("string")).distinct()
+      .collect().map(x => Hashing.md5LongJvm(x.getString(0))).toSet
+    val hb = graft.Tables.customer(spark, Sf)
+      .select(col("c_custkey").cast("string")).distinct()
+      .collect().map(x => Hashing.md5LongJvm(x.getString(0))).toSet
+    assert((na, nb) === ((ha.size.toLong, hb.size.toLong)))
+    assert(ni === (ha & hb).size.toLong)
+    assert(nu === (ha | hb).size.toLong)
+    val sa = ha.toSeq.sorted.take(k).toSet
+    val sb = hb.toSeq.sorted.take(k).toSet
+    val su = (sa | sb).toSeq.sorted.take(k)
+    val wantU = if (su.size < k) su.size.toLong
+                else TextAnalysis.KmvNumerator / su.max
+    val nBoth = su.count(h => sa(h) && sb(h)).toLong
+    assert(uEst === wantU)
+    assert(iEst === nBoth * wantU / su.size)
+    // estimator sanity: inter bounded by union, exactness in small range
+    assert(iEst <= uEst)
+    if (su.size < k) { assert(uEst === nu); assert(iEst === ni) }
+  }
 }
