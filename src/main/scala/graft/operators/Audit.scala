@@ -203,6 +203,147 @@ object Audit {
           .as("inter_est"))
   }
 
+  /** BLOOM-FILTER SEMI-JOIN PRUNING with exact false-positive accounting —
+    * the runtime-filter shape that decides 100 TB join cost: build a bitmap
+    * from the SELECTIVE side (suppliers in one region, |keys| ~ S/5), ship
+    * it to the fact scan, and kill probe rows BEFORE the shuffle. Spark's
+    * own runtime bloom filter does exactly this opaquely
+    * (BloomProbeSpec pins the injection); this operator is the
+    * WHITE-BOX twin — same md5-slice hash family in both engines, so the
+    * DuckDB oracle verifies the filter's exact contents, candidate set,
+    * and false-positive count rather than trusting an opaque sketch.
+    *
+    * Portable construction: h = [[Hashing.md5Long]](key) (56 uniform
+    * bits); the bitmap SELF-SIZES to m = next-pow-2(8·n_build) — 8+
+    * bits/key makes the FP rate scale-INVARIANT (~4–5% at k=2 slices) from
+    * sf0.001 to 100 TB instead of saturating when the build side grows;
+    * slice j's position is `(h div m^j) mod m` (k·log2(m) ≤ 56 bits up to
+    * m = 2^28). A probe key passes iff BOTH slice positions are occupied.
+    *
+    * Shape: the bitmap is ≤ m distinct positions — a broadcast
+    * build-side; the probe's distinct keys collapse FIRST (map-side
+    * combine, |distinct suppkey| rows), explode to k=2 (slot, pos) rows,
+    * and survive via a broadcast inner join + count(slots)=k — the fact
+    * table itself is touched once for per-key row counts and never
+    * shuffles on anything wider than its key. Every crossJoin below
+    * broadcasts a 1-row aggregate. Output is one summary row: filter
+    * geometry, key-level candidates/true/false-positives, and row-level
+    * pruned counts — the numbers a planner needs to decide whether
+    * shipping the filter pays. */
+  def bloomSemijoinPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val bitsPerKey = 8
+    val nat = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_regionkey"))
+    val reg = Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE")
+      .select(col("r_regionkey"))
+    val build = Tables.supplier(spark, sfDir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey").cast("long").as("bk")).distinct()
+      .localCheckpoint() // sizing count + bitmap + exact-truth join all read it
+    // greatest(n,1): an empty build side must still yield a well-formed
+    // (everything-prunes) filter, not bin(-1) garbage.
+    val mRow = build.agg(count(lit(1)).as("n_build"))
+      .select(col("n_build"),
+        expr(s"CAST(shiftleft(1L, length(bin($bitsPerKey * greatest(n_build, 1L) - 1))) AS BIGINT)").as("m"))
+    val bits = build.crossJoin(broadcast(mRow))
+      .select(Hashing.md5Long(col("bk").cast("string")).as("h"), col("m"))
+      .select(explode(expr("array(h % m, (h div m) % m)")).as("pos"))
+      .distinct()
+      .localCheckpoint() // the bitmap: ≤ m rows, broadcast to every probe task
+    // Fact side: collapse to per-key row counts first — the ONLY fact-wide
+    // aggregation; everything after moves |distinct keys| rows.
+    val perKey = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_suppkey").cast("long").as("pk"))
+      .agg(count(lit(1)).as("nr"))
+      .localCheckpoint()
+    val probed = perKey.crossJoin(broadcast(mRow))
+      .select(col("pk"), col("nr"), Hashing.md5Long(col("pk").cast("string")).as("h"), col("m"))
+      .select(col("pk"), col("nr"),
+        explode(expr("array(h % m, (h div m) % m)")).as("pos"))
+    val candidates = probed
+      .join(broadcast(bits), Seq("pos"))
+      .groupBy(col("pk"), col("nr")).agg(count(lit(1)).as("slots_hit"))
+      .filter(col("slots_hit") === 2)
+      .select(col("pk"), col("nr"))
+      .localCheckpoint()
+    val trueKeys = perKey.join(build, col("pk") === col("bk"), "left_semi")
+    mRow.select(col("n_build").as("n_build_keys"), col("m").as("m_bits"))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
+      .crossJoin(broadcast(perKey.agg(
+        count(lit(1)).as("n_probe_keys"), sum(col("nr")).as("n_probe_rows"))))
+      .crossJoin(broadcast(candidates.agg(
+        count(lit(1)).as("n_candidate_keys"),
+        coalesce(sum(col("nr")), lit(0L)).as("n_rows_pass"))))
+      .crossJoin(broadcast(trueKeys.agg(
+        count(lit(1)).as("n_true_keys"),
+        coalesce(sum(col("nr")), lit(0L)).as("n_rows_true"))))
+      .select(col("n_build_keys"), col("m_bits"), col("n_bits_set"),
+        col("n_probe_keys"), col("n_candidate_keys"), col("n_true_keys"),
+        (col("n_candidate_keys") - col("n_true_keys")).as("n_fp_keys"),
+        col("n_probe_rows"), col("n_rows_pass"), col("n_rows_true"),
+        // Zero-guarded ratios: DuckDB errors on `// 0` while Spark's `div`
+        // yields NULL — a CASE keeps the two engines in lockstep on a
+        // drifted dataset where every probe key matches (or probe is empty).
+        expr("""CASE WHEN n_probe_keys - n_true_keys = 0 THEN 0L
+               |ELSE (n_candidate_keys - n_true_keys) * 1000000 div (n_probe_keys - n_true_keys)
+               |END""".stripMargin).as("fp_keys_ppm"),
+        expr("""CASE WHEN n_probe_rows = 0 THEN 0L
+               |ELSE (n_probe_rows - n_rows_pass) * 1000000 div n_probe_rows
+               |END""".stripMargin).as("rows_pruned_ppm"))
+  }
+
+  def bloomSemijoinPruneSql: String = {
+    val h = (e: String) => Hashing.md5LongSql(e)
+    s"""WITH build AS (
+       |  SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS bk
+       |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |  JOIN region r ON n.n_regionkey = r.r_regionkey
+       |  WHERE r.r_name = 'EUROPE'),
+       |geom AS (SELECT count(*) AS n_build,
+       |  CAST(1::BIGINT << length(bin(8 * greatest(count(*), 1) - 1)) AS BIGINT) AS m FROM build),
+       |bits AS (
+       |  SELECT DISTINCT pos FROM (
+       |    SELECT ${h("CAST(bk AS VARCHAR)")} % (SELECT m FROM geom) AS pos FROM build
+       |    UNION ALL
+       |    SELECT (${h("CAST(bk AS VARCHAR)")} // (SELECT m FROM geom))
+       |           % (SELECT m FROM geom) FROM build)),
+       |per_key AS (
+       |  SELECT CAST(l_suppkey AS BIGINT) AS pk, count(*) AS nr
+       |  FROM lineitem GROUP BY 1),
+       |cand AS (
+       |  SELECT pk, nr FROM per_key
+       |  WHERE ${h("CAST(pk AS VARCHAR)")} % (SELECT m FROM geom) IN (SELECT pos FROM bits)
+       |    AND (${h("CAST(pk AS VARCHAR)")} // (SELECT m FROM geom))
+       |        % (SELECT m FROM geom) IN (SELECT pos FROM bits)),
+       |tru AS (SELECT pk, nr FROM per_key WHERE pk IN (SELECT bk FROM build)),
+       |s AS (SELECT
+       |  (SELECT n_build FROM geom) AS n_build_keys,
+       |  (SELECT m FROM geom) AS m_bits,
+       |  (SELECT count(*) FROM bits) AS n_bits_set,
+       |  (SELECT count(*) FROM per_key) AS n_probe_keys,
+       |  (SELECT count(*) FROM cand) AS n_candidate_keys,
+       |  (SELECT count(*) FROM tru) AS n_true_keys,
+       |  (SELECT coalesce(sum(nr), 0) FROM per_key) AS n_probe_rows,
+       |  (SELECT coalesce(sum(nr), 0) FROM cand) AS n_rows_pass,
+       |  (SELECT coalesce(sum(nr), 0) FROM tru) AS n_rows_true)
+       |SELECT CAST(n_build_keys AS BIGINT) AS n_build_keys,
+       |  CAST(m_bits AS BIGINT) AS m_bits, CAST(n_bits_set AS BIGINT) AS n_bits_set,
+       |  CAST(n_probe_keys AS BIGINT) AS n_probe_keys,
+       |  CAST(n_candidate_keys AS BIGINT) AS n_candidate_keys,
+       |  CAST(n_true_keys AS BIGINT) AS n_true_keys,
+       |  CAST(n_candidate_keys - n_true_keys AS BIGINT) AS n_fp_keys,
+       |  CAST(n_probe_rows AS BIGINT) AS n_probe_rows,
+       |  CAST(n_rows_pass AS BIGINT) AS n_rows_pass,
+       |  CAST(n_rows_true AS BIGINT) AS n_rows_true,
+       |  CAST(CASE WHEN n_probe_keys - n_true_keys = 0 THEN 0
+       |       ELSE (n_candidate_keys - n_true_keys) * 1000000 // (n_probe_keys - n_true_keys)
+       |       END AS BIGINT) AS fp_keys_ppm,
+       |  CAST(CASE WHEN n_probe_rows = 0 THEN 0
+       |       ELSE (n_probe_rows - n_rows_pass) * 1000000 // n_probe_rows
+       |       END AS BIGINT) AS rows_pruned_ppm
+       |FROM s""".stripMargin
+  }
+
   def joinCardinalityKmvSql: String = {
     val k = TextAnalysis.KmvK
     val num = TextAnalysis.KmvNumerator

@@ -154,6 +154,93 @@ object Dedup {
        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= $threshold""".stripMargin
 
+  /** Containment / OVERLAP-COEFFICIENT near-dup detection —
+    * |A∩B| / min(|A|,|B|) over 3-gram shingle SETS — the ASYMMETRIC
+    * relation [[ngramJaccard]] cannot see: an excerpt quoted inside a much
+    * larger document has tiny Jaccard (union is dominated by the big doc)
+    * but overlap ≈ 1. An LLM curation pipeline needs exactly this to kill
+    * subsumed fragments (quotes, boilerplate-wrapped reposts, chunked
+    * re-crawls) that Jaccard-threshold dedup provably keeps.
+    *
+    * Contract (both engines, verbatim): candidates are doc pairs sharing
+    * ≥ 1 shingle whose document frequency is ≤ 1/10 of the corpus — the
+    * df-cap bounds the per-shingle join fan-out at any corpus size (a
+    * ubiquitous boilerplate shingle pairs everything with everything and
+    * discriminates nothing; same fraction-not-absolute policy as
+    * [[Ranking.invertedPostingsOf]]); scoring is then EXACT over the full
+    * shingle sets of the candidates, reported as integer ppm. Pairs whose
+    * every shared shingle is capped are out of contract BY DEFINITION (not
+    * missed — the oracle applies the same rule).
+    *
+    * Shape: one (doc, shingle) dedup + one shingle-keyed candidate
+    * self-join (both bounded by the df cap), then two |candidates|-bounded
+    * joins back to the checkpointed per-doc sorted-hash arrays for the
+    * exact `array_intersect`. Hashing shingles to int64 first
+    * (xxhash64, engine-internal) keeps the shuffle and the intersections
+    * on longs — values the oracle checks are hash-free counts. */
+  def containment(spark: SparkSession, sfDir: String,
+      tPpm: Long = 900000L, dfCapNum: Int = 1, dfCapDen: Int = 10): DataFrame =
+    containmentOf(Tables.documents(spark, sfDir), tPpm, dfCapNum, dfCapDen)
+
+  /** Core over an explicit (doc_id, text) frame — specs feed crafted
+    * excerpt/container corpora the synthetic table cannot guarantee. */
+  def containmentOf(docs: DataFrame,
+      tPpm: Long, dfCapNum: Int, dfCapDen: Int): DataFrame = {
+    val sh = shinglesOfTokenized(
+        docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t")))
+      .select(col("doc_id"), col("shingle"), xxhash64(col("shingle")).as("sh"))
+      .localCheckpoint() // sets + df + candidate join all read it
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("sh"))).as("ss"))
+      .withColumn("n", size(col("ss")).cast("long"))
+      .localCheckpoint()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val keep = sh.join(dfc, Seq("sh")).crossJoin(broadcast(nDocs))
+      .filter(col("df") * dfCapDen <= col("n_docs") * dfCapNum)
+      .select(col("sh"), col("doc_id"))
+    val candidates = keep.as("a").join(keep.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    candidates
+      .join(sets.select(col("doc_id").as("da"), col("ss").as("ssa"), col("n").as("na")), Seq("da"))
+      .join(sets.select(col("doc_id").as("db"), col("ss").as("ssb"), col("n").as("nb")), Seq("db"))
+      .withColumn("n_common", size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
+      .withColumn("containment_ppm", expr("n_common * 1000000 div least(na, nb)"))
+      .filter(col("containment_ppm") >= tPpm)
+      .select(
+        // contained side first: the smaller set (ties → smaller doc_id,
+        // which the a<b candidate order already guarantees)
+        when(col("na") <= col("nb"), col("da")).otherwise(col("db")).as("doc_contained"),
+        when(col("na") <= col("nb"), col("db")).otherwise(col("da")).as("doc_container"),
+        least(col("na"), col("nb")).as("n_contained"),
+        col("n_common"), col("containment_ppm"))
+  }
+
+  def containmentSql(tPpm: Long = 900000L, dfCapNum: Int = 1, dfCapDen: Int = 10): String =
+    s"""WITH ${shinglesSql(3)},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+       |keep AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfc USING (shingle)
+       |  WHERE dfc.df * $dfCapDen <= (SELECT count(*) FROM documents) * $dfCapNum),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM keep a JOIN keep b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |inter AS (SELECT c.da, c.db, count(*) AS n_common
+       |  FROM cand c JOIN sh x ON x.doc_id = c.da
+       |  JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
+       |  GROUP BY 1, 2),
+       |scored AS (SELECT i.da, i.db, sa.n AS na, sb.n AS nb, i.n_common,
+       |    i.n_common * 1000000 // least(sa.n, sb.n) AS containment_ppm
+       |  FROM inter i JOIN sizes sa ON i.da = sa.doc_id
+       |  JOIN sizes sb ON i.db = sb.doc_id)
+       |SELECT CASE WHEN na <= nb THEN da ELSE db END AS doc_contained,
+       |  CASE WHEN na <= nb THEN db ELSE da END AS doc_container,
+       |  CAST(least(na, nb) AS BIGINT) AS n_contained,
+       |  CAST(n_common AS BIGINT) AS n_common,
+       |  CAST(containment_ppm AS BIGINT) AS containment_ppm
+       |FROM scored WHERE containment_ppm >= $tPpm""".stripMargin
+
   // ---- MinHash + LSH ------------------------------------------------------
 
   val MinhashHashes = 16 // 4 bands × 4 rows

@@ -183,6 +183,90 @@ object Ranking {
         col("df"), col("rank").cast("long").as("rank"))
   }
 
+  /** SPARSE document-to-document similarity — the inverted-index twin of
+    * the dense `knn_*` family: top [[DocSimTopK]] document pairs by exact
+    * sparse tf-cosine, with candidates generated from IMPACT-ORDERED INDEX
+    * PREFIXES (each term's top-[[DocSimPrefix]] postings by tf — the
+    * WAND/JASS candidate-generation idea): two docs pair only if they
+    * co-occur in some term's prefix, so candidate count is bounded by
+    * |vocab| · R² at ANY corpus size — never the all-pairs N² a naive
+    * sparse-similarity join degrades to. Exact cosine then scores only the
+    * candidates: dot = Σ tf_a·tf_b over ALL shared terms (two |cand|-bounded
+    * equi-joins back to the tf rows), reported as fixed-point
+    * cos²·1e6 = dot²·1e6 div (‖a‖²·‖b‖²) — squaring dodges the
+    * non-portable sqrt while preserving the ranking (cos ≥ 0 here since
+    * tf ≥ 0). Magnitude bound: dot ≤ len_a·len_b, so dot²·1e6 stays inside
+    * int64 for docs up to ~2000 tokens — the corpus contract; longer docs
+    * would drop Scale, not the shape.
+    *
+    * Shape: ONE (doc, term) aggregation (map-side partials) feeds both the
+    * prefix index (WindowGroupLimit keeps ≤ R rows/term before its
+    * exchange) and the norm/dot joins; the prefix self-join shuffles on
+    * `term` with both sides ≤ R rows/term; the final global top-k compiles
+    * to TakeOrderedAndProject. 100 TB story: every stage is bounded by
+    * |vocab|·R (index) or |candidates|·terms-per-doc (scoring) — corpus
+    * size only enters through the first aggregation's scan. */
+  def docSimSparse(spark: SparkSession, sfDir: String): DataFrame =
+    docSimSparseOf(Tables.documents(spark, sfDir), DocSimPrefix, DocSimTopK)
+
+  val DocSimPrefix = 16
+  val DocSimTopK = 50
+
+  /** Core over an explicit (doc_id, text) frame; specs feed crafted corpora
+    * where the prefix truncation provably drops a pair a full index would
+    * keep (the synthetic table's flat 31-term vocabulary exercises deep
+    * postings but not adversarial prefix evictions). */
+  def docSimSparseOf(docs: DataFrame, prefixR: Int, topK: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // read 3×: prefix index, norms, both dot sides
+    val norms = tf.groupBy(col("doc_id")).agg(sum(expr("tf * tf")).as("norm2"))
+    val byImpact = Window.partitionBy(col("term"))
+      .orderBy(col("tf").desc, col("doc_id").asc)
+    val prefix = tf.withColumn("rnk", row_number().over(byImpact))
+      .filter(col("rnk") <= prefixR)
+      .select(col("term"), col("doc_id"))
+    val cand = prefix.as("p1").join(prefix.as("p2"), Seq("term"))
+      .filter(col("p1.doc_id") < col("p2.doc_id"))
+      .select(col("p1.doc_id").as("a"), col("p2.doc_id").as("b"))
+      .distinct()
+    val dot = cand
+      .join(tf.select(col("doc_id").as("a"), col("term"), col("tf").as("tfa")), Seq("a"))
+      .join(tf.select(col("doc_id").as("b"), col("term"), col("tf").as("tfb")), Seq("b", "term"))
+      .groupBy(col("a"), col("b")).agg(sum(expr("tfa * tfb")).as("dot"))
+    dot
+      .join(norms.select(col("doc_id").as("a"), col("norm2").as("na")), Seq("a"))
+      .join(norms.select(col("doc_id").as("b"), col("norm2").as("nb")), Seq("b"))
+      .withColumn("cos2_fp", expr("(dot * dot * 1000000) div (na * nb)"))
+      .orderBy(col("cos2_fp").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+      .select(col("a"), col("b"), col("dot"), col("na"), col("nb"), col("cos2_fp"))
+  }
+
+  def docSimSparseSql(prefixR: Int = DocSimPrefix, topK: Int = DocSimTopK): String =
+    s"""WITH occ AS (SELECT doc_id, unnest(${TextOps.tokensSql}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM occ GROUP BY 1, 2),
+       |norms AS (SELECT doc_id, sum(tf * tf) AS norm2 FROM tf GROUP BY 1),
+       |prefix AS (SELECT term, doc_id FROM (
+       |    SELECT term, doc_id, row_number() OVER (
+       |      PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rnk FROM tf)
+       |  WHERE rnk <= $prefixR),
+       |cand AS (SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+       |  FROM prefix p1 JOIN prefix p2 ON p1.term = p2.term AND p1.doc_id < p2.doc_id),
+       |dot AS (SELECT c.a, c.b, sum(ta.tf * tb.tf) AS dot
+       |  FROM cand c
+       |  JOIN tf ta ON ta.doc_id = c.a
+       |  JOIN tf tb ON tb.doc_id = c.b AND tb.term = ta.term
+       |  GROUP BY c.a, c.b)
+       |SELECT d.a, d.b, CAST(d.dot AS BIGINT) AS dot,
+       |  CAST(na.norm2 AS BIGINT) AS na, CAST(nb.norm2 AS BIGINT) AS nb,
+       |  CAST((d.dot * d.dot * 1000000) // (na.norm2 * nb.norm2) AS BIGINT) AS cos2_fp
+       |FROM dot d
+       |JOIN norms na ON na.doc_id = d.a
+       |JOIN norms nb ON nb.doc_id = d.b
+       |ORDER BY cos2_fp DESC, a ASC, b ASC LIMIT $topK""".stripMargin
+
   /** Oracle twin: same tokenizer CTE as every text query, 1-based list
     * indices mapped to the same 0-based positions, same integer
     * cross-multiplied df-fraction cap. */

@@ -293,8 +293,11 @@ object TextAnalysis {
     * KMV (k-minimum-values) sketch — the mergeable distinct-count estimator
     * (Bar-Yossef et al. 2002; the engine-agnostic cousin of HyperLogLog,
     * chosen here because its estimate is a pure integer function of hash
-    * values, hence oracle-verifiable bit-for-bit, where HLL's float
-    * harmonic mean is not). Counting distinct n-grams is the 100 TB job
+    * values, hence oracle-verifiable bit-for-bit — [[hllDistinct]] closes
+    * the same gap for HLL itself with a fixed-point harmonic mean, so the
+    * two standard distinct sketches now BOTH verify against the oracle:
+    * KMV owns the small-cardinality regime via its exact rule, HLL the
+    * n ≫ m regime). Counting distinct n-grams is the 100 TB job
     * this sketch exists for: the exact answer needs a shuffle of every
     * distinct phrase, the sketch needs k·|groups| longs.
     *
@@ -345,6 +348,111 @@ object TextAnalysis {
        |  CAST(CASE WHEN kth_h IS NULL THEN n_exact
        |            ELSE $KmvNumerator // kth_h END AS BIGINT) AS kmv_estimate
        |FROM ex LEFT JOIN kth ON ex.lang = kth.lang""".stripMargin
+
+  /** HyperLogLog register count: 2^9 = 512 registers → ~4.6% standard
+    * error. Bucket = low 9 hash bits; rho = trailing-zeros+1 of the
+    * remaining 47 bits, CAPPED at [[HllRhoMax]] = 45 — the cap keeps the
+    * whole fixed-point estimator inside int64 (see [[HllNumerator]]) and
+    * is statistically free: a register reaches rho > 45 only after
+    * ~2^45 ≈ 3.5e13 distinct elements LAND IN THAT ONE REGISTER, and even
+    * then the capped summand inflates Z by < 1 part in 2^45 of a full
+    * register's weight. */
+  val HllP = 9
+  val HllM: Long = 1L << HllP
+  val HllRhoMax = 45
+
+  /** `floor(0.7197 · m²) · 2^45` — the whole HLL numerator as ONE exact
+    * int64 constant: α₅₁₂ ≈ 0.7213/(1+1.079/512) ≈ 0.7197 enters as the
+    * rational 7197/10000, and the 2^45 factor is the fixed-point scale of
+    * the harmonic-mean denominator (rho ≤ 45 ⇒ every register summand
+    * 2^(45−rho) ≥ 1, so nothing floors to zero and the integer sum is the
+    * EXACT scaled harmonic mean). 188660·2^45 ≈ 6.6e18 < 2^63; the
+    * denominator tops out at m·2^45 ≈ 1.8e16. */
+  val HllNumerator: Long = (7197L * HllM * HllM / 10000L) * (1L << 45)
+
+  /** Distinct `event_id` cardinality per event_type AND merged, by
+    * HyperLogLog (Flajolet et al. 2007) in EXACT fixed-point integer form —
+    * the float-free spelling that makes HLL oracle-verifiable bit-for-bit
+    * (the reason [[distinctKmv]]'s doc gives for historically preferring
+    * KMV): every register contributes 2^(50−rho) to an integer harmonic
+    * sum Z, and est = [[HllNumerator]] div Z. DELIBERATE VARIANT: no
+    * small-range (linear-counting) correction — the raw estimator's
+    * contract is the n ≫ m regime a 100 TB ingest lives in (id streams,
+    * n-gram spaces); the small-range regime belongs to [[distinctKmv]]'s
+    * exact rule. Estimates at tiny scale factors are therefore expectedly
+    * biased high — the exact column rides alongside precisely so the bias
+    * is measurable, and the sf0.01 corpus (10k ids, n/m ≈ 20) sits in the
+    * valid regime.
+    *
+    * THE MERGE IS THE POINT: the 'ALL' row's registers are
+    * max-per-register over the per-type sketches — 512 longs per sketch
+    * moved, never re-hashed data. On a 1000-executor cluster each
+    * executor's partial registers merge the same way (map-side combined
+    * max), so the full pipeline is one |types|·m-row shuffle: the sketch
+    * answer costs O(types·m) longs regardless of corpus size, while the
+    * exact validation column pays the full distinct shuffle next to it. */
+  def hllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.events(spark, sfDir)
+      .filter(col("event_id").isNotNull)
+      .select(col("event_type"), Hashing.md5Long(col("event_id").cast("string")).as("h"))
+      .select(col("event_type"), (col("h") % HllM).as("bucket"),
+        expr(s"h div $HllM").as("x"))
+      .select(col("event_type"), col("bucket"),
+        expr(s"CASE WHEN x = 0 THEN $HllRhoMax ELSE least(bit_count((x & (-x)) - 1) + 1, $HllRhoMax) END")
+          .cast("long").as("rho"))
+      .localCheckpoint() // registers + exact both read the hashed stream
+    val regs = ids.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+      .localCheckpoint() // per-type sketches; the ALL row merges THESE
+    val regsAll = regs.groupBy(col("bucket")).agg(max(col("r")).as("r"))
+      .select(lit("ALL").as("scope"), col("bucket"), col("r"))
+    val allRegs = regs.select(col("event_type").as("scope"), col("bucket"), col("r"))
+      .unionAll(regsAll)
+    val est = allRegs.groupBy(col("scope"))
+      .agg(count(lit(1)).as("n_used"),
+        sum(expr("shiftleft(1L, CAST(45 - r AS INT))")).as("z_present"))
+      .select(col("scope"), col("n_used"),
+        expr(s"$HllNumerator div (($HllM - n_used) * ${1L << 45}L + z_present)")
+          .as("hll_est"))
+    val exact = Tables.events(spark, sfDir)
+      .filter(col("event_id").isNotNull)
+      .select(col("event_type"), col("event_id")).distinct()
+      .localCheckpoint(eager = false)
+    val exactByType = exact.groupBy(col("event_type").as("scope"))
+      .agg(count(lit(1)).as("n_exact"))
+    val exactAll = exact.select(col("event_id")).distinct()
+      .agg(count(lit(1)).as("n_exact")).select(lit("ALL").as("scope"), col("n_exact"))
+    est.join(exactByType.unionAll(exactAll), Seq("scope"))
+      .select(col("scope"), col("n_exact"), col("hll_est"), col("n_used"))
+  }
+
+  val hllDistinctSql: String = {
+    val h = Hashing.md5LongSql("CAST(event_id AS VARCHAR)")
+    s"""WITH ids AS (SELECT event_type,
+       |    ($h) % $HllM AS bucket, ($h) // $HllM AS x
+       |  FROM events WHERE event_id IS NOT NULL),
+       |rho AS (SELECT event_type, bucket,
+       |    CAST(CASE WHEN x = 0 THEN $HllRhoMax
+       |         ELSE least(bit_count((x & (-x)) - 1) + 1, $HllRhoMax) END AS BIGINT) AS rho
+       |  FROM ids),
+       |regs AS (SELECT event_type, bucket, max(rho) AS r FROM rho GROUP BY 1, 2),
+       |all_regs AS (
+       |  SELECT event_type AS scope, bucket, r FROM regs
+       |  UNION ALL
+       |  SELECT 'ALL', bucket, max(r) FROM regs GROUP BY 2),
+       |est AS (SELECT scope, count(*) AS n_used,
+       |    $HllNumerator // (($HllM - count(*)) * ${1L << 45} + sum(1::BIGINT << (45 - r)))
+       |      AS hll_est
+       |  FROM all_regs GROUP BY 1),
+       |exact AS (
+       |  SELECT event_type AS scope, count(DISTINCT event_id) AS n_exact
+       |  FROM events WHERE event_id IS NOT NULL GROUP BY 1
+       |  UNION ALL
+       |  SELECT 'ALL', count(DISTINCT event_id) FROM events WHERE event_id IS NOT NULL)
+       |SELECT est.scope, CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(hll_est AS BIGINT) AS hll_est, CAST(n_used AS BIGINT) AS n_used
+       |FROM est JOIN exact ON est.scope = exact.scope""".stripMargin
+  }
 
   /** Count-Min sketch geometry: depth (independent hash rows) × width
     * (counters per row). 4×1024 longs = 32 KiB per sketch — constant

@@ -699,8 +699,9 @@ object StreamingOps {
     * state proportional to the user population, the sketch needs k longs,
     * and because KMV's estimate is a pure integer function of the min-k
     * distinct hashes (TextAnalysis.scala KMV scaladoc) the streaming
-    * output is bit-comparable against a batch DuckDB oracle — HLL's float
-    * harmonic mean could never be. Windows close on WATERMARK ADVANCEMENT:
+    * output is bit-comparable against a batch DuckDB oracle — a property
+    * HLL's float harmonic mean lacked until [[streamingHll]]'s fixed-point
+    * integer spelling. Windows close on WATERMARK ADVANCEMENT:
     * the far-future sentinel folded into the last chunk pushes the
     * watermark past every real window end, firing all timers in the final
     * no-data micro-batch (same flush discipline as the outer joins).
@@ -764,6 +765,153 @@ object StreamingOps {
     // timer never fires anyway (own window end > the watermark it sets) —
     // this is belt-and-braces against a future flush-discipline change.
     spark.table(name).filter(col("win_us") < lit(sentWin))
+  }
+
+  case class HllEv(win_us: Long, bucket: Long, rho: Long, us: Long)
+  case class HllSt(regs: Array[Long])
+  case class HllRow(win_us: Long, n_used: Long, hll_est: Long)
+
+  /** Per-window HyperLogLog registers — the third streaming sketch,
+    * completing the trio (KMV: how many distinct — small-range exact;
+    * CMS: how often these keys; HLL: how many distinct in the n ≫ m
+    * regime at 512 longs per window). Historically this repo's sketches
+    * avoided HLL as not oracle-verifiable (float harmonic mean); the
+    * fixed-point integer estimator of
+    * [[graft.operators.TextAnalysis.hllDistinct]] removed that bar, so
+    * the streaming twin inherits bit-exact batch comparability. Register
+    * merge is elementwise MAX — commutative, associative, idempotent —
+    * so chunk boundaries, duplicates and arrival order cannot change the
+    * final registers (same argument as KMV's union-and-trim). bucket/rho
+    * arrive PRE-COMPUTED per row (codegen'd md5 expressions in the scan
+    * stage); the hot loop is one array-max per event. Fixed end-of-window
+    * timer, emit once, drop state — identical lifecycle to
+    * [[KmvWindowProcessor]]. */
+  class HllWindowProcessor(m: Int, numerator: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, HllEv, HllRow] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+      ExpiredTimerInfo, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var st: ValueState[HllSt] = _
+    @transient private var armed: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[HllSt]("st", Encoders.product[HllSt], TTLConfig.NONE)
+      armed = getHandle.getValueState[Boolean]("armed", Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+    override def handleInputRows(win: Long, rows: Iterator[HllEv],
+        tv: TimerValues): Iterator[HllRow] = {
+      val regs = if (st.exists()) st.get().regs else new Array[Long](m)
+      rows.foreach { e =>
+        val b = e.bucket.toInt
+        if (e.rho > regs(b)) regs(b) = e.rho
+      }
+      st.update(HllSt(regs))
+      if (!armed.exists()) {
+        getHandle.registerTimer(
+          math.max((win + WinUs) / 1000L + 1L, tv.getCurrentWatermarkInMs() + 1L))
+        armed.update(true)
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(win: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[HllRow] =
+      if (!st.exists()) Iterator.empty
+      else {
+        val regs = st.get().regs
+        st.clear()
+        armed.clear()
+        var used = 0L
+        var z = 0L
+        var i = 0
+        while (i < m) {
+          if (regs(i) > 0) { used += 1; z += 1L << (45 - regs(i)) }
+          else z += 1L << 45
+          i += 1
+        }
+        Iterator.single(HllRow(win, used, numerator / z))
+      }
+  }
+
+  /** Streaming DISTINCT-EVENT-IDS-PER-HOUR via HLL registers — the
+    * ingest-health monitor (estimated distinct ids vs raw row count
+    * exposes duplicate floods without per-id state): [[HllWindowProcessor]]
+    * over 1-hour tumbling windows, same chunked replay + far-future
+    * sentinel + RocksDB provider discipline as [[streamingKmv]]. At 100 TB
+    * the keyed shuffle ships (window, bucket, rho) triples and per-window
+    * state is 512 longs regardless of id volume. */
+  def streamingHll(spark: SparkSession, sfDir: String, numChunks: Int = 2): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.operators.{Hashing, TextAnalysis}
+    val m = TextAnalysis.HllM
+    val evs = Tables.events(spark, sfDir)
+      .filter(col("event_id").isNotNull)
+      .select(
+        expr(s"(ts div 1000) div $WinUs * $WinUs").as("win_us"),
+        Hashing.md5Long(col("event_id").cast("string")).as("h"),
+        expr("ts div 1000").as("us"))
+      .select(col("win_us"), (col("h") % m).as("bucket"),
+        expr(s"h div $m").as("x"), col("us"))
+      .select(col("win_us"), col("bucket"),
+        expr(s"CASE WHEN x = 0 THEN ${TextAnalysis.HllRhoMax} ELSE least(bit_count((x & (-x)) - 1) + 1, ${TextAnalysis.HllRhoMax}) END")
+          .cast("long").as("rho"),
+        col("us"))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.get(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val name = "graft_stream_hll"
+    var sentWin = Long.MaxValue
+    try {
+      val feed = stageTimeChunks(evs, "us", numChunks, ckptDir("graft_stream_hll_feed"))
+      try {
+        val maxUs = maxUsOrFail("streamingHll", feed)
+        val sketches = spark.readStream.schema(evs.schema).parquet(feed.watchDir)
+          .withColumn("event_time", timestamp_micros(col("us")))
+          .withWatermark("event_time", "0 seconds")
+          .as[HllEv]
+          .groupByKey(_.win_us)
+          .transformWithState(
+            new HllWindowProcessor(m.toInt, TextAnalysis.HllNumerator),
+            TimeMode.EventTime(), OutputMode.Append())
+        val sentUs = (maxUs / WinUs + 2L) * WinUs
+        sentWin = sentUs / WinUs * WinUs
+        val sent = stageSentinel(Seq(HllEv(sentWin, 0L, 1L, sentUs)).toDS().toDF(),
+          s"${feed.baseDir}/sentinel")
+        withStateParts(spark) {
+          val q = sketches.writeStream.outputMode("append").format("memory").queryName(name)
+            .option("checkpointLocation", ckptDir(name)).start()
+          try {
+            (0 until numChunks).foreach { k =>
+              dropChunk(feed, k)
+              if (k == numChunks - 1) dropFiles(feed.watchDir, "sentinel", sent)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
+      } finally cleanupFeed(feed)
+    } finally spark.conf.set(providerKey, prevProvider)
+    spark.table(name).filter(col("win_us") < lit(sentWin))
+  }
+
+  /** Batch oracle for [[streamingHll]]: identical register math per
+    * 1-hour window in DuckDB. */
+  def streamingHllSql: String = {
+    import graft.operators.{Hashing, TextAnalysis}
+    val m = TextAnalysis.HllM
+    val rmax = TextAnalysis.HllRhoMax
+    val h = Hashing.md5LongSql("CAST(event_id AS VARCHAR)")
+    s"""WITH ids AS (SELECT epoch_us(ts) // $WinUs * $WinUs AS win_us,
+       |    ($h) % $m AS bucket, ($h) // $m AS x
+       |  FROM events WHERE event_id IS NOT NULL),
+       |rho AS (SELECT win_us, bucket,
+       |    CAST(CASE WHEN x = 0 THEN $rmax
+       |         ELSE least(bit_count((x & (-x)) - 1) + 1, $rmax) END AS BIGINT) AS rho
+       |  FROM ids),
+       |regs AS (SELECT win_us, bucket, max(rho) AS r FROM rho GROUP BY 1, 2)
+       |SELECT win_us, CAST(count(*) AS BIGINT) AS n_used,
+       |  CAST(${TextAnalysis.HllNumerator} //
+       |       (($m - count(*)) * ${1L << 45} + sum(1::BIGINT << (45 - r))) AS BIGINT) AS hll_est
+       |FROM regs GROUP BY win_us""".stripMargin
   }
 
   case class CmsEv(win_us: Long, b0: Long, b1: Long, b2: Long, b3: Long, us: Long)

@@ -227,6 +227,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("n_chars") && !p.contains("text"), "scan must prune to doc_id+lang")
   }
 
+  test("doc_sim_sparse: prefix via WindowGroupLimit, global top-k via TakeOrdered, no cartesian") {
+    val p = plan("doc_sim_sparse")
+    assert(p.contains("WindowGroupLimit"),
+      s"impact prefix must keep ≤R postings/term before its exchange:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"final top-k must not globally sort the candidate pairs:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidates must come from the term-keyed prefix self-join:\n$p")
+  }
+
+  test("hll_distinct: the sketch side is register-bounded (no distinct of the raw stream)") {
+    val p = plan("hll_distinct")
+    // the ONLY distinct aggregation allowed is the exact-validation column's;
+    // the sketch path must aggregate (type, bucket) partially map-side
+    assert(!p.contains("CartesianProduct"), s"hll plan must stay equi-joined:\n$p")
+    assert(nodes(p, "HashAggregate") >= 4, s"register max-merge must be a partial agg:\n$p")
+  }
+
   test("term_df: top-k via TakeOrderedAndProject, no global sort") {
     val p = plan("term_df")
     assert(p.contains("TakeOrderedAndProject"), s"term_df must not globally sort the vocabulary:\n$p")

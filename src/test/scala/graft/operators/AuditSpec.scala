@@ -71,6 +71,45 @@ class AuditSpec extends AnyFunSuite {
     assert(got("ts_outside_2000_2035") === ((2L, 9L, 222222L)))
   }
 
+  test("bloomSemijoinPrune matches a driver re-derivation of the bloom algebra") {
+    import org.apache.spark.sql.functions._
+    val row = Audit.bloomSemijoinPrune(spark, Sf).collect() match {
+      case Array(r) => r
+      case other => fail(s"expected 1 summary row, got ${other.length}")
+    }
+    // driver reference: same hash family, same self-sizing, plain Scala sets
+    val build = graft.Tables.supplier(spark, Sf)
+      .join(graft.Tables.nation(spark, Sf), col("s_nationkey") === col("n_nationkey"))
+      .join(graft.Tables.region(spark, Sf).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val perKey = graft.Tables.lineitem(spark, Sf)
+      .groupBy(col("l_suppkey").cast("long").as("k")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = java.lang.Long.highestOneBit(8L * math.max(build.size, 1) - 1) << 1
+    def positions(key: Long): Seq[Long] = {
+      val h = Hashing.md5LongJvm(key.toString)
+      Seq(h % m, (h / m) % m)
+    }
+    val bits = build.flatMap(positions)
+    val cand = perKey.keySet.filter(k => positions(k).forall(bits))
+    val tru = perKey.keySet.filter(build)
+    assert(row.getAs[Long]("n_build_keys") === build.size.toLong)
+    assert(row.getAs[Long]("m_bits") === m)
+    assert(row.getAs[Long]("n_bits_set") === bits.size.toLong)
+    assert(row.getAs[Long]("n_probe_keys") === perKey.size.toLong)
+    assert(row.getAs[Long]("n_candidate_keys") === cand.size.toLong)
+    assert(row.getAs[Long]("n_true_keys") === tru.size.toLong)
+    assert(row.getAs[Long]("n_fp_keys") === (cand.size - tru.size).toLong)
+    assert(row.getAs[Long]("n_rows_pass") === cand.toSeq.map(perKey).sum)
+    assert(row.getAs[Long]("n_rows_true") === tru.toSeq.map(perKey).sum)
+    // bloom soundness: no false negatives, candidates ⊇ true matches
+    assert(tru.subsetOf(cand))
+    // the filter actually prunes at this scale (6 of 10 supplier keys die)
+    assert(row.getAs[Long]("n_rows_pass") < row.getAs[Long]("n_probe_rows"))
+  }
+
   test("joinCardinalityKmv matches a driver re-derivation of the KMV set algebra") {
     import org.apache.spark.sql.functions._
     val r = Audit.joinCardinalityKmv(spark, Sf).collect()

@@ -25,6 +25,42 @@ class DedupSpec extends AnyFunSuite {
     assert(fast.size >= resultSet(Dedup.ngramJaccard(spark, Sf, 0.8)).size)
   }
 
+  test("containment: excerpt-in-container found at overlap ~1 where jaccard is blind; df cap honored") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // doc 2 = a verbatim excerpt of doc 1 (9 of doc 1's 38 tokens) → every
+    // excerpt shingle is in the container: overlap = 1, jaccard ≈ 7/36.
+    val container = "alpha bravo charlie delta echo foxtrot golf hotel india juliett " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango uniform victor " +
+      "whiskey xray yankee zulu one two three four five six seven eight nine ten eleven twelve"
+    val excerpt = "kilo lima mike november oscar papa quebec romeo sierra"
+    // unrelated doc 3 shares nothing real; docs 4/5 share ONLY a ubiquitous
+    // shingle (present in 4 of 5 docs, above the df ≤ n/2 cap used here)
+    // → capped, no candidate from it.
+    val common = "common shingle here"
+    val docs = Seq(
+      (1L, container + " " + common),
+      (2L, excerpt),
+      (3L, "totally different words everywhere nothing shared at all " + common),
+      (4L, common + " unrelated tail apple banana cherry"),
+      (5L, common + " another tail dates elderberry figs")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentOf(docs, tPpm = 900000L, dfCapNum = 1, dfCapDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // ONLY the excerpt pair survives: doc 2 (7 shingles) fully inside doc 1
+    assert(got === Set((2L, 1L, 7L, 7L, 1000000L)))
+    // ...and Jaccard is blind to exactly that pair: 7 shared shingles over
+    // a union dominated by the container → far below any dedup threshold.
+    val shSets = Dedup.shinglesOfTokenized(
+        docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t")))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+    val jaccard12 = (shSets(1L) & shSets(2L)).size.toDouble /
+      (shSets(1L) | shSets(2L)).size
+    assert(jaccard12 < 0.25, s"crafted pair must be jaccard-blind, got $jaccard12")
+  }
+
   test("minhash-LSH candidates cover every true jaccard>=0.9 pair (recall sanity)") {
     val lsh = Dedup.minhashLsh(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

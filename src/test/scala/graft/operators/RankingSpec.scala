@@ -180,4 +180,54 @@ class RankingSpec extends AnyFunSuite {
     // top-k: no term carries more than 2 postings
     assert(got.groupBy(_._1).values.forall(_.size <= 2))
   }
+
+  test("doc_sim_sparse equals the driver-side reimplementation at sf0.001") {
+    val expected = docSimReference(corpus, Ranking.DocSimPrefix, Ranking.DocSimTopK)
+    val got = Ranking.docSimSparse(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+  }
+
+  test("doc_sim_sparse: prefix truncation drops pairs a full index keeps; identical docs score exactly 1e6") {
+    import spark.implicits._
+    // One shared term with tf ladder 3/2/1: a prefix of R=2 keeps docs 1,2 —
+    // doc 3 can never pair. Orthogonal doc 4 shares no term with anyone.
+    val docs = Seq(
+      (1L, "x x x"), (2L, "x x"), (3L, "x"), (4L, "y z")
+    ).toDF("doc_id", "text")
+    val got = Ranking.docSimSparseOf(docs, prefixR = 2, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(5))).toSeq
+    // single surviving candidate pair; colinear 1-term vectors → cos² = 1
+    assert(got === Seq((1L, 2L, 1000000L)))
+    // sanity against the same reference implementation
+    val ref = docSimReference(
+      Seq((1L, Seq("x", "x", "x")), (2L, Seq("x", "x")), (3L, Seq("x")),
+        (4L, Seq("y", "z"))), 2, 10)
+    assert(ref.map(t => (t._1, t._2, t._6)) === got)
+  }
+
+  /** Plain-Scala twin of the operator's contract: impact-prefix candidate
+    * generation + exact tf-cosine on candidates, same fixed-point form. */
+  private def docSimReference(docs: Seq[(Long, Seq[String])], prefixR: Int,
+                              topK: Int): Seq[(Long, Long, Long, Long, Long, Long)] = {
+    val tf: Map[(Long, String), Long] = docs.flatMap { case (id, toks) =>
+      toks.groupBy(identity).map { case (t, os) => ((id, t), os.size.toLong) }
+    }.toMap
+    val norms: Map[Long, Long] = tf.toSeq.groupBy(_._1._1)
+      .map { case (id, rs) => id -> rs.map(x => x._2 * x._2).sum }
+    val prefix: Map[String, Seq[Long]] = tf.toSeq.groupBy(_._1._2)
+      .map { case (t, rs) =>
+        t -> rs.map { case ((id, _), f) => (id, f) }
+          .sortBy { case (id, f) => (-f, id) }.take(prefixR).map(_._1)
+      }
+    val cand = prefix.values.flatMap(ids =>
+      for (a <- ids; b <- ids if a < b) yield (a, b)).toSet
+    cand.toSeq.map { case (a, b) =>
+      val terms = docs.find(_._1 == a).get._2.toSet & docs.find(_._1 == b).get._2.toSet
+      val dot = terms.toSeq.map(t => tf((a, t)) * tf((b, t))).sum
+      val (na, nb) = (norms(a), norms(b))
+      (a, b, dot, na, nb, dot * dot * 1000000L / (na * nb))
+    }.sortBy { case (a, b, _, _, _, c2) => (-c2, a, b) }.take(topK)
+  }
 }

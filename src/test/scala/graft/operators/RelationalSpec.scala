@@ -123,6 +123,52 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("hllDistinct equals a driver re-derivation; ALL row is the register max-merge") {
+    val m = TextAnalysis.HllM
+    val raw = Tables.events(spark, Sf).filter(col("event_id").isNotNull)
+      .select(col("event_type"), col("event_id").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val ids = raw.map { case (t, id) => (t, Hashing.md5LongJvm(id)) }
+    def rho(h: Long): Long = {
+      val x = h / m
+      if (x == 0) TextAnalysis.HllRhoMax.toLong
+      else math.min(java.lang.Long.numberOfTrailingZeros(x) + 1L, TextAnalysis.HllRhoMax.toLong)
+    }
+    def estimate(regs: Map[Long, Long]): (Long, Long) = {
+      val z = (m - regs.size) * (1L << 45) + regs.values.map(r => 1L << (45 - r)).sum
+      (TextAnalysis.HllNumerator / z, regs.size.toLong)
+    }
+    val perType = ids.groupBy(_._1).map { case (t, rows) =>
+      t -> rows.groupBy(x => x._2 % m).map { case (b, xs) => b -> xs.map(x => rho(x._2)).max }
+    }
+    // merged sketch: max per register across the per-type sketches
+    val mergedRegs = perType.values.flatten
+      .groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    // merge property: identical to sketching the union stream directly
+    val directRegs = ids.groupBy(x => x._2 % m)
+      .map { case (b, xs) => b -> xs.map(x => rho(x._2)).max }
+    assert(mergedRegs === directRegs)
+    val got = TextAnalysis.hllDistinct(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    perType.foreach { case (t, regs) =>
+      val (est, used) = estimate(regs)
+      val exact = raw.filter(_._1 == t).map(_._2).distinct.length.toLong
+      assert(got(t) === ((exact, est, used)), s"scope $t")
+    }
+    val (estAll, usedAll) = estimate(mergedRegs)
+    assert(got("ALL") === ((raw.map(_._2).distinct.length.toLong, estAll, usedAll)))
+  }
+
+  test("hllDistinct: estimate within 3-sigma in its contract regime (n >> m, sf0.01)") {
+    val rows = TextAnalysis.hllDistinct(spark, "/root/testdata/sf0.01").collect()
+    val all = rows.find(_.getString(0) == "ALL").get
+    val (exact, est) = (all.getLong(1), all.getLong(2))
+    assert(exact >= 19 * TextAnalysis.HllM, "corpus drifted out of the n >> m regime")
+    // HLL standard error 1.04/sqrt(512) ≈ 4.6%; 3σ ≈ 13.8%
+    val relErr = math.abs(est - exact).toDouble / exact
+    assert(relErr < 0.138, s"HLL estimate off by ${relErr * 100}%: exact=$exact est=$est")
+  }
+
   test("KMV sketches MERGE: unioning per-group k-min sets equals sketching the union") {
     // Mergeability is the property that makes KMV a 1000-executor sketch:
     // each partition ships its k smallest hashes, and re-taking the k

@@ -377,6 +377,36 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.exists { case (_, n, est) => n < k && n === est })
   }
 
+  test("streaming HLL (chunked feed) equals the batch register math; merge is chunk-order-proof") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Hashing, TextAnalysis}
+    val m = TextAnalysis.HllM
+    // 3 chunks: at least one window's registers merge across batches.
+    val streamed = StreamingOps.streamingHll(spark, Sf, numChunks = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // driver-side reference: identical register math from the raw ids
+    val raw = graft.Tables.events(spark, Sf)
+      .filter(col("event_id").isNotNull)
+      .select(expr("(ts div 1000) div 3600000000 * 3600000000").as("w"),
+        col("event_id").cast("string"))
+      .collect().map(r => (r.getLong(0), Hashing.md5LongJvm(r.getString(1))))
+    val batch = raw.groupBy(_._1).map { case (w, rows) =>
+      val regs = rows.groupBy(x => x._2 % m).map { case (_, xs) =>
+        xs.map { x =>
+          val v = x._2 / m
+          if (v == 0) TextAnalysis.HllRhoMax.toLong
+          else math.min(java.lang.Long.numberOfTrailingZeros(v) + 1L, TextAnalysis.HllRhoMax.toLong)
+        }.max
+      }
+      val z = (m - regs.size) * (1L << 45) + regs.map(r => 1L << (45 - r)).sum
+      (w, regs.size.toLong, TextAnalysis.HllNumerator / z)
+    }.toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // one row per window: every timer fired exactly once, no sentinel leak
+    assert(streamed.map(_._1).size === streamed.size)
+  }
+
   test("streaming CMS (chunked feed) equals the batch sketch probe cells; JVM md5 twin matches Catalyst") {
     import org.apache.spark.sql.functions._
     import graft.operators.{Hashing, TextAnalysis}
