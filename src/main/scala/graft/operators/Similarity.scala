@@ -164,35 +164,64 @@ object Similarity {
       .localCheckpoint()
   }
 
-  /** IVF-bucketed near-duplicate pairs: cosine ≥ threshold among vectors
-    * sharing a cluster. The approximate scale path for embedding dedup —
-    * pair expansion is per-cluster (~n/C each), never corpus². Recall is
-    * bounded by cluster assignment, which is the standard IVF trade; the
-    * exhaustive twin ([[Dedup.embeddingNearDup]]) is the correctness
-    * baseline. */
+  /** IVF-bucketed near-duplicate pairs: cosine ≥ threshold among
+    * SORTED-NEIGHBORHOOD candidates within a cluster. The approximate
+    * scale path for embedding dedup; recall is bounded by cluster
+    * assignment plus the window, the standard IVF trade — the exhaustive
+    * twin ([[Dedup.embeddingNearDup]]) is the correctness baseline.
+    *
+    * Scale shape — round 8: the previous all-pairs-within-cluster form is
+    * n²/C with the FIXED centroid set, the exact quadratic class the sf10
+    * audit caught in [[dedupSemantic]] (19× wall on 10× data), so
+    * candidates now reuse its Hernández–Stolfo window verbatim: cluster
+    * members rank by assignment cosine `simc` (near-identical vectors sit
+    * at near-identical centroid similarity) and only pairs within rank
+    * distance ≤ [[SemWindow]] compare — explode(1..W) + equi-join on
+    * (cluster, rank), cost n·W at ANY corpus size. Wherever a cluster
+    * holds ≤ W+1 members (every cluster at the oracle scales) the window
+    * covers the cluster and output is IDENTICAL to all-pairs. */
   def embeddingNearDupIvf(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
-    val a = ivfAssigned(spark, sfDir)
-    a.as("a").join(a.as("b"),
-        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cosinePre(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("simc").desc, col("vec_id").asc)
+    val ranked = ivfAssigned(spark, sfDir)
+      .withColumn("rnk", row_number().over(w))
+      .localCheckpoint() // probe and build sides both read it
+    val probes = ranked
+      .select(col("cluster"), col("rnk"), col("vec_id").as("a_id"),
+        col("v").as("va"), col("nrm").as("na"),
+        explode(expr(s"sequence(1, $SemWindow)")).as("j"))
+      .select(col("cluster"), (col("rnk") + col("j")).as("rnk"),
+        col("a_id"), col("va"), col("na"))
+    probes
+      .join(ranked.select(col("cluster"), col("rnk"), col("vec_id").as("b_id"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("cluster", "rnk"))
+      .withColumn("cos", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+      .select(least(col("a_id"), col("b_id")).as("vec_a"),
+        greatest(col("a_id"), col("b_id")).as("vec_b"),
         round(col("cos"), 6).as("cos_sim"))
   }
 
   def embeddingNearDupIvfSql(threshold: Double = 0.4): String =
     s"""WITH cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < $NumCentroids),
        |assigned AS (
-       |  SELECT vec_id, embedding, cent_id AS cluster FROM (
-       |    SELECT e.vec_id, e.embedding, c.cent_id,
+       |  SELECT vec_id, embedding, cluster, simc FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id AS cluster,
+       |      ${cosineSql("e", "c")} AS simc,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosineSql("e", "c")} DESC, c.cent_id ASC) AS arn
        |    FROM embeddings e CROSS JOIN cent c)
-       |  WHERE arn = 1)
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  WHERE arn = 1),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster
+       |      ORDER BY simc DESC, vec_id ASC) AS rnk
+       |  FROM assigned)
+       |SELECT least(a.vec_id, b.vec_id) AS vec_a,
+       |  greatest(a.vec_id, b.vec_id) AS vec_b,
        |  round(${cosineSql("a", "b")}, 6) AS cos_sim
-       |FROM assigned a JOIN assigned b
-       |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |FROM ranked a JOIN ranked b
+       |  ON a.cluster = b.cluster
+       |  AND b.rnk > a.rnk AND b.rnk <= a.rnk + $SemWindow
        |WHERE ${cosineSql("a", "b")} >= $threshold""".stripMargin
 
   /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023, arXiv:2303.09540):

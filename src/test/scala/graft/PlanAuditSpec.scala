@@ -520,4 +520,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"the sf10 quadratic regression guard:\n$p")
   }
+
+  test("dedup_embedding_ivf: sorted-neighborhood window, not in-cluster all-pairs (round-8 fix pin)") {
+    val p = plan("dedup_embedding_ivf")
+    // same guard as dedup_semantic — a refactor back to the a⋈b
+    // cluster self-join (the shape the sf10 audit measured 19× on 10×
+    // data in its twin) would drop the explode and/or reintroduce a
+    // non-equi candidate join.
+    assert(nodes(p, "Generate") >= 1,
+      s"rank-window expansion must ride an explode, not a cluster self-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the sf10 quadratic regression guard:\n$p")
+    // the ranked frame is built once and checkpointed, both join sides read it
+    assert(p.contains("ExistingRDD"), s"both candidate sides must read the checkpointed ranked frame:\n$p")
+  }
+
+  test("dedup_containment: candidate side carries the ABSOLUTE df cap (round-8 fix pin)") {
+    val p = plan("dedup_containment")
+    // the keep filter must include `df <= ContainMaxDf` — the constant
+    // that bounds per-shingle fan-out at any corpus size. A refactor back
+    // to the fraction-only rule deletes this literal from the plan.
+    assert(p.contains(s"<= ${graft.operators.Dedup.ContainMaxDf}"),
+      s"absolute df cap must appear in the candidate filter:\n$p")
+    // (the 1-row n_docs broadcast rides a BroadcastNestedLoopJoin by
+    // design, so only the true quadratic shape is banned here)
+    assert(!p.contains("CartesianProduct"),
+      s"containment candidates must stay shingle-equi-joined:\n$p")
+  }
 }

@@ -61,6 +61,28 @@ class DedupSpec extends AnyFunSuite {
     assert(jaccard12 < 0.25, s"crafted pair must be jaccard-blind, got $jaccard12")
   }
 
+  test("containment: ABSOLUTE df cap binds independently of the fraction rule") {
+    import spark.implicits._
+    // Four docs share one shingle ("shared token run"); with the fraction
+    // rule disabled (den=1: df ≤ n_docs always true), only the absolute
+    // cap can stop the pair expansion. maxDf=3 < 4 ⇒ zero candidates;
+    // maxDf=4 readmits the shingle ⇒ the fully-contained pair surfaces.
+    val docs = Seq(
+      (1L, "shared token run alpha bravo charlie delta"),
+      (2L, "shared token run"), // 1 shingle, fully inside doc 1
+      (3L, "shared token run echo foxtrot golf hotel"),
+      (4L, "shared token run india juliett kilo lima")
+    ).toDF("doc_id", "text")
+    val capped = Dedup.containmentOf(docs, tPpm = 900000L,
+      dfCapNum = 1, dfCapDen = 1, maxDf = 3)
+    assert(capped.count() === 0L, "df=4 shingle must be dropped by maxDf=3")
+    val open = Dedup.containmentOf(docs, tPpm = 900000L,
+      dfCapNum = 1, dfCapDen = 1, maxDf = 4)
+      .select("doc_contained", "doc_container").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(open.contains((2L, 1L)), s"maxDf=4 must readmit the pair, got $open")
+  }
+
   test("minhash-LSH candidates cover every true jaccard>=0.9 pair (recall sanity)") {
     val lsh = Dedup.minhashLsh(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
