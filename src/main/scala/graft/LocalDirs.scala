@@ -24,4 +24,22 @@ object LocalDirs {
     * not recovery points). */
   def streamingCkpt(name: String): String =
     s"$scratchRoot/graft-ckpt/$name-${java.util.UUID.randomUUID}"
+
+  /** Session-scoped root for the staged-feed cache (one per JVM, deleted on
+    * exit): identical streaming-demo inputs are staged ONCE per session and
+    * hardlinked into each run's throwaway feed dirs — the per-query staging
+    * writes were pure fixed overhead on the bench's repeated passes. */
+  lazy val feedCacheRoot: String = {
+    val dir = s"$scratchRoot/graft-feed-cache/${java.util.UUID.randomUUID}"
+    val f = new java.io.File(dir)
+    f.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete(): Unit
+      }
+      rm(f)
+    }))
+    dir
+  }
 }

@@ -99,6 +99,61 @@ object StreamingOps {
     ChunkFeed(baseDir, watchDir, chunks, maxOrder)
   }
 
+  /** Session-scoped staged-feed cache: the demo/bench harness replays the
+    * SAME deterministic input per query name, and the bench takes 3–5
+    * passes per query — so the quantile pass + partitioned staging write
+    * (two Spark jobs per feed per pass, pure fixed overhead) run ONCE per
+    * (cacheKey) per JVM and every subsequent run HARDLINKS the master's
+    * part-files into its own throwaway feed dirs (a metadata op). The
+    * replay itself is untouched: per-run watch dirs stay unique (the file
+    * source tracks seen paths), [[dropChunk]] renames only the per-run
+    * links, and [[cleanupFeed]] deletes only the per-run tree — the master
+    * under [[graft.LocalDirs.feedCacheRoot]] lives until JVM exit.
+    * Callers' keys MUST determine the staged frame's content (table,
+    * projection, filter, sfDir, chunking), which is what each call site's
+    * literal key + sfDir + orderCol + numChunks encode. */
+  private val stagedMasters =
+    new java.util.concurrent.ConcurrentHashMap[String, ChunkFeed]()
+  private val masterSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def linkOrCopy(src: java.io.File, dst: java.io.File): java.io.File = {
+    dst.getParentFile.mkdirs()
+    try java.nio.file.Files.createLink(dst.toPath, src.toPath)
+    catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+      java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    dst
+  }
+
+  private def stageTimeChunksCached(df: => DataFrame, orderCol: String,
+      numChunks: Int, baseDir: String, cacheKey: String): ChunkFeed = {
+    val key = s"$cacheKey|$orderCol|$numChunks"
+    val master = stagedMasters.computeIfAbsent(key, _ =>
+      stageTimeChunks(df, orderCol, numChunks,
+        s"${graft.LocalDirs.feedCacheRoot}/feed-${masterSeq.getAndIncrement()}"))
+    val watchDir = s"$baseDir/in"
+    new java.io.File(watchDir).mkdirs()
+    val chunks = master.chunks.zipWithIndex.map { case (files, k) =>
+      files.map(f => linkOrCopy(f, new java.io.File(s"$baseDir/stage/chunk=$k", f.getName)))
+    }
+    ChunkFeed(baseDir, watchDir, chunks, master.maxOrder)
+  }
+
+  /** [[stageSentinel]] with the same session cache: sentinel frames are
+    * tiny but each previously cost a full coalesce(1) parquet write JOB per
+    * run. Content is deterministic given the cache key (callers fold the
+    * sentinel's time/id values into it). */
+  private val sentinelMasters =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[java.io.File]]()
+
+  private def stageSentinelCached(df: => DataFrame, dir: String,
+      cacheKey: String): Seq[java.io.File] = {
+    val master = sentinelMasters.computeIfAbsent(cacheKey, _ =>
+      stageSentinel(df,
+        s"${graft.LocalDirs.feedCacheRoot}/sent-${masterSeq.getAndIncrement()}"))
+    master.map(f => linkOrCopy(f, new java.io.File(dir, f.getName)))
+  }
+
   /** Moves chunk k's staged part-files into the watch dir (file rename —
     * a metadata op, no data movement). The file source picks them up on
     * the next trigger. */
