@@ -35,7 +35,9 @@ object LocalDirs {
     f.mkdirs()
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(x: java.io.File): Unit = {
-        if (x.isDirectory) x.listFiles().foreach(rm)
+        // listFiles() returns null on IO error / concurrent deletion — a
+        // shutdown-hook NPE would abandon the rest of the cache tree.
+        if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
         x.delete(): Unit
       }
       rm(f)

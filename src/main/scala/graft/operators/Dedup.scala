@@ -24,6 +24,125 @@ import Similarity.{cosine, toDoubleVec}
   */
 object Dedup {
 
+  // ---- exact substring dedup (sorted-suffix pass) -------------------------
+
+  /** Minimum shared verbatim run, in tokens, for [[substringPairs]] —
+    * the "duplicated training-data span" threshold (the Lee et al. 2022
+    * idea at word granularity: their 50-BPE-token bound ≈ this corpus's
+    * 8-word scale). */
+  val SubstrMinSpan = 8
+  /** Suffixes compare over at most this many tokens (key + extension):
+    * the BOUNDED-suffix discipline that keeps each suffix row O(1) —
+    * reported spans cap here instead of growing with document length. */
+  val SubstrBound = 24
+  /** Sorted-neighborhood window inside each key group ([[SubstrMinSpan]]-
+    * token prefix bucket): only suffix pairs within this rank distance in
+    * the (ext, doc_id, pos) order compare — n·W candidates at any corpus
+    * size, the dedup_semantic/knn_join precedent. Suffixes sharing long
+    * extensions sort ADJACENT, so maximal spans survive the window. */
+  val SubstrWindow = 4
+  /** Absolute per-key suffix cap, the [[ContainMaxDf]] discipline: a
+    * boilerplate 8-token prefix shared by more suffixes than this never
+    * seeds candidates. */
+  val SubstrMaxDf = 1000
+
+  /** EXACT-SUBSTRING near-dup pairs via a sorted-suffix pass — the
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al., 2022) production dedup mode: document pairs sharing a VERBATIM
+    * token run of ≥ [[SubstrMinSpan]] words, with the longest shared run
+    * (capped at [[SubstrBound]]) and the number of detected suffix-pair
+    * sites. [[Curation.dupSpans]] is the per-document complement (which
+    * positions are duplicated); this emits the PAIR GRAPH a substring
+    * deduper feeds to [[clusters]]/[[keepBest]].
+    *
+    * Suffix-array thinking, Spark shape: a true suffix array is a global
+    * sort of all suffixes; pairs with a shared ≥L-token prefix are
+    * CONTIGUOUS there. Observing that any such pair agrees on its first
+    * L tokens exactly, the global sort decomposes into independent
+    * L-token-prefix buckets (the `key` equi-join — a hash shuffle, no
+    * global ordering problem), and WITHIN a bucket the suffix order is
+    * the extension order — where the sorted-neighborhood window bounds
+    * pair fan-out at n·W while keeping maximal runs adjacent. Contract
+    * (both engines, verbatim): suffixes = every position with ≥ L tokens
+    * remaining, key = L-token slice, ext = next B−L tokens; keys with
+    * more than [[SubstrMaxDf]] suffixes are dropped (boilerplate cap);
+    * candidates are same-key pairs within rank distance W of the
+    * (ext, doc_id, pos) order across DIFFERENT docs; span = L + LCP(ext).
+    * Everything is linear in corpus tokens: suffix rows O(tokens), each
+    * O(B) wide, one key-hash shuffle + one rank window + one bounded
+    * equi-join. */
+  def substringPairs(spark: SparkSession, sfDir: String): DataFrame =
+    substringPairsOf(Tables.documents(spark, sfDir),
+      SubstrMinSpan, SubstrBound, SubstrWindow, SubstrMaxDf)
+
+  /** Core over an explicit (doc_id, text) frame — specs feed crafted
+    * shared-run corpora. */
+  def substringPairsOf(docs: DataFrame, minSpan: Int, bound: Int,
+      w: Int, maxDf: Int): DataFrame = {
+    val ext = bound - minSpan
+    val suf = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= minSpan)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(t) - $minSpan), i -> " +
+          s"struct(slice(t, i + 1, $minSpan) AS key, slice(t, i + 1 + $minSpan, $ext) AS ext))")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col.key").as("key"), col("col.ext").as("ext"))
+      .localCheckpoint() // df cap + rank window share one suffix pass
+    val dfk = suf.groupBy(col("key")).agg(count(lit(1)).as("df"))
+    val ranked = suf.join(dfk, Seq("key")).filter(col("df") <= maxDf)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("ext"), col("doc_id"), col("pos"))))
+      .select(col("key"), col("rk"), col("doc_id"), col("ext"))
+      .localCheckpoint() // both candidate sides read the ranked frame
+    val probes = ranked
+      .withColumn("j", explode(expr(s"sequence(1, $w)")))
+      .select(col("key"), (col("rk") + col("j")).as("rk"),
+        col("doc_id").as("da_raw"), col("ext").as("ea"))
+    val spans = probes.join(
+        ranked.select(col("key"), col("rk"),
+          col("doc_id").as("db_raw"), col("ext").as("eb")),
+        Seq("key", "rk"))
+      .filter(col("da_raw") =!= col("db_raw"))
+      .select(least(col("da_raw"), col("db_raw")).as("doc_a"),
+        greatest(col("da_raw"), col("db_raw")).as("doc_b"),
+        // LCP over the bounded extensions: zip_with pads the shorter side
+        // with nulls, so x <=> y turns false exactly at the first
+        // divergence OR at min-length exhaustion; array_position returns
+        // 0 (not NULL) when no false exists — identical extensions —
+        // hence the nullif fallthrough to the min length.
+        expr(s"$minSpan + coalesce(" +
+          "nullif(array_position(zip_with(ea, eb, (x, y) -> x <=> y), false), 0) - 1, " +
+          "least(size(ea), size(eb)))").cast("long").as("span"))
+    spans.groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("span")).as("max_span"), count(lit(1)).as("n_hits"))
+  }
+
+  def substringPairsSql(minSpan: Int = SubstrMinSpan, bound: Int = SubstrBound,
+      w: Int = SubstrWindow, maxDf: Int = SubstrMaxDf): String =
+    s"""WITH toks AS (SELECT doc_id, ${TextOps.tokensSql} AS t FROM documents),
+       |suf AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    t[i:i+$minSpan-1] AS key, t[i+$minSpan:i+$bound-1] AS ext
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - $minSpan + 1)) AS i) g
+       |  WHERE len(t) >= $minSpan),
+       |dfk AS (SELECT key, count(*) AS df FROM suf GROUP BY 1),
+       |ranked AS (SELECT s.*, row_number() OVER (
+       |    PARTITION BY s.key ORDER BY s.ext, s.doc_id, s.pos) AS rk
+       |  FROM suf s JOIN dfk ON s.key = dfk.key WHERE dfk.df <= $maxDf),
+       |cand AS (SELECT a.doc_id AS da_raw, b.doc_id AS db_raw, a.ext AS ea, b.ext AS eb
+       |  FROM ranked a JOIN ranked b
+       |    ON a.key = b.key AND b.rk - a.rk BETWEEN 1 AND $w AND a.doc_id <> b.doc_id),
+       |scored AS (SELECT least(da_raw, db_raw) AS doc_a, greatest(da_raw, db_raw) AS doc_b,
+       |    $minSpan + COALESCE(NULLIF(list_position(
+       |        list_transform(generate_series(1, least(len(ea), len(eb))),
+       |          i -> ea[i] IS DISTINCT FROM eb[i]), true), 0) - 1,
+       |      least(len(ea), len(eb))) AS span
+       |  FROM cand)
+       |SELECT doc_a, doc_b, CAST(max(span) AS BIGINT) AS max_span,
+       |  CAST(count(*) AS BIGINT) AS n_hits
+       |FROM scored GROUP BY 1, 2""".stripMargin
+
   /** Exact duplicate groups by md5 of raw text. One shuffle on the hash;
     * at scale this is the cheapest possible dedup (map-side partial agg). */
   def exact(spark: SparkSession, sfDir: String): DataFrame =
@@ -165,24 +284,40 @@ object Dedup {
     * Contract (both engines, verbatim): candidates are doc pairs sharing
     * ≥ 1 shingle whose document frequency passes BOTH caps — an ABSOLUTE
     * cap `df ≤ ContainMaxDf` and a fractional boilerplate drop
-    * `df ≤ dfCapNum/dfCapDen · n_docs`. The absolute cap is what bounds
-    * per-shingle join fan-out at ANY corpus size (≤ C(ContainMaxDf,2)
-    * pairs per shingle, a constant — the [[Curation.WinnowMaxDf]]
-    * discipline; a FRACTIONAL cap alone does not bound fan-out: a shingle
-    * in f·n docs passes it yet yields O((f·n)²) pairs, quadratic in the
-    * corpus — the round-7 verdict's scale defect). The fraction rule stays
-    * only as a boilerplate filter: a shingle most of a SMALL corpus shares
-    * discriminates nothing even when its absolute df is tiny. Scoring is
-    * then EXACT over the full shingle sets of the candidates, reported as
-    * integer ppm. Pairs whose every shared shingle is capped are out of
-    * contract BY DEFINITION (not missed — the oracle applies both rules).
+    * `df ≤ dfCapNum/dfCapDen · n_docs`. Scoring is then EXACT over the
+    * full shingle sets of the candidates, reported as integer ppm. Pairs
+    * whose every shared shingle is capped are out of contract BY
+    * DEFINITION (not missed — the oracle applies both rules).
     *
-    * Shape: one (doc, shingle) dedup + one shingle-keyed candidate
-    * self-join (both bounded by the df cap), then two |candidates|-bounded
-    * joins back to the checkpointed per-doc sorted-hash arrays for the
-    * exact `array_intersect`. Hashing shingles to int64 first
-    * (xxhash64, engine-internal) keeps the shuffle and the intersections
-    * on longs — values the oracle checks are hash-free counts. */
+    * CANDIDATE GENERATION is prefix-filtered (the AllPairs/PPJoin family
+    * adapted to the asymmetric overlap measure) and PROVABLY emits the
+    * same final output as the declarative contract the oracle states:
+    * with kept shingles in a global (df asc, hash asc) canonical order,
+    * a qualifying pair — containment ≥ t with A the min-size side —
+    * has |A\B| ≤ ⌊(1-t)·|A|⌋, so among the first ⌊(1-t)·|A|⌋+1 kept
+    * shingles of A at least one is in B (and "kept" is a global property
+    * of the shingle, so it sits in B's kept postings too; if A has fewer
+    * kept shingles than that, its whole kept set is the prefix and the
+    * contract's "≥ 1 shared kept shingle" case applies verbatim). So
+    * joining PREFIX postings against kept postings loses no contract
+    * pair, and extra candidates die on the exact score. This is what
+    * actually bounds the join at scale: the round-8 absolute df cap
+    * limits a shingle's fan-out to C(maxDf,2) ≈ 500k pairs, but a corpus
+    * with thousands of near-cap shingles (measured: sf10 = 100 disjoint
+    * sf0.1-shaped copies) still shuffled ~94 GB of candidates and OOM'd
+    * the 125 GiB host. Under df-ascending prefix order the high-df
+    * shingles sort LAST inside every document and essentially never
+    * enter a prefix, so per-shingle fan-out is prefix_df(s)·df(s) with
+    * Σ prefix_df ≈ (1-t)·|postings| concentrated on RARE shingles —
+    * linear in the corpus for fixed t. Both caps stay as hard bounds.
+    *
+    * Shape: one (doc, shingle) dedup + per-doc rank window (one doc_id
+    * shuffle) + one shingle-keyed prefix⋈kept join, then two
+    * |candidates|-bounded joins back to the checkpointed per-doc
+    * sorted-hash arrays for the exact `array_intersect`. Hashing shingles
+    * to int64 first (xxhash64, engine-internal) keeps the shuffle and the
+    * intersections on longs — values the oracle checks are hash-free
+    * counts. */
   def containment(spark: SparkSession, sfDir: String,
       tPpm: Long = 900000L, dfCapNum: Int = 1, dfCapDen: Int = 10): DataFrame =
     containmentOf(Tables.documents(spark, sfDir), tPpm, dfCapNum, dfCapDen)
@@ -202,8 +337,75 @@ object Dedup {
       maxDf: Int = ContainMaxDf): DataFrame = {
     val sh = shinglesOfTokenized(
         docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t")))
-      .select(col("doc_id"), col("shingle"), xxhash64(col("shingle")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       .localCheckpoint() // sets + df + candidate join all read it
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("sh"))).as("ss"))
+      .withColumn("n", size(col("ss")).cast("long"))
+      .localCheckpoint()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // `keep` is referenced twice (prefix derivation + the b-side); both
+    // subtrees are structurally identical up to the df aggregation, so
+    // ReuseExchange shares the dfc shuffle instead of a checkpoint —
+    // which would eagerly materialize and hide the cap filter from the
+    // plan the audit pins.
+    val keep = sh.join(dfc, Seq("sh")).crossJoin(broadcast(nDocs))
+      .filter(col("df") <= maxDf &&
+        col("df") * dfCapDen <= col("n_docs") * dfCapNum)
+      .select(col("sh"), col("doc_id"), col("df"))
+    // Prefix postings: per doc, the first ⌊(1-t)·n_full⌋+1 KEPT shingles
+    // in (df asc, hash asc) order. n is the FULL set size (the score's
+    // min-denominator), so the bound |A\B| ≤ ⌊(1-t)·n⌋ is over the same
+    // n the threshold divides by; the arithmetic is all-integer (ppm DIV),
+    // so the prefix length is exactly the theoretical bound — no float
+    // fuzz to guard.
+    val ranked = keep
+      .join(sets.select(col("doc_id"), col("n")), Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+    val prefix = ranked
+      .filter(col("rk") <= expr(s"n * ${1000000L - tPpm} DIV 1000000") + lit(1))
+      .select(col("sh"), col("doc_id"))
+    val candidates = prefix.as("a").join(keep.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
+      .distinct()
+    scoreContainment(candidates, sets, tPpm)
+  }
+
+  /** Exact containment scoring shared by [[containmentOf]] and its naive
+    * differential twin: two candidate-bounded joins back to the full
+    * sorted-hash arrays, integer-ppm threshold. */
+  private def scoreContainment(candidates: DataFrame, sets: DataFrame,
+      tPpm: Long): DataFrame =
+    candidates
+      .join(sets.select(col("doc_id").as("da"), col("ss").as("ssa"), col("n").as("na")), Seq("da"))
+      .join(sets.select(col("doc_id").as("db"), col("ss").as("ssb"), col("n").as("nb")), Seq("db"))
+      .withColumn("n_common", size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
+      .withColumn("containment_ppm", expr("n_common * 1000000 div least(na, nb)"))
+      .filter(col("containment_ppm") >= tPpm)
+      .select(
+        // contained side first: the smaller set (ties → smaller doc_id,
+        // which the a<b candidate order already guarantees)
+        when(col("na") <= col("nb"), col("da")).otherwise(col("db")).as("doc_contained"),
+        when(col("na") <= col("nb"), col("db")).otherwise(col("da")).as("doc_container"),
+        least(col("na"), col("nb")).as("n_contained"),
+        col("n_common"), col("containment_ppm"))
+
+  /** Reference generator (the contract stated literally: ALL kept-posting
+    * pairs, no prefix filter) — spec-only, proves [[containmentOf]]'s
+    * prefix-filtered candidates lose no output pair. This is the shape
+    * the sf10 audit OOM'd: Σ_shingles C(df,2) candidates. */
+  def containmentOfNaive(docs: DataFrame,
+      tPpm: Long, dfCapNum: Int, dfCapDen: Int,
+      maxDf: Int = ContainMaxDf): DataFrame = {
+    val sh = shinglesOfTokenized(
+        docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t")))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .localCheckpoint()
     val sets = sh.groupBy(col("doc_id"))
       .agg(array_sort(collect_list(col("sh"))).as("ss"))
       .withColumn("n", size(col("ss")).cast("long"))
@@ -218,19 +420,7 @@ object Dedup {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    candidates
-      .join(sets.select(col("doc_id").as("da"), col("ss").as("ssa"), col("n").as("na")), Seq("da"))
-      .join(sets.select(col("doc_id").as("db"), col("ss").as("ssb"), col("n").as("nb")), Seq("db"))
-      .withColumn("n_common", size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
-      .withColumn("containment_ppm", expr("n_common * 1000000 div least(na, nb)"))
-      .filter(col("containment_ppm") >= tPpm)
-      .select(
-        // contained side first: the smaller set (ties → smaller doc_id,
-        // which the a<b candidate order already guarantees)
-        when(col("na") <= col("nb"), col("da")).otherwise(col("db")).as("doc_contained"),
-        when(col("na") <= col("nb"), col("db")).otherwise(col("da")).as("doc_container"),
-        least(col("na"), col("nb")).as("n_contained"),
-        col("n_common"), col("containment_ppm"))
+    scoreContainment(candidates, sets, tPpm)
   }
 
   def containmentSql(tPpm: Long = 900000L, dfCapNum: Int = 1, dfCapDen: Int = 10,

@@ -195,9 +195,10 @@ object Ranking {
     * equi-joins back to the tf rows), reported as fixed-point
     * cos²·1e6 = dot²·1e6 div (‖a‖²·‖b‖²) — squaring dodges the
     * non-portable sqrt while preserving the ranking (cos ≥ 0 here since
-    * tf ≥ 0). Magnitude bound: dot ≤ len_a·len_b, so dot²·1e6 stays inside
-    * int64 for docs up to ~2000 tokens — the corpus contract; longer docs
-    * would drop Scale, not the shape.
+    * tf ≥ 0). Magnitude: dot²·1e6 runs through 38-digit integer
+    * arithmetic (Spark DECIMAL(38,0) IntegralDivide / DuckDB HUGEINT),
+    * exact for docs up to ~56M tokens — int64 would wrap-in-Spark /
+    * raise-in-DuckDB past ~1740 tokens, a divergent failure mode.
     *
     * Shape: ONE (doc, term) aggregation (map-side partials) feeds both the
     * prefix index (WindowGroupLimit keeps ≤ R rows/term before its
@@ -238,7 +239,16 @@ object Ranking {
     dot
       .join(norms.select(col("doc_id").as("a"), col("norm2").as("na")), Seq("a"))
       .join(norms.select(col("doc_id").as("b"), col("norm2").as("nb")), Seq("b"))
-      .withColumn("cos2_fp", expr("(dot * dot * 1000000) div (na * nb)"))
+      // dot²·1e6 through a DECIMAL(38,0) intermediate (DuckDB twin:
+      // HUGEINT): the int64 spelling wrapped silently in Spark (non-ANSI)
+      // but raised in DuckDB once docs passed ~1740 tokens — a DIVERGENT
+      // failure mode on a drifted corpus. 38-digit integer arithmetic is
+      // exact here (dot ≤ tokens², so dot²·1e6 < 1e38 up to ~56M-token
+      // docs) and `div` on decimals is Spark's IntegralDivide — exact
+      // floor, no decimal-division rounding in play; result ≤ 1e6 rides
+      // back down to BIGINT.
+      .withColumn("cos2_fp", expr(
+        "CAST((CAST(dot AS DECIMAL(38,0)) * dot * 1000000) div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"))
       .orderBy(col("cos2_fp").desc, col("a").asc, col("b").asc)
       .limit(topK)
       .select(col("a"), col("b"), col("dot"), col("na"), col("nb"), col("cos2_fp"))
@@ -261,7 +271,7 @@ object Ranking {
        |  GROUP BY c.a, c.b)
        |SELECT d.a, d.b, CAST(d.dot AS BIGINT) AS dot,
        |  CAST(na.norm2 AS BIGINT) AS na, CAST(nb.norm2 AS BIGINT) AS nb,
-       |  CAST((d.dot * d.dot * 1000000) // (na.norm2 * nb.norm2) AS BIGINT) AS cos2_fp
+       |  CAST((CAST(d.dot AS HUGEINT) * d.dot * 1000000) // (CAST(na.norm2 AS HUGEINT) * nb.norm2) AS BIGINT) AS cos2_fp
        |FROM dot d
        |JOIN norms na ON na.doc_id = d.a
        |JOIN norms nb ON nb.doc_id = d.b

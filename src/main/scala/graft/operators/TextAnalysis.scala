@@ -391,8 +391,14 @@ object TextAnalysis {
     * max), so the full pipeline is one |types|·m-row shuffle: the sketch
     * answer costs O(types·m) longs regardless of corpus size, while the
     * exact validation column pays the full distinct shuffle next to it. */
-  def hllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
-    val ids = Tables.events(spark, sfDir)
+  def hllDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    hllDistinctOf(Tables.events(spark, sfDir))
+
+  /** Core over an explicit events frame — the spec feeds a crafted corpus
+    * with an event_type literally named 'ALL' to prove the merged row
+    * cannot collide with it. */
+  def hllDistinctOf(events: DataFrame): DataFrame = {
+    val ids = events
       .filter(col("event_id").isNotNull)
       .select(col("event_type"), Hashing.md5Long(col("event_id").cast("string")).as("h"))
       .select(col("event_type"), (col("h") % HllM).as("bucket"),
@@ -404,26 +410,34 @@ object TextAnalysis {
     val regs = ids.groupBy(col("event_type"), col("bucket"))
       .agg(max(col("rho")).as("r"))
       .localCheckpoint() // per-type sketches; the ALL row merges THESE
+    // `merged` rides as an explicit 0/1 key next to the display scope: the
+    // previous 'ALL' display string doubling as the JOIN key meant an
+    // event_type literally named 'ALL' cross-matched the merged row in the
+    // est/exact join — identically in both engines, so the oracle was
+    // blind to it (round-8 ADVICE). With the flag in the join key the
+    // collision is unrepresentable.
     val regsAll = regs.groupBy(col("bucket")).agg(max(col("r")).as("r"))
-      .select(lit("ALL").as("scope"), col("bucket"), col("r"))
-    val allRegs = regs.select(col("event_type").as("scope"), col("bucket"), col("r"))
+      .select(lit("ALL").as("scope"), lit(1L).as("merged"), col("bucket"), col("r"))
+    val allRegs = regs.select(col("event_type").as("scope"),
+        lit(0L).as("merged"), col("bucket"), col("r"))
       .unionAll(regsAll)
-    val est = allRegs.groupBy(col("scope"))
+    val est = allRegs.groupBy(col("scope"), col("merged"))
       .agg(count(lit(1)).as("n_used"),
         sum(expr("shiftleft(1L, CAST(45 - r AS INT))")).as("z_present"))
-      .select(col("scope"), col("n_used"),
+      .select(col("scope"), col("merged"), col("n_used"),
         expr(s"$HllNumerator div (($HllM - n_used) * ${1L << 45}L + z_present)")
           .as("hll_est"))
-    val exact = Tables.events(spark, sfDir)
+    val exact = events
       .filter(col("event_id").isNotNull)
       .select(col("event_type"), col("event_id")).distinct()
       .localCheckpoint(eager = false)
     val exactByType = exact.groupBy(col("event_type").as("scope"))
-      .agg(count(lit(1)).as("n_exact"))
+      .agg(count(lit(1)).as("n_exact")).withColumn("merged", lit(0L))
     val exactAll = exact.select(col("event_id")).distinct()
-      .agg(count(lit(1)).as("n_exact")).select(lit("ALL").as("scope"), col("n_exact"))
-    est.join(exactByType.unionAll(exactAll), Seq("scope"))
-      .select(col("scope"), col("n_exact"), col("hll_est"), col("n_used"))
+      .agg(count(lit(1)).as("n_exact"))
+      .select(lit("ALL").as("scope"), col("n_exact")).withColumn("merged", lit(1L))
+    est.join(exactByType.unionAll(exactAll), Seq("scope", "merged"))
+      .select(col("scope"), col("merged"), col("n_exact"), col("hll_est"), col("n_used"))
   }
 
   val hllDistinctSql: String = {
@@ -437,21 +451,23 @@ object TextAnalysis {
        |  FROM ids),
        |regs AS (SELECT event_type, bucket, max(rho) AS r FROM rho GROUP BY 1, 2),
        |all_regs AS (
-       |  SELECT event_type AS scope, bucket, r FROM regs
+       |  SELECT event_type AS scope, CAST(0 AS BIGINT) AS merged, bucket, r FROM regs
        |  UNION ALL
-       |  SELECT 'ALL', bucket, max(r) FROM regs GROUP BY 2),
-       |est AS (SELECT scope, count(*) AS n_used,
+       |  SELECT 'ALL', CAST(1 AS BIGINT), bucket, max(r) FROM regs GROUP BY 3),
+       |est AS (SELECT scope, merged, count(*) AS n_used,
        |    $HllNumerator // (($HllM - count(*)) * ${1L << 45} + sum(1::BIGINT << (45 - r)))
        |      AS hll_est
-       |  FROM all_regs GROUP BY 1),
+       |  FROM all_regs GROUP BY 1, 2),
        |exact AS (
-       |  SELECT event_type AS scope, count(DISTINCT event_id) AS n_exact
+       |  SELECT event_type AS scope, CAST(0 AS BIGINT) AS merged,
+       |    count(DISTINCT event_id) AS n_exact
        |  FROM events WHERE event_id IS NOT NULL GROUP BY 1
        |  UNION ALL
-       |  SELECT 'ALL', count(DISTINCT event_id) FROM events WHERE event_id IS NOT NULL)
-       |SELECT est.scope, CAST(n_exact AS BIGINT) AS n_exact,
+       |  SELECT 'ALL', CAST(1 AS BIGINT), count(DISTINCT event_id)
+       |  FROM events WHERE event_id IS NOT NULL)
+       |SELECT est.scope, est.merged, CAST(n_exact AS BIGINT) AS n_exact,
        |  CAST(hll_est AS BIGINT) AS hll_est, CAST(n_used AS BIGINT) AS n_used
-       |FROM est JOIN exact ON est.scope = exact.scope""".stripMargin
+       |FROM est JOIN exact ON est.scope = exact.scope AND est.merged = exact.merged""".stripMargin
   }
 
   /** Count-Min sketch geometry: depth (independent hash rows) × width

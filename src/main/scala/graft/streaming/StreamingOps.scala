@@ -39,7 +39,7 @@ object StreamingOps {
     * time-chunk k, moved in by [[dropChunk]] one chunk per micro-batch;
     * `baseDir` owns both and is deleted by [[cleanupFeed]] once the run's
     * result is materialized. */
-  private case class ChunkFeed(baseDir: String, watchDir: String,
+  private[streaming] case class ChunkFeed(baseDir: String, watchDir: String,
       chunks: IndexedSeq[Seq[java.io.File]], maxOrder: Option[Long])
 
   /** Deletes a feed's staging + watch dirs. Every demo query drains into a
@@ -120,12 +120,17 @@ object StreamingOps {
     dst.getParentFile.mkdirs()
     try java.nio.file.Files.createLink(dst.toPath, src.toPath)
     catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-      java.nio.file.Files.copy(src.toPath, dst.toPath)
+      // REPLACE_EXISTING: if createLink failed for any reason other than
+      // cross-filesystem (e.g. dst already present from a retried run),
+      // a plain copy would throw FileAlreadyExistsException instead of
+      // falling back cleanly.
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     dst
   }
 
-  private def stageTimeChunksCached(df: => DataFrame, orderCol: String,
+  private[streaming] def stageTimeChunksCached(df: => DataFrame, orderCol: String,
       numChunks: Int, baseDir: String, cacheKey: String): ChunkFeed = {
     val key = s"$cacheKey|$orderCol|$numChunks"
     val master = stagedMasters.computeIfAbsent(key, _ =>
@@ -146,7 +151,7 @@ object StreamingOps {
   private val sentinelMasters =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[java.io.File]]()
 
-  private def stageSentinelCached(df: => DataFrame, dir: String,
+  private[streaming] def stageSentinelCached(df: => DataFrame, dir: String,
       cacheKey: String): Seq[java.io.File] = {
     val master = sentinelMasters.computeIfAbsent(cacheKey, _ =>
       stageSentinel(df,
@@ -371,8 +376,8 @@ object StreamingOps {
     val gapUs = gapMinutes * 60L * 1000000L
     val evs = Tables.events(spark, sfDir)
       .selectExpr("user_id", "event_id", "ts div 1000 AS us", "value")
-    val feed = stageTimeChunks(evs, "us", numChunks,
-      ckptDir("graft_stream_sessionize_feed"))
+    val feed = stageTimeChunksCached(evs, "us", numChunks,
+      ckptDir("graft_stream_sessionize_feed"), s"graft_stream_sessionize_feed|$sfDir|$numChunks")
     val maxUs = maxUsOrFail("streamingSessionize", feed)
     val stream = spark.readStream.schema(evs.schema).parquet(feed.watchDir).as[Ev]
     val sessions = sessionizeStream(stream, gapUs)
@@ -383,8 +388,8 @@ object StreamingOps {
     // (marker-id) session stays open and is filtered out below. Pre-staged
     // before the stream starts and folded into the LAST chunk drop — see
     // [[stageSentinel]] for why this costs one fewer micro-batch.
-    val sent = stageSentinel(Seq(Ev(-1L, -1L, maxUs + 1000L * gapUs, 0.0)).toDS().toDF(),
-      s"${feed.baseDir}/sentinel")
+    val sent = stageSentinelCached(Seq(Ev(-1L, -1L, maxUs + 1000L * gapUs, 0.0)).toDS().toDF(),
+      s"${feed.baseDir}/sentinel", s"sessionize-sent|$sfDir|$gapMinutes")
     // try/finally: a failed run must still reclaim the staged corpus copy
     // (tmpfs scratch) — the memory-sink table is complete or irrelevant.
     try withStateParts(spark) {
@@ -431,8 +436,8 @@ object StreamingOps {
     val gapUs = gapMinutes * 60L * 1000000L
     val evs = Tables.events(spark, sfDir)
       .selectExpr("user_id", "event_id", "ts div 1000 AS us", "value")
-    val feed = stageTimeChunks(evs, "us", numChunks,
-      ckptDir("graft_stream_session_native_feed"))
+    val feed = stageTimeChunksCached(evs, "us", numChunks,
+      ckptDir("graft_stream_session_native_feed"), s"graft_stream_session_native_feed|$sfDir|$numChunks")
     val maxUs = maxUsOrFail("streamingSessionWindow", feed)
     val sessions = spark.readStream.schema(evs.schema).parquet(feed.watchDir)
       .withColumn("event_time", timestamp_micros(col("us")))
@@ -449,8 +454,8 @@ object StreamingOps {
     // the watermark past every real session's end so append mode emits
     // them all; its own session is filtered out below. Pre-staged, folded
     // into the last chunk drop ([[stageSentinel]]).
-    val sent = stageSentinel(Seq(Ev(-1L, -1L, maxUs + 2000L * gapUs, 0.0)).toDS().toDF(),
-      s"${feed.baseDir}/sentinel")
+    val sent = stageSentinelCached(Seq(Ev(-1L, -1L, maxUs + 2000L * gapUs, 0.0)).toDS().toDF(),
+      s"${feed.baseDir}/sentinel", s"swin-sent|$sfDir|$gapMinutes")
     try withStateParts(spark) {
       val q = sessions.writeStream.outputMode("append").format("memory").queryName(name)
         .option("checkpointLocation", ckptDir(name)).start()
@@ -556,8 +561,8 @@ object StreamingOps {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val name = "graft_stream_session_tws"
     try {
-      val feed = stageTimeChunks(evs, "us", numChunks,
-        ckptDir("graft_stream_session_tws_feed"))
+      val feed = stageTimeChunksCached(evs, "us", numChunks,
+        ckptDir("graft_stream_session_tws_feed"), s"graft_stream_session_tws_feed|$sfDir|$numChunks")
       try {
         val maxUs = maxUsOrFail("streamingSessionizeTws", feed)
         val sessions = spark.readStream.schema(evs.schema).parquet(feed.watchDir)
@@ -568,8 +573,8 @@ object StreamingOps {
           .transformWithState(new GapSessionProcessor(gapUs),
             TimeMode.EventTime(), OutputMode.Append())
         // Pre-staged sentinel, folded into the last chunk ([[stageSentinel]]).
-        val sent = stageSentinel(Seq(Ev(-1L, -1L, maxUs + 1000L * gapUs, 0.0)).toDS().toDF(),
-          s"${feed.baseDir}/sentinel")
+        val sent = stageSentinelCached(Seq(Ev(-1L, -1L, maxUs + 1000L * gapUs, 0.0)).toDS().toDF(),
+          s"${feed.baseDir}/sentinel", s"tws-sent|$sfDir|$gapMinutes")
         withStateParts(spark) {
           val q = sessions.writeStream.outputMode("append").format("memory").queryName(name)
             .option("checkpointLocation", ckptDir(name)).start()
@@ -664,8 +669,8 @@ object StreamingOps {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val name = "graft_stream_transitions"
     try {
-      val feed = stageTimeChunks(evs, "us", numChunks,
-        ckptDir("graft_stream_transitions_feed"))
+      val feed = stageTimeChunksCached(evs, "us", numChunks,
+        ckptDir("graft_stream_transitions_feed"), s"graft_stream_transitions_feed|$sfDir|$numChunks")
       try {
         val steps = spark.readStream.schema(evs.schema).parquet(feed.watchDir)
           .as[TEv]
@@ -784,7 +789,7 @@ object StreamingOps {
     val name = "graft_stream_kmv"
     var sentWin = Long.MaxValue // sentinel window start, set once staged
     try {
-      val feed = stageTimeChunks(evs, "us", numChunks, ckptDir("graft_stream_kmv_feed"))
+      val feed = stageTimeChunksCached(evs, "us", numChunks, ckptDir("graft_stream_kmv_feed"), s"graft_stream_kmv_feed|$sfDir|$numChunks")
       try {
         val maxUs = maxUsOrFail("streamingKmv", feed)
         val sketches = spark.readStream.schema(evs.schema).parquet(feed.watchDir)
@@ -800,8 +805,8 @@ object StreamingOps {
         // window's end falls below it, so every real timer fires.
         val sentUs = (maxUs / WinUs + 2L) * WinUs
         sentWin = sentUs / WinUs * WinUs
-        val sent = stageSentinel(Seq(KEv(sentWin, -1L, sentUs)).toDS().toDF(),
-          s"${feed.baseDir}/sentinel")
+        val sent = stageSentinelCached(Seq(KEv(sentWin, -1L, sentUs)).toDS().toDF(),
+          s"${feed.baseDir}/sentinel", s"kmv-sent|$sfDir")
         withStateParts(spark) {
           val q = sketches.writeStream.outputMode("append").format("memory").queryName(name)
             .option("checkpointLocation", ckptDir(name)).start()
@@ -917,7 +922,7 @@ object StreamingOps {
     val name = "graft_stream_hll"
     var sentWin = Long.MaxValue
     try {
-      val feed = stageTimeChunks(evs, "us", numChunks, ckptDir("graft_stream_hll_feed"))
+      val feed = stageTimeChunksCached(evs, "us", numChunks, ckptDir("graft_stream_hll_feed"), s"graft_stream_hll_feed|$sfDir|$numChunks")
       try {
         val maxUs = maxUsOrFail("streamingHll", feed)
         val sketches = spark.readStream.schema(evs.schema).parquet(feed.watchDir)
@@ -930,8 +935,8 @@ object StreamingOps {
             TimeMode.EventTime(), OutputMode.Append())
         val sentUs = (maxUs / WinUs + 2L) * WinUs
         sentWin = sentUs / WinUs * WinUs
-        val sent = stageSentinel(Seq(HllEv(sentWin, 0L, 1L, sentUs)).toDS().toDF(),
-          s"${feed.baseDir}/sentinel")
+        val sent = stageSentinelCached(Seq(HllEv(sentWin, 0L, 1L, sentUs)).toDS().toDF(),
+          s"${feed.baseDir}/sentinel", s"hll-sent|$sfDir")
         withStateParts(spark) {
           val q = sketches.writeStream.outputMode("append").format("memory").queryName(name)
             .option("checkpointLocation", ckptDir(name)).start()
@@ -1070,7 +1075,7 @@ object StreamingOps {
     val name = "graft_stream_cms"
     var sentWin = Long.MaxValue
     try {
-      val feed = stageTimeChunks(evs, "us", numChunks, ckptDir("graft_stream_cms_feed"))
+      val feed = stageTimeChunksCached(evs, "us", numChunks, ckptDir("graft_stream_cms_feed"), s"graft_stream_cms_feed|$sfDir|$numChunks")
       try {
         val maxUs = maxUsOrFail("streamingCms", feed)
         val rows = spark.readStream.schema(evs.schema).parquet(feed.watchDir)
@@ -1082,9 +1087,9 @@ object StreamingOps {
             TimeMode.EventTime(), OutputMode.Append())
         val sentUs = (maxUs / WinUs + 2L) * WinUs
         sentWin = sentUs / WinUs * WinUs
-        val sent = stageSentinel(
+        val sent = stageSentinelCached(
           Seq(CmsEv(sentWin, 0L, 0L, 0L, 0L, sentUs)).toDS().toDF(),
-          s"${feed.baseDir}/sentinel")
+          s"${feed.baseDir}/sentinel", s"cms-sent|$sfDir")
         withStateParts(spark) {
           val q = rows.writeStream.outputMode("append").format("memory").queryName(name)
             .option("checkpointLocation", ckptDir(name)).start()
@@ -1172,8 +1177,8 @@ object StreamingOps {
     val clickDf = side("click")
     val purchDf = side("purchase")
     val base = ckptDir("graft_stream_ivjoin_feed")
-    val cFeed = stageTimeChunks(clickDf, "us", numChunks, s"$base/clicks")
-    val pFeed = stageTimeChunks(purchDf, "us", numChunks, s"$base/purchases")
+    val cFeed = stageTimeChunksCached(clickDf, "us", numChunks, s"$base/clicks", s"ivjoin-clicks|$sfDir|$numChunks")
+    val pFeed = stageTimeChunksCached(purchDf, "us", numChunks, s"$base/purchases", s"ivjoin-purchases|$sfDir|$numChunks")
     val clicks = spark.readStream.schema(clickDf.schema).parquet(cFeed.watchDir)
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         timestamp_micros(col("us")).as("c_time"))
@@ -1233,8 +1238,8 @@ object StreamingOps {
     val clickDf = side("click")
     val purchDf = side("purchase")
     val base = ckptDir("graft_stream_lojoin_feed")
-    val cFeed = stageTimeChunks(clickDf, "us", numChunks, s"$base/clicks")
-    val pFeed = stageTimeChunks(purchDf, "us", numChunks, s"$base/purchases")
+    val cFeed = stageTimeChunksCached(clickDf, "us", numChunks, s"$base/clicks", s"lojoin-clicks|$sfDir|$numChunks")
+    val pFeed = stageTimeChunksCached(purchDf, "us", numChunks, s"$base/purchases", s"lojoin-purchases|$sfDir|$numChunks")
     val name = "graft_stream_lojoin"
     // try/finally: the staged corpus copies are garbage whether the run
     // succeeded or threw — without it, a failed run leaks them into /dev/shm.
@@ -1246,8 +1251,9 @@ object StreamingOps {
       val hourUs = 3600L * 1000000L
       // Pre-staged per-side sentinels ([[stageSentinel]]): renamed in with
       // the last chunk so chunk + flush share ONE micro-batch listing.
-      def sentinel(userId: Long, dir: String) = stageSentinel(
-        Seq((userId, -1L, maxUs + 2L * hourUs)).toDF("user_id", "event_id", "us"), dir)
+      def sentinel(userId: Long, dir: String) = stageSentinelCached(
+        Seq((userId, -1L, maxUs + 2L * hourUs)).toDF("user_id", "event_id", "us"), dir,
+        s"lojoin-sent|$sfDir|$userId")
       val cSent = sentinel(-1L, s"$base/sent_c")
       val pSent = sentinel(-2L, s"$base/sent_p")
       val clicks = spark.readStream.schema(clickDf.schema).parquet(cFeed.watchDir)
@@ -1314,8 +1320,8 @@ object StreamingOps {
     val clickDf = side("click")
     val purchDf = side("purchase")
     val base = ckptDir("graft_stream_fojoin_feed")
-    val cFeed = stageTimeChunks(clickDf, "us", numChunks, s"$base/clicks")
-    val pFeed = stageTimeChunks(purchDf, "us", numChunks, s"$base/purchases")
+    val cFeed = stageTimeChunksCached(clickDf, "us", numChunks, s"$base/clicks", s"fojoin-clicks|$sfDir|$numChunks")
+    val pFeed = stageTimeChunksCached(purchDf, "us", numChunks, s"$base/purchases", s"fojoin-purchases|$sfDir|$numChunks")
     val name = "graft_stream_fojoin"
     try {
       // NULL-safe per side: either side may legitimately be empty (a round
@@ -1325,8 +1331,9 @@ object StreamingOps {
       val hourUs = 3600L * 1000000L
       // Pre-staged per-side sentinels ([[stageSentinel]]): renamed in with
       // the last chunk so chunk + flush share ONE micro-batch listing.
-      def sentinel(userId: Long, dir: String) = stageSentinel(
-        Seq((userId, -1L, maxUs + 2L * hourUs)).toDF("user_id", "event_id", "us"), dir)
+      def sentinel(userId: Long, dir: String) = stageSentinelCached(
+        Seq((userId, -1L, maxUs + 2L * hourUs)).toDF("user_id", "event_id", "us"), dir,
+        s"fojoin-sent|$sfDir|$userId")
       val cSent = sentinel(-1L, s"$base/sent_c")
       val pSent = sentinel(-2L, s"$base/sent_p")
       val clicks = spark.readStream.schema(clickDf.schema).parquet(cFeed.watchDir)
@@ -1400,8 +1407,8 @@ object StreamingOps {
   def streamingEnrich(spark: SparkSession, sfDir: String, numChunks: Int = 2): DataFrame = {
     val purch = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
       .selectExpr("event_id", "user_id", "ts div 1000 AS us", "value")
-    val feed = stageTimeChunks(purch, "us", numChunks,
-      ckptDir("graft_stream_enrich_feed"))
+    val feed = stageTimeChunksCached(purch, "us", numChunks,
+      ckptDir("graft_stream_enrich_feed"), s"graft_stream_enrich_feed|$sfDir|$numChunks")
     val dims = Tables.customer(spark, sfDir)
       .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("c_name"), col("n_name"))
@@ -1439,8 +1446,8 @@ object StreamingOps {
     * operator's semantics exactly. */
   def streamingDedup(spark: SparkSession, sfDir: String, numChunks: Int = 2): DataFrame = {
     val docs = Tables.documents(spark, sfDir).selectExpr("doc_id", "text")
-    val feed = stageTimeChunks(docs, "doc_id", numChunks,
-      ckptDir("graft_stream_dedup_feed"))
+    val feed = stageTimeChunksCached(docs, "doc_id", numChunks,
+      ckptDir("graft_stream_dedup_feed"), s"graft_stream_dedup_feed|$sfDir|$numChunks")
     val deduped = spark.readStream.schema(docs.schema).parquet(feed.watchDir)
       .select(md5(col("text")).as("content_hash"))
       .dropDuplicates("content_hash")
@@ -1482,8 +1489,8 @@ object StreamingOps {
     require(span.getLong(1) - span.getLong(0) < horizonDays * 86400L * 1000000L,
       s"events span exceeds the $horizon dedup horizon; the DISTINCT oracle " +
         "no longer models eviction-free behavior - widen horizonDays")
-    val feed = stageTimeChunks(evs, "us", numChunks,
-      ckptDir("graft_stream_dedup_wm_feed"))
+    val feed = stageTimeChunksCached(evs, "us", numChunks,
+      ckptDir("graft_stream_dedup_wm_feed"), s"graft_stream_dedup_wm_feed|$sfDir|$numChunks")
     val deduped = spark.readStream.schema(evs.schema).parquet(feed.watchDir)
       .withColumn("event_time", timestamp_micros(col("us")))
       .withWatermark("event_time", horizon)
@@ -1590,8 +1597,8 @@ object StreamingOps {
     val purchases = Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
       .selectExpr("user_id", "event_id", "ts div 1000 AS us", "value")
-    val feed = stageTimeChunks(purchases, "us", numChunks,
-      ckptDir("graft_stream_upsert_feed"))
+    val feed = stageTimeChunksCached(purchases, "us", numChunks,
+      ckptDir("graft_stream_upsert_feed"), s"graft_stream_upsert_feed|$sfDir|$numChunks")
     val stream = spark.readStream.schema(purchases.schema).parquet(feed.watchDir).as[UpEv]
     // The snapshot lives in its own dir (and must survive — the returned
     // frame reads it lazily); only the feed copy is garbage, success or not.

@@ -535,13 +535,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD"), s"both candidate sides must read the checkpointed ranked frame:\n$p")
   }
 
-  test("dedup_containment: candidate side carries the ABSOLUTE df cap (round-8 fix pin)") {
+  test("dedup_containment: prefix-filtered candidates + ABSOLUTE df cap (round-9 fix pin)") {
     val p = plan("dedup_containment")
     // the keep filter must include `df <= ContainMaxDf` — the constant
     // that bounds per-shingle fan-out at any corpus size. A refactor back
     // to the fraction-only rule deletes this literal from the plan.
     assert(p.contains(s"<= ${graft.operators.Dedup.ContainMaxDf}"),
       s"absolute df cap must appear in the candidate filter:\n$p")
+    // round-9: candidates come from a PREFIX join — the per-doc
+    // (df, hash)-rank window must be in the plan; dropping it reverts to
+    // the all-kept-pairs generator that shuffled ~94 GB and OOM'd at sf10.
+    assert(p.contains("row_number"),
+      s"prefix rank window missing — candidate generator reverted to all-kept-pairs:\n$p")
     // (the 1-row n_docs broadcast rides a BroadcastNestedLoopJoin by
     // design, so only the true quadratic shape is banned here)
     assert(!p.contains("CartesianProduct"),

@@ -83,6 +83,80 @@ class DedupSpec extends AnyFunSuite {
     assert(open.contains((2L, 1L)), s"maxDf=4 must readmit the pair, got $open")
   }
 
+  test("containment: prefix-filtered candidates are exact vs the naive all-kept-pairs contract") {
+    import spark.implicits._
+    // (a) the real corpus, default knobs — the registered-query regime
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val docs001 = graft.Tables.documents(spark, Sf)
+    val fast = rows(Dedup.containmentOf(docs001, 900000L, 1, 10))
+    val naive = rows(Dedup.containmentOfNaive(docs001, 900000L, 1, 10))
+    assert(fast === naive)
+    // (b) crafted regime where the prefix filter BITES: a 40-token
+    // boilerplate block shared by every doc (kept — df caps wide open)
+    // plus per-doc unique tails, with one true excerpt pair. The shared
+    // shingles have max df and sort LAST per doc, so prefixes hold only
+    // the rare tail shingles; the naive generator pairs everything
+    // through the boilerplate, the prefix generator must reach the same
+    // FINAL output from far fewer candidates.
+    val boiler = (1 to 40).map(i => s"boiler$i").mkString(" ")
+    val crafted = (1L to 12L).map { i =>
+      (i, boiler + " " + (1 to 15).map(j => s"tail${i}x$j").mkString(" "))
+    } :+ (13L, boiler) :+ // pure-boilerplate doc: contained in all 12
+      (14L, boiler + " " + (1 to 15).map(j => s"tail2x$j").mkString(" ") + " extraword")
+    val cdf = crafted.toDF("doc_id", "text")
+    // den=1: fraction cap open; t=0.9 exercises a >1-element prefix
+    val f2 = rows(Dedup.containmentOf(cdf, 900000L, 1, 1))
+    val n2 = rows(Dedup.containmentOfNaive(cdf, 900000L, 1, 1))
+    assert(f2 === n2)
+    assert(f2.exists(t => t._1 === 13L), "pure-boilerplate doc must be found contained")
+    assert(f2.exists(t => (t._1, t._2) === (2L, 14L) || (t._1, t._2) === (14L, 2L)),
+      "doc 14 (doc 2 + one word) must pair with doc 2")
+    // (c) threshold sweep on the same crafted corpus — prefix length
+    // varies with t, equality must hold at each
+    for (t <- Seq(500000L, 750000L, 990000L)) {
+      assert(rows(Dedup.containmentOf(cdf, t, 1, 1)) ===
+        rows(Dedup.containmentOfNaive(cdf, t, 1, 1)), s"diverged at tPpm=$t")
+    }
+  }
+
+  test("substring pairs: crafted goldens — shared runs found with exact max span, sub-threshold runs absent") {
+    import spark.implicits._
+    // docs 1/2 share EXACTLY a 10-token verbatim run (L=8 threshold);
+    // docs 1/3 share a 7-token run — below threshold, must be absent;
+    // doc 4 shares nothing; docs 5/6 are verbatim copies (span = full
+    // length, capped at the 24-token bound... here 12 tokens < bound).
+    val run10 = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    val run7 = "s1 s2 s3 s4 s5 s6 s7"
+    val twin = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"
+    val docs = Seq(
+      (1L, s"alpha beta $run10 gamma delta $run7 epsilon"),
+      (2L, s"zeta eta theta $run10 iota"),
+      (3L, s"$run7 kappa lambda mu nu xi omicron pi"),
+      (4L, "rho sigma tau upsilon phi chi psi omega one two"),
+      (5L, twin),
+      (6L, twin)
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringPairsOf(docs, 8, 24, 4, 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === Set((1L, 2L), (5L, 6L)), s"got $got")
+    assert(got((1L, 2L))._1 === 10L, "max shared run between 1 and 2 is the 10-token block")
+    assert(got((5L, 6L))._1 === 12L, "verbatim twins share their full 12 tokens")
+  }
+
+  test("substring pairs: span caps at the suffix bound; boilerplate key cap drops mega-groups") {
+    import spark.implicits._
+    val long = (1 to 40).map(i => s"w$i").mkString(" ") // 40-token shared run
+    val docs = Seq((1L, s"pre $long"), (2L, s"$long post")).toDF("doc_id", "text")
+    val got = Dedup.substringPairsOf(docs, 8, 24, 4, 1000).collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(2) === 24L, "span must cap at the 24-token suffix bound")
+    // maxDf=1: every key has df >= 2 here (shared run) -> zero candidates
+    assert(Dedup.substringPairsOf(docs, 8, 24, 4, 1).count() === 0L,
+      "the absolute key cap must bound candidate generation independently")
+  }
+
   test("minhash-LSH candidates cover every true jaccard>=0.9 pair (recall sanity)") {
     val lsh = Dedup.minhashLsh(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -149,7 +149,7 @@ class RelationalSpec extends AnyFunSuite {
       .map { case (b, xs) => b -> xs.map(x => rho(x._2)).max }
     assert(mergedRegs === directRegs)
     val got = TextAnalysis.hllDistinct(spark, Sf).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     perType.foreach { case (t, regs) =>
       val (est, used) = estimate(regs)
       val exact = raw.filter(_._1 == t).map(_._2).distinct.length.toLong
@@ -159,10 +159,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(got("ALL") === ((raw.map(_._2).distinct.length.toLong, estAll, usedAll)))
   }
 
+  test("hllDistinct: an event_type literally named 'ALL' cannot collide with the merged row") {
+    import spark.implicits._
+    // 3 ids under type 'ALL', 2 under 'click', 1 shared across both →
+    // merged exact = 4. Before the `merged` key column, the display
+    // string doubled as the join key and this corpus cross-matched.
+    val evs = Seq(
+      ("ALL", 1L), ("ALL", 2L), ("ALL", 3L),
+      ("click", 3L), ("click", 4L)
+    ).toDF("event_type", "event_id")
+    val rows = TextAnalysis.hllDistinctOf(evs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.size === 3, s"expected type-ALL, type-click, merged rows: $rows")
+    assert(rows(("ALL", 0L)) === 3L, "per-type 'ALL' exact count")
+    assert(rows(("click", 0L)) === 2L)
+    assert(rows(("ALL", 1L)) === 4L, "merged exact count over distinct ids")
+  }
+
   test("hllDistinct: estimate within 3-sigma in its contract regime (n >> m, sf0.01)") {
     val rows = TextAnalysis.hllDistinct(spark, "/root/testdata/sf0.01").collect()
-    val all = rows.find(_.getString(0) == "ALL").get
-    val (exact, est) = (all.getLong(1), all.getLong(2))
+    val all = rows.find(r => r.getString(0) == "ALL" && r.getLong(1) == 1L).get
+    val (exact, est) = (all.getLong(2), all.getLong(3))
     assert(exact >= 19 * TextAnalysis.HllM, "corpus drifted out of the n >> m regime")
     // HLL standard error 1.04/sqrt(512) ≈ 4.6%; 3σ ≈ 13.8%
     val relErr = math.abs(est - exact).toDouble / exact

@@ -454,4 +454,43 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.forall { case (win, u, est) =>
       est >= truth.getOrElse((win, u.toString), 0L) })
   }
+
+  test("feed cache contract: distinct keys isolate; a colliding key replays the FIRST-staged master") {
+    import spark.implicits._
+    // The cache's documented contract is that the key DETERMINES the staged
+    // frame's content. This spec makes the contract enforced, not just
+    // documented: distinct keys must stage their own frames, and a key
+    // collision must (by design) hand back the first-staged master — the
+    // failure mode a call site with an under-specified key would hit.
+    val df1 = Seq((1L, 10L), (2L, 20L)).toDF("id", "us")
+    val df2 = Seq((3L, 30L), (4L, 40L), (5L, 50L)).toDF("id", "us")
+    def runDir() =
+      s"${graft.LocalDirs.scratchRoot}/graft-io/feedspec-${java.util.UUID.randomUUID}"
+    def idsOf(feed: StreamingOps.ChunkFeed): Set[Long] =
+      spark.read.parquet(feed.chunks.flatten.map(_.getAbsolutePath): _*)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val salt = java.util.UUID.randomUUID.toString // keys fresh per suite run
+    val fA = StreamingOps.stageTimeChunksCached(df1, "us", 2, runDir(), s"spec-$salt-A")
+    val fB = StreamingOps.stageTimeChunksCached(df2, "us", 2, runDir(), s"spec-$salt-B")
+    assert(idsOf(fA) === Set(1L, 2L), "key A must stage df1")
+    assert(idsOf(fB) === Set(3L, 4L, 5L), "distinct key B must stage df2, not reuse A")
+    // Colliding key, different frame: the master wins — replaying df1.
+    val fC = StreamingOps.stageTimeChunksCached(df2, "us", 2, runDir(), s"spec-$salt-A")
+    assert(idsOf(fC) === Set(1L, 2L),
+      "a colliding key must replay the first-staged master (the contract call sites must respect)")
+    // Per-run physical isolation: deleting run A's links must not disturb
+    // run C's view of the shared master (hardlinks, not shared paths).
+    fA.chunks.flatten.foreach(f => f.delete(): Unit)
+    assert(idsOf(fC) === Set(1L, 2L), "hardlinked runs must be physically independent")
+    // Sentinel cache: same contract.
+    val s1 = StreamingOps.stageSentinelCached(
+      Seq((-1L, 99L)).toDF("id", "us"), runDir(), s"spec-$salt-sent")
+    val s2 = StreamingOps.stageSentinelCached(
+      Seq((-2L, 77L)).toDF("id", "us"), runDir(), s"spec-$salt-sent")
+    def sentIds(fs: Seq[java.io.File]) =
+      spark.read.parquet(fs.map(_.getAbsolutePath): _*)
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(sentIds(s1) === Set(-1L))
+    assert(sentIds(s2) === Set(-1L), "colliding sentinel key must replay the master")
+  }
 }
