@@ -76,42 +76,68 @@ object Dedup {
       SubstrMinSpan, SubstrBound, SubstrWindow, SubstrMaxDf)
 
   /** Core over an explicit (doc_id, text) frame — specs feed crafted
-    * shared-run corpora. */
+    * shared-run corpora.
+    *
+    * Everything downstream of tokenization moves 56-bit md5 hashes, not
+    * token strings ([[Hashing.md5Long]], the portable family every other
+    * text operator shares): the key is ONE long (md5 of the space-joined
+    * L-token slice — the [[Curation.dupSpans]] shingle-hash spelling),
+    * the extension an array of per-token hashes computed ONCE per doc and
+    * sliced per suffix. Canonical in-bucket order = numeric hash order
+    * (any consistent global order works — the [[ngramJaccard]] argument),
+    * and the LCP compares hashes; a 56-bit collision could merge two key
+    * buckets or extend an LCP by one (~1e-17 per comparison), identically
+    * in both engines. The string spelling measured 43.9 s at sf1 — ~4×
+    * the shuffle payload of this form. */
   def substringPairsOf(docs: DataFrame, minSpan: Int, bound: Int,
       w: Int, maxDf: Int): DataFrame = {
     val ext = bound - minSpan
+    val kh = s"CAST(conv(substring(md5(concat_ws(' ', slice(t, i + 1, $minSpan))), 1, 14), 16, 10) AS LONG)"
+    // NOTHING here is materialized: the first spelling localCheckpoint'ed
+    // the suffix frame (and the ranked frame) so two consumers could share
+    // it, and the ~100M-row × array-typed block unroll OOM'd a 24 GiB
+    // heap at sf10 — RAM-resident caching of a corpus-linear frame is the
+    // anti-pattern the scale audit exists to catch. Instead the window
+    // pairs each suffix with its W successors via lead() — ONE window
+    // pass, no self-join, no second read of the ranked frame — and every
+    // heavy stage (the kh shuffle, the in-partition sort) is
+    // external-spill-safe by construction. The suffix derivation runs
+    // twice (df branch + main branch), a CPU-only cost.
     val suf = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= minSpan)
+      .withColumn("ht", transform(col("t"), x => Hashing.md5Long(x)))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(t) - $minSpan), i -> " +
-          s"struct(slice(t, i + 1, $minSpan) AS key, slice(t, i + 1 + $minSpan, $ext) AS ext))")))
+          s"struct($kh AS kh, slice(ht, i + 1 + $minSpan, $ext) AS ext))")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        col("col.key").as("key"), col("col.ext").as("ext"))
-      .localCheckpoint() // df cap + rank window share one suffix pass
-    val dfk = suf.groupBy(col("key")).agg(count(lit(1)).as("df"))
-    val ranked = suf.join(dfk, Seq("key")).filter(col("df") <= maxDf)
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("key")).orderBy(col("ext"), col("doc_id"), col("pos"))))
-      .select(col("key"), col("rk"), col("doc_id"), col("ext"))
-      .localCheckpoint() // both candidate sides read the ranked frame
-    val probes = ranked
-      .withColumn("j", explode(expr(s"sequence(1, $w)")))
-      .select(col("key"), (col("rk") + col("j")).as("rk"),
-        col("doc_id").as("da_raw"), col("ext").as("ea"))
-    val spans = probes.join(
-        ranked.select(col("key"), col("rk"),
-          col("doc_id").as("db_raw"), col("ext").as("eb")),
-        Seq("key", "rk"))
-      .filter(col("da_raw") =!= col("db_raw"))
-      .select(least(col("da_raw"), col("db_raw")).as("doc_a"),
-        greatest(col("da_raw"), col("db_raw")).as("doc_b"),
-        // LCP over the bounded extensions: zip_with pads the shorter side
-        // with nulls, so x <=> y turns false exactly at the first
-        // divergence OR at min-length exhaustion; array_position returns
-        // 0 (not NULL) when no false exists — identical extensions —
-        // hence the nullif fallthrough to the min length.
+        col("col.kh").as("kh"), col("col.ext").as("ext"))
+    val dfk = suf.groupBy(col("kh")).agg(count(lit(1)).as("df"))
+    val wspec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("kh")).orderBy(col("ext"), col("doc_id"), col("pos"))
+    // lead(j) ≡ the rank-distance-j successor in the same (kh) partition —
+    // the oracle states the same contract as a row_number self-join; the
+    // two spellings are pointwise identical. The W lead columns share one
+    // Window node (same spec), and the kh equi-join's partitioning
+    // satisfies the window's partitionBy, so the whole candidate stage
+    // rides a single exchange.
+    val paired = suf.join(dfk, Seq("kh")).filter(col("df") <= maxDf)
+      .select(Seq(col("doc_id"), col("ext")) ++
+        (1 to w).map(j =>
+          lead(struct(col("doc_id"), col("ext")), j).over(wspec).as(s"n$j")): _*)
+    val spans = paired
+      .select(col("doc_id"), col("ext"),
+        explode(array((1 to w).map(j => col(s"n$j")): _*)).as("nb"))
+      .filter(col("nb").isNotNull && col("nb.doc_id") =!= col("doc_id"))
+      .select(least(col("doc_id"), col("nb.doc_id")).as("doc_a"),
+        greatest(col("doc_id"), col("nb.doc_id")).as("doc_b"),
+        col("ext").as("ea"), col("nb.ext").as("eb"))
+      // LCP over the bounded extensions: zip_with pads the shorter side
+      // with nulls, so x <=> y turns false exactly at the first
+      // divergence OR at min-length exhaustion; array_position returns
+      // 0 (not NULL) when no false exists — identical extensions —
+      // hence the nullif fallthrough to the min length.
+      .select(col("doc_a"), col("doc_b"),
         expr(s"$minSpan + coalesce(" +
           "nullif(array_position(zip_with(ea, eb, (x, y) -> x <=> y), false), 0) - 1, " +
           "least(size(ea), size(eb)))").cast("long").as("span"))
@@ -122,17 +148,20 @@ object Dedup {
   def substringPairsSql(minSpan: Int = SubstrMinSpan, bound: Int = SubstrBound,
       w: Int = SubstrWindow, maxDf: Int = SubstrMaxDf): String =
     s"""WITH toks AS (SELECT doc_id, ${TextOps.tokensSql} AS t FROM documents),
+       |htoks AS (SELECT doc_id, t,
+       |    list_transform(t, x -> ${Hashing.md5LongSql("x")}) AS ht
+       |  FROM toks WHERE len(t) >= $minSpan),
        |suf AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-       |    t[i:i+$minSpan-1] AS key, t[i+$minSpan:i+$bound-1] AS ext
-       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - $minSpan + 1)) AS i) g
-       |  WHERE len(t) >= $minSpan),
-       |dfk AS (SELECT key, count(*) AS df FROM suf GROUP BY 1),
+       |    ${Hashing.md5LongSql(s"array_to_string(t[i:i+$minSpan-1], ' ')")} AS kh,
+       |    ht[i+$minSpan:i+$bound-1] AS ext
+       |  FROM htoks, LATERAL (SELECT unnest(generate_series(1, len(t) - $minSpan + 1)) AS i) g),
+       |dfk AS (SELECT kh, count(*) AS df FROM suf GROUP BY 1),
        |ranked AS (SELECT s.*, row_number() OVER (
-       |    PARTITION BY s.key ORDER BY s.ext, s.doc_id, s.pos) AS rk
-       |  FROM suf s JOIN dfk ON s.key = dfk.key WHERE dfk.df <= $maxDf),
+       |    PARTITION BY s.kh ORDER BY s.ext, s.doc_id, s.pos) AS rk
+       |  FROM suf s JOIN dfk ON s.kh = dfk.kh WHERE dfk.df <= $maxDf),
        |cand AS (SELECT a.doc_id AS da_raw, b.doc_id AS db_raw, a.ext AS ea, b.ext AS eb
        |  FROM ranked a JOIN ranked b
-       |    ON a.key = b.key AND b.rk - a.rk BETWEEN 1 AND $w AND a.doc_id <> b.doc_id),
+       |    ON a.kh = b.kh AND b.rk - a.rk BETWEEN 1 AND $w AND a.doc_id <> b.doc_id),
        |scored AS (SELECT least(da_raw, db_raw) AS doc_a, greatest(da_raw, db_raw) AS doc_b,
        |    $minSpan + COALESCE(NULLIF(list_position(
        |        list_transform(generate_series(1, least(len(ea), len(eb))),
@@ -213,23 +242,37 @@ object Dedup {
     // which don't depend on the internal hash.
     val sh = shingles(spark, sfDir)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-    // Canonical order = numeric hash order (any consistent global order
-    // keeps prefix filtering exact). `sets` is referenced three times
-    // below (prefix + both verification joins) and Spark re-executes the
-    // lineage per reference; localCheckpoint materializes the
-    // 1-row-per-doc result once as RDD blocks. (.cache()/InMemoryRelation
-    // was measured pathologically slow and run-over-run degrading here —
-    // columnar cache of array columns — so shared subplans use checkpoint
-    // blocks instead.)
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(col("sh"))).as("ss"))
-      .withColumn("n", size(col("ss")))
+    // Canonical order = (df asc, hash asc) — the AllPairs choice, not the
+    // round-2 plain hash order, and the difference is the scaling term:
+    // under hash order a doc's prefix is a RANDOM ~(1-t) fraction of its
+    // shingles, so a shingle of document frequency df lands in ~(1-t)·df
+    // prefixes and contributes O(((1-t)·df)²) candidate pairs — quadratic
+    // in df with NO cap anywhere in this operator (measured: 16× on 10×
+    // data at the sf10 decade). Under df-ascending order the prefix is
+    // each doc's RAREST shingles; high-df shingles sort last and
+    // essentially never seed candidates. Any consistent global order
+    // keeps prefix filtering EXACT (the same theorem), so the oracle —
+    // the declarative full join — is unchanged, and the existing
+    // differential specs vs ngramJaccardNaive pin the equality.
+    val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // `sets` is referenced three times below (prefix + both verification
+    // joins) and Spark re-executes the lineage per reference;
+    // localCheckpoint materializes the 1-row-per-doc result once as RDD
+    // blocks. (.cache()/InMemoryRelation was measured pathologically slow
+    // and run-over-run degrading here — columnar cache of array columns —
+    // so shared subplans use checkpoint blocks instead.)
+    val sets = sh.join(dfc, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("ssd"))
+      .select(col("doc_id"),
+        expr("transform(ssd, x -> x.sh)").as("ss"), // canonical (df, sh) order
+        size(col("ssd")).as("n"))
       .localCheckpoint()
     // Prefix length p = floor((1-t)*n) + 2: +1 is the theoretical bound,
     // one extra guards float fuzz in (1-t)*n. Over-length is safe (extra
     // candidates only); under-length would drop pairs.
     val prefix = sets.select(col("doc_id"),
-      explode(expr(s"slice(ss, 1, CAST(floor(size(ss) * ${1 - threshold}) AS INT) + 2)")).as("sh"))
+      explode(expr(s"slice(ss, 1, CAST(floor(n * ${1 - threshold}) AS INT) + 2)")).as("sh"))
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

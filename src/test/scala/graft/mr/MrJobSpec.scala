@@ -121,6 +121,30 @@ class MrJobSpec extends AnyFunSuite {
     assert(readLines(out.resolve("part-00000")) === readLines(Paths.get(GrepGolden)))
   }
 
+  test("exec grep with a NON-DEFAULT argv query term (grep_map.py sys.argv) matches the native twin") {
+    // The reference's grep_map.py reads its query from sys.argv (falling
+    // back to "product"); Exec(Seq(script, arg)) must deliver the argument
+    // to the forked process. Differential golden: the native grepMap twin
+    // is already proven byte-exact against the reference's grep fixtures,
+    // so exec-with-argv must reproduce it for a term the default would
+    // never match.
+    assume(haveFixtures)
+    val term = "money"
+    val outExec = tmpOut("grep-exec-argv")
+    MrJob.run(spark, JobSpec(RefInput, outExec.toString,
+      Exec(Seq(s"$RefExec/grep_map.py", term)), Exec(Seq(s"$RefExec/grep_reduce.py")),
+      numMappers = 2, numReducers = 1))
+    val outNative = tmpOut("grep-native-argv")
+    MrJob.run(spark, JobSpec(RefInput, outNative.toString,
+      Native(NativeQueries.grepMap(term)), Native(NativeQueries.grepReduce),
+      numMappers = 2, numReducers = 1))
+    val got = readLines(outExec.resolve("part-00000"))
+    assert(got === readLines(outNative.resolve("part-00000")))
+    assert(got.nonEmpty, s"term '$term' must match some input lines or the golden is vacuous")
+    assert(got !== readLines(Paths.get(GrepGolden)),
+      "argv term must change the output vs the default 'product' query")
+  }
+
   test("native grep matches grep golden too") {
     assume(haveFixtures)
     val out = tmpOut("grep-native")

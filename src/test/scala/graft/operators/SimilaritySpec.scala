@@ -186,6 +186,34 @@ class SimilaritySpec extends AnyFunSuite {
       assert(minPartner.contains(c), s"canonical $c neither kept nor pair-covered")
   }
 
+  test("embeddingNearDupIvf equals in-cluster ALL-PAIRS where clusters fit the window (sf0.001 regime)") {
+    import org.apache.spark.sql.functions._
+    // The round-8 sorted-neighborhood window silently restricts candidates
+    // in clusters with > W+1 members; in the regime where every cluster
+    // fits the window it must be EXACTLY the all-pairs answer — the same
+    // differential dedup_semantic and knnJoin carry (round-8 ADVICE).
+    val got = Similarity.embeddingNearDupIvf(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = Similarity.ivfAssigned(spark, Sf)
+      .select(col("vec_id"), col("cluster"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val byCluster = a.groupBy(_._2)
+    assert(byCluster.values.map(_.size).max <= Similarity.SemWindow + 1,
+      "reference regime requires clusters inside the window")
+    def cos(x: Array[Double], y: Array[Double]) = {
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    val want = (for {
+      (_, members) <- byCluster.toSeq
+      Seq((ia, _, va), (ib, _, vb)) <- members.toSeq.combinations(2)
+      c = cos(va, vb) if c >= 0.4
+    } yield (math.min(ia, ib), math.max(ia, ib),
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "regime must actually exercise pairs")
+  }
+
   test("knnJoin equals exact in-cluster top-k where clusters fit the window (sf0.001 regime)") {
     import org.apache.spark.sql.functions._
     val got = Similarity.knnJoin(spark, Sf).collect()
