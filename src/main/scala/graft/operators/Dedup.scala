@@ -438,6 +438,104 @@ object Dedup {
         least(col("na"), col("nb")).as("n_contained"),
         col("n_common"), col("containment_ppm"))
 
+  /** Bottom-k sketch size for [[containmentKmv]]. */
+  val ContainSketchK = 16
+
+  /** SKETCH-based containment — the approximate SCALE PATH next to the
+    * exact [[containment]]: per doc a bottom-k sketch (the k smallest
+    * portable md5-int64 shingle hashes — Broder/KMV), candidates from
+    * pairs sharing a sketch element, containment estimated from the
+    * union sketch. What changes at 100 TB: the exact operator's inverted
+    * index is O(total shingles) postings (every token position feeds it);
+    * the sketch index is **O(k·n_docs) postings regardless of document
+    * length** — a 100-page doc and a tweet both contribute k rows — and
+    * candidate fan-out is bounded by sketch-element co-occupancy the same
+    * way MinHash-LSH bounds Jaccard candidates.
+    *
+    * Estimator (all-integer, deterministic given the hashes, mirrored
+    * verbatim in DuckDB so the oracle is hash-exact): with M = bottom-k
+    * of sa ∪ sb (computable from the two sketches alone), k' = |M| and
+    * I = |M ∩ sa ∩ sb|, the Jaccard estimate is I/k', hence
+    * |A∩B|_est = I·(nA+nB) div (k'+I) and
+    * c_est_ppm = min(10^6, |A∩B|_est·10^6 div min(nA,nB)). Exact counts
+    * nA/nB ride from the same shingle pass (they are cheap); only the
+    * MEMBERSHIP structure is sketched. Docs with ≤ k shingles carry their
+    * full set, so small-doc containment is exact. Recall is bounded by
+    * sketch co-occupancy — a contained doc's smallest hashes are a
+    * subset of the container's hash set, so with containment ≈ 1 the
+    * pair shares sketch minima with high probability; the exact operator
+    * is the ground truth the spec measures against. */
+  def containmentKmv(spark: SparkSession, sfDir: String,
+      tPpm: Long = 600000L, k: Int = ContainSketchK,
+      maxDf: Int = ContainMaxDf): DataFrame =
+    containmentKmvOf(Tables.documents(spark, sfDir), tPpm, k, maxDf)
+
+  def containmentKmvOf(docs: DataFrame, tPpm: Long, k: Int,
+      maxDf: Int): DataFrame = {
+    val sh = shinglesOfTokenized(
+        docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t")))
+      .select(col("doc_id"), Hashing.md5Long(col("shingle")).as("h"))
+    val sketches = sh.groupBy(col("doc_id"))
+      .agg(expr(s"slice(array_sort(collect_list(h)), 1, $k)").as("sk"),
+        count(lit(1)).as("n"))
+      .localCheckpoint() // postings + both scoring sides read it
+    val postings = sketches.select(col("doc_id"), explode(col("sk")).as("h"))
+    val dfc = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val keep = postings.join(dfc, Seq("h")).filter(col("df") <= maxDf)
+      .select(col("h"), col("doc_id"))
+    val candidates = keep.as("a").join(keep.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    candidates
+      .join(sketches.select(col("doc_id").as("da"), col("sk").as("sa"), col("n").as("na")), Seq("da"))
+      .join(sketches.select(col("doc_id").as("db"), col("sk").as("sb"), col("n").as("nb")), Seq("db"))
+      .withColumn("m", expr(s"slice(array_sort(array_union(sa, sb)), 1, $k)"))
+      .withColumn("ku", size(col("m")).cast("long"))
+      .withColumn("i", size(array_intersect(array_intersect(col("m"), col("sa")), col("sb"))).cast("long"))
+      .withColumn("inter_est", expr("i * (na + nb) div (ku + i)"))
+      .withColumn("containment_est_ppm",
+        expr("least(1000000L, inter_est * 1000000 div least(na, nb))"))
+      .filter(col("containment_est_ppm") >= tPpm)
+      .select(
+        when(col("na") <= col("nb"), col("da")).otherwise(col("db")).as("doc_contained"),
+        when(col("na") <= col("nb"), col("db")).otherwise(col("da")).as("doc_container"),
+        least(col("na"), col("nb")).as("n_contained"),
+        col("containment_est_ppm"))
+  }
+
+  def containmentKmvSql(tPpm: Long = 600000L, k: Int = ContainSketchK,
+      maxDf: Int = ContainMaxDf): String =
+    s"""WITH ${shinglesSql(3)},
+       |hs AS (SELECT doc_id, ${Hashing.md5LongSql("shingle")} AS h FROM sh),
+       |sketches AS (SELECT doc_id,
+       |    (list_sort(list(h)))[1:$k] AS sk, count(*) AS n
+       |  FROM hs GROUP BY 1),
+       |postings AS (SELECT doc_id, unnest(sk) AS h FROM sketches),
+       |dfc AS (SELECT h, count(*) AS df FROM postings GROUP BY 1),
+       |keep AS (SELECT p.h, p.doc_id FROM postings p JOIN dfc USING (h)
+       |  WHERE dfc.df <= $maxDf),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |scored AS (SELECT da, db, sa.n AS na, sb.n AS nb,
+       |    len(list_intersect(list_intersect(m, sa.sk), sb.sk)) AS i,
+       |    len(m) AS ku
+       |  FROM (SELECT c.*, (list_sort(list_distinct(list_concat(sa0.sk, sb0.sk))))[1:$k] AS m
+       |        FROM cand c
+       |        JOIN sketches sa0 ON c.da = sa0.doc_id
+       |        JOIN sketches sb0 ON c.db = sb0.doc_id) cm
+       |  JOIN sketches sa ON cm.da = sa.doc_id
+       |  JOIN sketches sb ON cm.db = sb.doc_id),
+       |est AS (SELECT da, db, na, nb,
+       |    least(1000000, (i * (na + nb) // (ku + i)) * 1000000 // least(na, nb))
+       |      AS containment_est_ppm
+       |  FROM scored)
+       |SELECT CASE WHEN na <= nb THEN da ELSE db END AS doc_contained,
+       |  CASE WHEN na <= nb THEN db ELSE da END AS doc_container,
+       |  CAST(least(na, nb) AS BIGINT) AS n_contained,
+       |  CAST(containment_est_ppm AS BIGINT) AS containment_est_ppm
+       |FROM est WHERE containment_est_ppm >= $tPpm""".stripMargin
+
   /** Reference generator (the contract stated literally: ALL kept-posting
     * pairs, no prefix filter) — spec-only, proves [[containmentOf]]'s
     * prefix-filtered candidates lose no output pair. This is the shape

@@ -121,6 +121,50 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("containment KMV sketch: finds the true excerpt pairs; small-doc estimates are exact") {
+    import spark.implicits._
+    // Excerpt (doc 2) fully inside container (doc 1): both docs have
+    // fewer shingles than the sketch size, so sketches are the full sets
+    // and the estimator degenerates to the EXACT containment — the pair
+    // must surface at est = 1e6. Unrelated docs share nothing.
+    val container = "alpha bravo charlie delta echo foxtrot golf hotel india juliett " +
+      "kilo lima mike november oscar papa quebec romeo"
+    val docs = Seq(
+      (1L, container),
+      (2L, "echo foxtrot golf hotel india juliett kilo"),
+      (3L, "totally different words everywhere nothing shared at all whatsoever here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentKmvOf(docs, 600000L, Dedup.ContainSketchK, 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got === Set((2L, 1L, 1000000L)), s"got $got")
+  }
+
+  test("containment KMV sketch: estimate tracks exact containment on sketch-truncated docs") {
+    import spark.implicits._
+    // Docs much larger than k: doc 2 = the first 60% of doc 1's tokens +
+    // unique tail. The bottom-k estimator must land within a coarse band
+    // of the exact value (k=16 → σ ≈ 1/√16 = 25%), and be deterministic.
+    val shared = (1 to 60).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " " + (1 to 40).map(i => s"a$i").mkString(" ")),
+      (2L, shared + " " + (1 to 10).map(i => s"b$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    // exact: doc 2 has 58+12=70 shingles (n-2 per run boundary effects
+    // aside), ~58 shared → containment ≈ 0.83; just assert band + agree
+    val exact = Dedup.containmentOf(docs, 1L, 1, 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    val est = Dedup.containmentKmvOf(docs, 1L, Dedup.ContainSketchK, 1000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    val key = (2L, 1L)
+    assert(exact.contains(key) && est.contains(key), s"exact=$exact est=$est")
+    val (e, s) = (exact(key).toDouble, est(key).toDouble)
+    assert(math.abs(e - s) / e < 0.5, s"estimate $s too far from exact $e")
+    // determinism: re-running yields the identical estimate (pure hash math)
+    val est2 = Dedup.containmentKmvOf(docs, 1L, Dedup.ContainSketchK, 1000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    assert(est === est2)
+  }
+
   test("substring pairs: crafted goldens — shared runs found with exact max span, sub-threshold runs absent") {
     import spark.implicits._
     // docs 1/2 share EXACTLY a 10-token verbatim run (L=8 threshold);
