@@ -75,6 +75,55 @@ object Sampling {
        |  CAST(start_offset // $binTokens AS BIGINT) AS bin_id
        |FROM o""".stripMargin
 
+  /** GPT-style CONCAT-AND-CHUNK packing — the step [[packSequences]]
+    * approximates: instead of assigning each WHOLE document to the bin its
+    * offset starts in (which pads or overflows at bin boundaries), the
+    * per-source token stream is conceptually concatenated and cut every
+    * `binTokens` tokens, SPLITTING documents across bin boundaries — every
+    * training bin is exactly full (bar the final partial per source), zero
+    * padding waste, which is how decoder-LM pipelines actually lay out
+    * pretraining batches. Output: one row per (document × bin) FRAGMENT
+    * with the in-document token span [tok_start, tok_end) that lands in
+    * that bin — the index a loader needs to materialize bins without
+    * re-tokenizing.
+    *
+    * Shape: the running offset is the same per-source prefix-sum window as
+    * [[packSequences]] (one shuffle on source, per-shard parallel); each
+    * doc then explodes to `1 + spanned-boundaries` fragment rows — a
+    * NARROW map bounded by n_tokens/binTokens extra rows per doc, no
+    * second shuffle, nothing driver-side. Zero-token docs are dropped
+    * before the window — offset-neutral, since they contribute 0 to every
+    * prefix sum. */
+  def packChunks(spark: SparkSession, sfDir: String,
+                 binTokens: Int = PackBinTokens): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin_id", explode(sequence(
+        expr(s"off div $binTokens"),
+        expr(s"(off + n_tokens - 1) div $binTokens"))))
+      .select(col("doc_id"), col("source"), col("bin_id"),
+        expr(s"greatest(CAST(0 AS BIGINT), bin_id * $binTokens - off)").as("tok_start"),
+        expr(s"least(n_tokens, (bin_id + 1) * $binTokens - off)").as("tok_end"))
+  }
+
+  def packChunksSql(binTokens: Int = PackBinTokens): String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len(${graft.operators.TextOps.tokensSql}) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |o AS (SELECT doc_id, source, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+       |         - n_tokens AS BIGINT) AS off
+       |  FROM t WHERE n_tokens > 0)
+       |SELECT doc_id, source, CAST(b AS BIGINT) AS bin_id,
+       |  CAST(greatest(0, b * $binTokens - off) AS BIGINT) AS tok_start,
+       |  CAST(least(n_tokens, (b + 1) * $binTokens - off) AS BIGINT) AS tok_end
+       |FROM o, LATERAL (SELECT unnest(generate_series(
+       |    off // $binTokens, (off + n_tokens - 1) // $binTokens)) AS b) g""".stripMargin
+
   /** [[weightedSample]] saturation length: a doc of ≥ this many chars is
     * kept with probability 1; shorter docs keep proportionally. */
   val WeightTau = 2000L
@@ -575,5 +624,116 @@ object Sampling {
        |           THEN 1 ELSE 0 END) * 1000000
        |       // count(*) AS BIGINT) AS scan_ppm
        |FROM zones, probes GROUP BY 1, 2, 3""".stripMargin
+  }
+
+  /** Hashed-n-gram feature buckets for [[dsirSelect]]. 4096 keeps the two
+    * bucket models broadcastable (a few KB) while collisions stay rare on
+    * the test vocabulary; production would raise it (the paper uses 10k),
+    * which changes NOTHING in the plan — the models stay |B|-row tables. */
+  val DsirBuckets = 4096
+  /** Fixed-point scale for the per-bucket importance ratio (6 digits). */
+  val DsirScale = 1000000L
+  /** Documents selected by [[dsirSelect]]. */
+  val DsirK = 100
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023): pick raw-corpus documents whose hashed-n-gram
+    * distribution looks like a TARGET distribution, the importance-
+    * sampling generalization of a quality classifier. Features are
+    * unigrams+bigrams hashed into [[DsirBuckets]] buckets; a target model
+    * `p` (here: the `lang = targetLang` slice — "select documents that
+    * look like the English subcorpus") and a raw model `q` (the whole
+    * corpus) are add-one-smoothed bucket distributions; each document
+    * scores by its importance ratio and the top [[DsirK]] are selected.
+    *
+    * DELIBERATE VARIANTS (same discipline as `tfidf_top_terms` /
+    * `lm_bigram_score`, documented not hidden): (1) the paper's
+    * log-likelihood ratio Σ c_b·(log p_b − log q_b) — a geometric-mean
+    * ratio — becomes the ARITHMETIC mean of per-bucket probability ratios
+    * Σ c_b·(p_b/q_b) / Σ c_b in int64 fixed point, because transcendental
+    * logs never hash-match across engines; target-like docs still order
+    * above raw-like docs (monotone in every per-bucket ratio, pinned by
+    * spec). (2) the paper's Gumbel-noise resampling is held at
+    * temperature 0 — pure deterministic top-k on (score desc, doc_id) —
+    * the reproducible draw; Gumbel would only replace the ordering key,
+    * not the plan.
+    *
+    * Fixed-point bounds: the target slice is a SUBSET of raw, so
+    * pc ≤ qc bucket-wise and `(pc+1)·Scale div (qc+1)` ≤ Scale; the
+    * length normalizer `(tot_q+B)·Scale div (tot_p+B)` overflows only
+    * past ~9.2e12 total grams (≳50 TB of text) — raise to DECIMAL there.
+    *
+    * Scale shape: the corpus is scanned ONCE for gram hashing (unigram +
+    * bigram explode, a narrow map); per-doc bucket counts are one
+    * doc-keyed aggregation; BOTH models are |B|-bounded aggregations of
+    * that frame; the model joins back per-doc as a broadcast (≤ B rows);
+    * scoring is a second doc-keyed aggregation sharing the first's
+    * partitioning; selection is TakeOrderedAndProject (top-k, no global
+    * sort). Nothing driver-side, nothing corpus². */
+  def dsirSelect(spark: SparkSession, sfDir: String,
+                 targetLang: String = "en", k: Int = DsirK): DataFrame =
+    dsirSelectOfDocs(Tables.documents(spark, sfDir), targetLang, k)
+
+  private[graft] def dsirSelectOfDocs(docs: DataFrame, targetLang: String,
+                                      k: Int = DsirK): DataFrame = {
+    val B = DsirBuckets
+    val toks = docs.select(col("doc_id"), col("lang"),
+      graft.operators.TextOps.tokens(col("text")).as("t"))
+    val uni = toks.select(col("doc_id"), col("lang"), explode(col("t")).as("g"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.ShinglesExpression.word_shingles(col("t"), 2)).as("g"))
+    val db = uni.unionAll(bi)
+      .select(col("doc_id"), col("lang"), (Hashing.md5Long(col("g")) % B).as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val q = db.groupBy(col("b")).agg(sum(col("c")).as("qc"))
+    val p = db.filter(col("lang") === targetLang)
+      .groupBy(col("b")).agg(sum(col("c")).as("pc"))
+    val tots = db.agg(
+      sum(col("c")).as("tot_q"),
+      sum(when(col("lang") === targetLang, col("c")).otherwise(lit(0L))).as("tot_p"))
+    val model = q.join(p, Seq("b"), "left")
+      .na.fill(0L, Seq("pc"))
+      .crossJoin(broadcast(tots))
+      .select(col("b"), expr(
+        s"(((pc + 1) * $DsirScale) div (qc + 1)) * (((tot_q + $B) * $DsirScale) div (tot_p + $B)) div $DsirScale"
+      ).as("ratio_fp"))
+    db.join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(expr(s"sum(c * ratio_fp) div sum(c)").as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def dsirSelectSql(targetLang: String = "en", k: Int = DsirK): String = {
+    val B = DsirBuckets
+    val h = Hashing.md5LongSql("g")
+    s"""WITH toks AS (SELECT doc_id, lang, ${TextOps.tokensSql} AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, lang, unnest(t) AS g FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS g
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) gs
+       |  WHERE len(t) >= 2),
+       |db AS (SELECT doc_id, lang, $h % $B AS b, CAST(count(*) AS BIGINT) AS c
+       |       FROM grams GROUP BY 1, 2, 3),
+       |q AS (SELECT b, CAST(sum(c) AS BIGINT) AS qc FROM db GROUP BY b),
+       |p AS (SELECT b, CAST(sum(c) AS BIGINT) AS pc FROM db
+       |      WHERE lang = '$targetLang' GROUP BY b),
+       |tots AS (SELECT CAST(sum(c) AS BIGINT) AS tot_q,
+       |    CAST(sum(CASE WHEN lang = '$targetLang' THEN c ELSE 0 END) AS BIGINT) AS tot_p
+       |  FROM db),
+       |model AS (SELECT q.b,
+       |    (((COALESCE(p.pc, 0) + 1) * $DsirScale) // (q.qc + 1))
+       |      * (((tot_q + $B) * $DsirScale) // (tot_p + $B)) // $DsirScale AS ratio_fp
+       |  FROM q LEFT JOIN p ON q.b = p.b, tots)
+       |SELECT doc_id, lang,
+       |  CAST(CAST(sum(c * ratio_fp) AS BIGINT) // CAST(sum(c) AS BIGINT) AS BIGINT)
+       |    AS score_fp
+       |FROM db JOIN model ON db.b = model.b
+       |GROUP BY doc_id, lang
+       |ORDER BY score_fp DESC, doc_id ASC
+       |LIMIT $k""".stripMargin
   }
 }

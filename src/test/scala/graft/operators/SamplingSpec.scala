@@ -168,4 +168,80 @@ class SamplingSpec extends AnyFunSuite {
     assert(rows(("zorder", "partkey")) < 1000000L)
     assert(rows(("zorder", "suppkey")) < 1000000L)
   }
+
+  test("pack_chunks: fragments tile the concatenated stream — full bins, exact doc partitions, boundary cuts") {
+    val w = Sampling.PackBinTokens
+    val rows = Sampling.packChunks(spark, Sf).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // per doc: fragments are contiguous, start at 0, and partition [0, n)
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((_, id), frs) =>
+      val sorted = frs.sortBy(_._3)
+      assert(sorted.head._4 === 0L, s"doc $id first fragment must start at token 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 === b._4, s"doc $id fragments not contiguous")
+          assert(b._3 === a._3 + 1, s"doc $id fragments skip a bin")
+        case _ =>
+      }
+      sorted.foreach(f => assert(f._5 > f._4, s"doc $id empty fragment"))
+    }
+    // per source: every bin except the last holds EXACTLY binTokens tokens
+    rows.groupBy(_._1).foreach { case (src, frs) =>
+      val perBin = frs.groupBy(_._3).view
+        .mapValues(_.map(f => f._5 - f._4).sum).toMap
+      val lastBin = perBin.keys.max
+      val total = frs.map(f => f._5 - f._4).sum
+      perBin.foreach { case (bin, tokens) =>
+        if (bin < lastBin) assert(tokens === w, s"$src bin $bin holds $tokens, want $w")
+      }
+      assert(perBin(lastBin) === (if (total % w == 0) w.toLong else total % w))
+    }
+    // boundary-cut identity: tok_start > 0 ⟺ the fragment starts its bin,
+    // i.e. global position off + tok_start = bin_id·w. Recompute offsets.
+    val bySrc = rows.groupBy(_._1)
+    bySrc.foreach { case (_, frs) =>
+      val docLen = frs.groupBy(_._2).view.mapValues(_.map(f => f._5 - f._4).sum).toMap
+      val offs = docLen.toSeq.sortBy(_._1)
+        .scanLeft((0L, 0L)) { case ((_, acc), (id, n)) => (id, acc + n) }
+        .sliding(2).map { case Seq((_, acc), (id, _)) => id -> acc }.toMap
+      frs.foreach { case (_, id, bin, st, _) =>
+        if (st > 0) assert(offs(id) + st === bin * w,
+          s"doc $id fragment at tok $st should open bin $bin exactly")
+      }
+    }
+  }
+
+  test("dsirSelect: target-vocabulary docs outscore off-target ones, mixed in between, top-k picks them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length, lit}
+    // Target slice speaks vocabulary A; off-target raw docs speak B; one
+    // raw doc mixes the two. Importance scoring must order A > mixed > B.
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = "omega sigma tau rho kappa lambda"
+    val docs = (
+      (1L to 5L).map(i => (i, s"$a $a", "en")) ++          // the target model
+        (11L to 14L).map(i => (i, s"$a $a", "xx")) ++      // raw, target-like
+        Seq((20L, s"$a $b", "xx")) ++                      // raw, mixed
+        (31L to 34L).map(i => (i, s"$b $b", "xx"))         // raw, off-target
+      ).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val all = Sampling.dsirSelectOfDocs(docs, "en", k = 14).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val aScores = (11L to 14L).map(all)
+    val bScores = (31L to 34L).map(all)
+    assert(aScores.min > all(20L) && all(20L) > bScores.max,
+      s"expected A > mixed > B, got A=$aScores mixed=${all(20L)} B=$bScores")
+    // target docs themselves score like the target-like raws (same text)
+    assert(all(1L) === all(11L))
+    // a tight top-k draws only target-like docs, never the off-target ones
+    val top = Sampling.dsirSelectOfDocs(docs, "en", k = 9).collect()
+      .map(_.getLong(0)).toSet
+    assert(top === ((1L to 5L) ++ (11L to 14L)).toSet)
+    // determinism: a second evaluation yields the identical selection
+    val again = Sampling.dsirSelectOfDocs(docs, "en", k = 14).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again === all)
+  }
 }
