@@ -584,4 +584,161 @@ object Multimodal {
       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
       |  min(doc_id) AS keep_doc
       |FROM f GROUP BY 1 HAVING count(*) > 1""".stripMargin
+
+  /** Pure-JVM builder and parser for RIFF/WAVE containers (public format:
+    * the Microsoft/IBM RIFF specification; canonical PCM WAVE layout) —
+    * the AUDIO modality beside the PNG/JPEG image path, same honesty
+    * contract: the container structure (RIFF size bookkeeping, chunk walk,
+    * word-aligned chunk padding, `fmt ` field consistency, `data` bounds)
+    * is REAL and strictly verified; the "signal" inside is document bytes
+    * mapped to 16-bit PCM samples, not recorded audio. */
+  object WavAudio {
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    private def rdLe16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    private def rdLe32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xFFL)) | ((b(i + 1) & 0xFFL) << 8) |
+        ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+
+    /** Mono 16-bit PCM WAVE: one sample per payload byte,
+      * `sample = (byte − 128) · 256` (the centered 8→16-bit widening), at
+      * the given rate. Canonical 44-byte header + `data`. */
+    def build(payload: Array[Byte], sampleRate: Int): Array[Byte] = {
+      val dataSize = payload.length * 2
+      val out = new java.io.ByteArrayOutputStream(44 + dataSize)
+      out.write("RIFF".getBytes("US-ASCII")); out.write(le32(36 + dataSize))
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write("fmt ".getBytes("US-ASCII")); out.write(le32(16))
+      out.write(le16(1))                 // PCM
+      out.write(le16(1))                 // mono
+      out.write(le32(sampleRate))
+      out.write(le32(sampleRate * 2))    // byte rate
+      out.write(le16(2))                 // block align
+      out.write(le16(16))                // bits per sample
+      out.write("data".getBytes("US-ASCII")); out.write(le32(dataSize))
+      payload.foreach { b =>
+        val s = ((b & 0xFF) - 128) * 256
+        out.write(le16(s & 0xFFFF))
+      }
+      out.toByteArray
+    }
+
+    case class DecodedWav(sampleRate: Long, nSamples: Long, peak: Long,
+        energy: Long, zeroCrossings: Long)
+
+    /** Strict RIFF walk: verifies the signature, the RIFF size against the
+      * physical length, word-aligned chunk advancement, exactly one
+      * consistent PCM `fmt ` (mono / 16-bit / byteRate = rate·2 /
+      * blockAlign = 2) and exactly one in-bounds even-sized `data`; then
+      * reads the little-endian signed samples and derives peak |s|,
+      * energy Σs² and strict sign-change zero crossings — all int64.
+      * Anything structurally off → None. */
+    def decode(b: Array[Byte]): Option[DecodedWav] = {
+      if (b.length < 12) return None
+      if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return None
+      if (rdLe32(b, 4) != b.length - 8) return None
+      if (!(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+      var i = 12
+      var rate = -1L
+      var dataOff = -1; var dataLen = -1
+      while (i + 8 <= b.length) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val size = rdLe32(b, i + 4)
+        if (size < 0 || i + 8 + size > b.length) return None
+        id match {
+          case "fmt " =>
+            if (rate >= 0 || size < 16) return None
+            if (rdLe16(b, i + 8) != 1 || rdLe16(b, i + 10) != 1) return None
+            val r = rdLe32(b, i + 12)
+            if (rdLe32(b, i + 16) != r * 2) return None
+            if (rdLe16(b, i + 20) != 2 || rdLe16(b, i + 22) != 16) return None
+            if (r <= 0) return None
+            rate = r
+          case "data" =>
+            if (dataOff >= 0 || size % 2 != 0) return None
+            dataOff = i + 8; dataLen = size.toInt
+          case _ => // unknown chunks are legal RIFF; skipped, bounds-checked
+        }
+        i += 8 + size.toInt + (size.toInt % 2) // chunks are word-aligned
+      }
+      if (i != b.length || rate < 0 || dataOff < 0) return None
+      val n = dataLen / 2
+      var peak = 0L; var energy = 0L; var crossings = 0L; var prev = 0L
+      var j = 0
+      while (j < n) {
+        val s = rdLe16(b, dataOff + 2 * j).toShort.toLong
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        energy += s * s
+        if (j > 0 && prev * s < 0) crossings += 1
+        prev = s
+        j += 1
+      }
+      Some(DecodedWav(rate, n.toLong, peak, energy, crossings))
+    }
+  }
+
+  case class AudioFeatures(doc_id: Long, sample_rate: Long, n_samples: Long,
+      duration_ms: Long, peak: Long, energy: Long, zero_crossings: Long)
+
+  /** Audio-column pipeline end-to-end: wrap each document's bytes as a
+    * REAL mono 16-bit PCM RIFF/WAVE container (per-doc sample rate
+    * `8000 + (doc_id mod 3)·4000`, so the rate genuinely traverses the
+    * `fmt ` chunk — a decoder that misreads it shifts every duration),
+    * then recover rate, sample count, duration and integer signal stats
+    * (peak, energy, zero crossings) by PARSING the container in a
+    * partition-wise decoder — a narrow map, no shuffle, payload bytes
+    * never cross the network, the same 100 TB shape as the image path.
+    * The oracle recomputes everything from the text bytes; equality
+    * proves the PCM samples byte-exactly survived the encode → container
+    * → strict-walk decode round trip. A malformed container degrades to
+    * an explicit zeroed row (corrupt scraped media must not fail the
+    * pipeline). */
+  def audioFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val payloads: Dataset[Payload] = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[Payload]
+      .mapPartitions(_.map(p => Payload(p.doc_id,
+        WavAudio.build(p.payload, (8000 + (p.doc_id % 3) * 4000).toInt))))
+    payloads.mapPartitions(_.map { p =>
+      WavAudio.decode(p.payload) match {
+        case Some(d) =>
+          AudioFeatures(p.doc_id, d.sampleRate, d.nSamples,
+            d.nSamples * 1000L / d.sampleRate, d.peak, d.energy, d.zeroCrossings)
+        case None => AudioFeatures(p.doc_id, 0L, 0L, 0L, 0L, 0L, 0L)
+      }
+    }).toDF()
+  }
+
+  /** The oracle re-derives the signal stats straight from the text bytes
+    * (hex walk, 1-based DuckDB lists): sample_j = (byte_j − 128)·256, so
+    * peak = 256·max|c|, energy = 65536·Σc², crossings = strict sign
+    * changes of consecutive c — plus the duration from the SAME rate
+    * formula the builder wrote into `fmt `. */
+  val audioFeaturesSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+      |    CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS rate
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, rate, n,
+      |    list_transform(range(0, n),
+      |      j -> ('0x' || substr(hx, 1 + 2 * j, 2))::BIGINT - 128) AS cs
+      |  FROM p)
+      |SELECT doc_id, rate AS sample_rate, n AS n_samples,
+      |  CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+      |  CAST(COALESCE(list_max(list_transform(cs, c -> abs(c))), 0) * 256
+      |    AS BIGINT) AS peak,
+      |  CAST(COALESCE(list_sum(list_transform(cs, c -> c * c)), 0) * 65536
+      |    AS BIGINT) AS energy,
+      |  CAST(COALESCE(list_sum(list_transform(range(0, n - 1),
+      |    j -> CASE WHEN cs[j + 1] * cs[j + 2] < 0 THEN 1 ELSE 0 END)), 0)
+      |    AS BIGINT) AS zero_crossings
+      |FROM b""".stripMargin
 }
