@@ -552,4 +552,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"containment candidates must stay shingle-equi-joined:\n$p")
   }
+
+  test("dsir_select: |B|-bounded model broadcasts back, top-k without a global sort") {
+    val p = plan("dsir_select")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"selection must be top-k, never a global sort:\n$p")
+    // the per-doc scoring join against the 4096-row model must ride a
+    // broadcast — a SortMergeJoin here re-shuffles the corpus-sized
+    // bucket-count frame on the bucket key for no reason
+    assert(nodes(p, "BroadcastHashJoin") >= 1,
+      s"bucket-model join must broadcast the |B|-row side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"dsir must stay equi-joined on the bucket key:\n$p")
+  }
+
+  test("pack_chunks: one source-keyed exchange; the fragment explode adds no shuffle") {
+    val p = plan("pack_chunks")
+    assert(nodes(p, "Exchange") == 1,
+      s"prefix-sum window must be the only shuffle; the explode is narrow:\n$p")
+    assert(nodes(p, "Generate") == 1, s"fragment rows come from one sequence() explode:\n$p")
+    assert(nodes(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
+  }
+
+  test("multimodal_audio: shuffle-free — payload bytes never leave the scan partition") {
+    val p = plan("multimodal_audio")
+    assert(nodes(p, "Exchange") == 0, s"audio decode must be a narrow map:\n$p")
+    assert(nodes(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
+  }
 }
