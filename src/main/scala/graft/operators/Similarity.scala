@@ -675,6 +675,70 @@ object Similarity {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** Outliers flagged per trained cluster by [[embeddingOutliers]]. */
+  val OutliersPerCluster = 5
+
+  /** EMBEDDING OUTLIER DETECTION — the pruning sweep that runs beside
+    * SemDeDup in an embedding-space curation pass: where dedup_semantic
+    * removes points too CLOSE together, this flags the [[OutliersPerCluster]]
+    * points per trained cluster FARTHEST from their own centroid (lowest
+    * assignment cosine) — mislabeled scrapes, encoder failures and
+    * boundary junk that pollute a training mix. Ranks, not float scores,
+    * are emitted, so the output is pure integers.
+    *
+    * Plan: [[kmeansTrain]]'s centroids broadcast back (O(K·d) driver
+    * traffic, the MLlib shape); per-vector best (cluster, score) via the
+    * same max_by aggregation as [[knnIvfTrained]] — the corpus never
+    * shuffles ×K; then ONE cluster-keyed window whose rank filter
+    * compiles to WindowGroupLimit, so each task ships ≤ kOut rows per
+    * cluster. Scoring reuses training's exact dot/|c| double fold, which
+    * the oracle's CTE chain reproduces bit-for-bit (the [[kmDotSql]]
+    * discipline), so the ascending rank order is engine-portable. */
+  def embeddingOutliers(spark: SparkSession, sfDir: String,
+      kOut: Int = OutliersPerCluster): DataFrame = {
+    import spark.implicits._
+    val cents: Seq[(Long, Seq[Double])] = kmeansTrain(spark, sfDir)
+      .select(col("cluster"), col("dim"),
+        expr("centroid_fp / CAST(1000000 AS DOUBLE)").as("cv"))
+      .as[(Long, Long, Double)].collect().toSeq
+      .groupBy(_._1).toSeq
+      .map { case (cl, rows) => (cl, rows.sortBy(_._2).map(_._3)) }
+      .sortBy(_._1)
+    val cdf = broadcast(cents.toDF("cluster", "cvec"))
+    val assigned = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .join(cdf)
+      .select(col("vec_id"), col("cluster"),
+        (dot(col("v"), col("cvec")) / sqrt(dot(col("cvec"), col("cvec")))).as("score"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("score").as("s"), (-col("cluster")).as("nc"))).as("best"))
+      .select(col("vec_id"), (-col("best.nc")).as("cluster"), col("best.s").as("score"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("score").asc, col("vec_id").asc)
+    assigned.withColumn("out_rank", row_number().over(w).cast("long"))
+      .filter(col("out_rank") <= kOut)
+      .select(col("cluster"), col("vec_id"), col("out_rank"))
+  }
+
+  def embeddingOutliersSql(kOut: Int = OutliersPerCluster): String = {
+    def d(e: String, c: String) = kmDotSql(e, c)
+    def cn(c: String) = kmNormSql(c)
+    s"""WITH ${kmeansCtes(KmeansK, KmeansIters)},
+       |assigned AS (
+       |  SELECT vec_id, cluster, score FROM (
+       |    SELECT e.vec_id, c.cluster, ${d("e", "c")} / ${cn("c")} AS score,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d("e", "c")} / ${cn("c")} DESC, c.cluster) AS rn
+       |    FROM embeddings e CROSS JOIN c$KmeansIters c)
+       |  WHERE rn = 1)
+       |SELECT cluster, vec_id, out_rank FROM (
+       |  SELECT CAST(cluster AS BIGINT) AS cluster, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY cluster
+       |      ORDER BY score ASC, vec_id ASC) AS BIGINT) AS out_rank
+       |  FROM assigned)
+       |WHERE out_rank <= $kOut""".stripMargin
+  }
+
   // ---- product quantization (ADC) -----------------------------------------
 
   /** PQ geometry: 64 dims split into [[PqM]] subspaces of [[PqSubDim]] dims,

@@ -244,4 +244,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("embeddingOutliers: exactly the bottom-k per trained cluster under a driver recomputation") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.embeddingOutliers(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // driver ground truth: trained centroids, per-vector best assignment,
+    // ascending-score rank per cluster — same tie rules
+    val cents = Similarity.kmeansTrain(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3) / 1e6))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val vecs = graft.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    def dotL2R(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val want = vecs.map { case (id, v) =>
+      val (cl, sc) = cents.toSeq.sortBy(_._1).map { case (c, cv) =>
+        (c, dotL2R(v, cv) / math.sqrt(dotL2R(cv, cv)))
+      }.maxBy { case (c, s) => (s, -c) }
+      (cl, id, sc)
+    }.groupBy(_._1).toSeq.flatMap { case (cl, members) =>
+      members.sortBy(m => (m._3, m._2)).take(Similarity.OutliersPerCluster)
+        .zipWithIndex.map { case ((_, id, _), i) => (cl, id, (i + 1).toLong) }
+    }.toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // ranks per cluster are contiguous from 1 and capped
+    got.groupBy(_._1).foreach { case (cl, rows) =>
+      val ranks = rows.map(_._3).toSeq.sorted
+      assert(ranks === (1L to ranks.size))
+      assert(ranks.size <= Similarity.OutliersPerCluster, s"cluster $cl overflows kOut")
+    }
+  }
 }
