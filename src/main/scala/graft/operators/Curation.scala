@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -496,6 +497,50 @@ object Curation {
        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
        |  CAST(sum(cnt * p_fp) // sum(cnt) AS BIGINT) AS lm_score_fp
        |FROM occ JOIN model USING (b) GROUP BY doc_id""".stripMargin
+
+  /** CCNet-style HEAD/MIDDLE/TAIL perplexity bucketing (Wenzek et al.,
+    * LREC 2020): per language, documents rank by the [[lmScore]] fluency
+    * score and split into equal terciles — head = most fluent (CCNet keeps
+    * it outright), middle = kept-with-caution, tail = usually dropped.
+    * Output is the per-(lang, bucket) data card — doc count, bigram
+    * volume, and the score boundaries a serving pipeline needs to apply
+    * the SAME split to new data without re-ranking the corpus.
+    *
+    * Portability: ntile is ANSI (first `n mod 3` groups take the extra
+    * row) over a (score desc, doc_id) order whose key is the all-int64
+    * [[lmScore]] fixed point — no floats anywhere. Scale shape: the frame
+    * entering the per-lang window is THREE integers per document (id,
+    * bigram count, score), never text — the same |docs|-bounded metadata
+    * sort as shard_assign's global permutation; everything upstream is
+    * lmScore's vocab-bounded model shuffles. */
+  def ccnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("lm_score_fp").desc, col("doc_id").asc)
+    lmScore(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("b", ntile(3).over(w))
+      .groupBy(col("lang"),
+        expr("CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("total_bigrams"),
+        min(col("lm_score_fp")).as("min_score_fp"),
+        max(col("lm_score_fp")).as("max_score_fp"))
+  }
+
+  val ccnetBucketsSql: String =
+    s"""WITH scored AS (${lmScoreSql.replace("\n", "\n  ")}),
+       |j AS (SELECT s.doc_id, d.lang, s.n_bigrams, s.lm_score_fp
+       |  FROM scored s JOIN documents d USING (doc_id)),
+       |t AS (SELECT lang, n_bigrams, lm_score_fp,
+       |    ntile(3) OVER (PARTITION BY lang
+       |      ORDER BY lm_score_fp DESC, doc_id ASC) AS b
+       |  FROM j)
+       |SELECT lang,
+       |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
+       |  min(lm_score_fp) AS min_score_fp,
+       |  max(lm_score_fp) AS max_score_fp
+       |FROM t GROUP BY 1, 2""".stripMargin
 
   /** Per-document triangle participation in the winnow partial-overlap
     * graph — the clustering-coefficient building block: a doc in many

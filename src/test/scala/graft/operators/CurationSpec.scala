@@ -194,4 +194,26 @@ class CurationSpec extends AnyFunSuite {
     }
     assert(byDoc.keySet === toks.filter(_._2.nonEmpty).keySet)
   }
+
+  test("ccnet_buckets: per-lang terciles balance, head scores dominate tail, counts reconcile") {
+    val buckets = Curation.ccnetBuckets(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val scoredPerLang = Curation.lmScore(spark, Sf)
+      .join(graft.Tables.documents(spark, Sf).select("doc_id", "lang"), "doc_id")
+      .collect().groupBy(_.getString(3)).view.mapValues(_.length.toLong).toMap
+    assert(buckets.nonEmpty)
+    buckets.keys.map(_._1).toSet.foreach { lang: String =>
+      val h = buckets.get((lang, "head")); val m = buckets.get((lang, "middle"))
+      val t = buckets.get((lang, "tail"))
+      val counts = Seq(h, m, t).flatten.map(_._1)
+      // ntile balance: any two buckets differ by at most one doc
+      assert(counts.max - counts.min <= 1, s"$lang terciles unbalanced: $counts")
+      assert(counts.sum === scoredPerLang(lang), s"$lang bucket counts must reconcile")
+      // desc-score terciles: head's floor >= middle's ceiling >= tail's ceiling
+      for (a <- h; b <- m) assert(a._3 >= b._4, s"$lang head floor below middle ceiling")
+      for (b <- m; c <- t) assert(b._3 >= c._4, s"$lang middle floor below tail ceiling")
+      Seq(h, m, t).flatten.foreach { case (_, _, lo, hi) => assert(lo <= hi) }
+    }
+  }
 }
