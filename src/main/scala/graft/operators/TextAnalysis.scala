@@ -46,6 +46,82 @@ object TextAnalysis {
       .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio", "quality_score")
   }
 
+  /** Function words for [[gopherGate]]'s stopword rule — the module's
+    * [[Stopwords]], standing in for Gopher's published 8-word English list
+    * (the, be, to, of, and, that, have, with), most of which never occur
+    * in this synthetic corpus; the RULE (≥ 2 distinct present) is the
+    * published one and the list is a parameter, exactly as a production
+    * deployment swaps in per-language lists. */
+  val GopherMinStopwords = 2
+
+  /** GOPHER QUALITY GATE (Rae et al. 2021, appendix A1.1) — the named
+    * rule battery production pipelines cite, as a per-document boolean
+    * data card plus the AND-of-all keep decision (where [[quality]]
+    * reports soft ratios and a composite score, this is the published
+    * hard filter). Rules, each in pure integer arithmetic — the ratio
+    * thresholds are cross-multiplied so no division ever happens:
+    * word count in [50, 100k]; mean word length in [3, 10]
+    * (3n ≤ Σlen ≤ 10n); symbol-to-word ratio ≤ 0.1 (10·symbols ≤ n);
+    * ≥ 2 distinct function words ([[GopherMinStopwords]]); ≥ 80% of
+    * tokens contain an alphabetic character (10·alpha ≥ 8n).
+    *
+    * Scale: a pure codegen'd map over the scan — zero shuffles, no UDFs;
+    * the fixed 7-element stopword probe iterates the LIST not the corpus
+    * (`filter(stoplist, s -> array_contains(t, s))`), so per-row cost is
+    * O(tokens + |list|). */
+  def gopherGate(spark: SparkSession, sfDir: String): DataFrame =
+    gopherGateOfDocs(Tables.documents(spark, sfDir))
+
+  private[graft] def gopherGateOfDocs(docs: DataFrame): DataFrame = {
+    val stopArr = Stopwords.map(s => s"'$s'").mkString(", ")
+    docs
+      .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("sum_tok_len",
+        expr("aggregate(transform(t, x -> length(x)), 0, (acc, x) -> acc + x)").cast("long"))
+      .withColumn("n_symbols",
+        length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(array($stopArr), s -> array_contains(t, s)))").cast("long"))
+      .withColumn("n_alpha",
+        expr("size(filter(t, x -> x rlike '[a-z]'))").cast("long"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens").between(50L, 100000L), 1L).otherwise(0L).as("r_wordcount"),
+        when(col("sum_tok_len") >= col("n_tokens") * 3 &&
+          col("sum_tok_len") <= col("n_tokens") * 10, 1L).otherwise(0L).as("r_mean_len"),
+        when(col("n_symbols") * 10 <= col("n_tokens"), 1L).otherwise(0L).as("r_symbol"),
+        when(col("n_stop") >= GopherMinStopwords, 1L).otherwise(0L).as("r_stopwords"),
+        when(col("n_alpha") * 10 >= col("n_tokens") * 8, 1L).otherwise(0L).as("r_alpha"))
+      .withColumn("keep",
+        (col("r_wordcount") * col("r_mean_len") * col("r_symbol") *
+          col("r_stopwords") * col("r_alpha")).as("keep"))
+  }
+
+  val gopherGateSql: String = {
+    val stopArr = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, text, ${TextOps.tokensSql} AS t FROM documents),
+       |m AS (SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_tok_len,
+       |    CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_symbols,
+       |    CAST(len(list_filter([$stopArr], s -> list_contains(t, s))) AS BIGINT) AS n_stop,
+       |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha
+       |  FROM toks WHERE len(t) > 0)
+       |SELECT doc_id, n_tokens,
+       |  CAST(CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_wordcount,
+       |  CAST(CASE WHEN sum_tok_len BETWEEN n_tokens * 3 AND n_tokens * 10 THEN 1 ELSE 0 END AS BIGINT) AS r_mean_len,
+       |  CAST(CASE WHEN n_symbols * 10 <= n_tokens THEN 1 ELSE 0 END AS BIGINT) AS r_symbol,
+       |  CAST(CASE WHEN n_stop >= $GopherMinStopwords THEN 1 ELSE 0 END AS BIGINT) AS r_stopwords,
+       |  CAST(CASE WHEN n_alpha * 10 >= n_tokens * 8 THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+       |  CAST(CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+       |     * CASE WHEN sum_tok_len BETWEEN n_tokens * 3 AND n_tokens * 10 THEN 1 ELSE 0 END
+       |     * CASE WHEN n_symbols * 10 <= n_tokens THEN 1 ELSE 0 END
+       |     * CASE WHEN n_stop >= $GopherMinStopwords THEN 1 ELSE 0 END
+       |     * CASE WHEN n_alpha * 10 >= n_tokens * 8 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM m""".stripMargin
+  }
+
   /** The composite-score formula as SQL text over columns (n_stop,
     * n_tokens, n_punct, n_chars) — ONE definition shared by [[qualitySql]]
     * and the keep-best dedup oracle, so the ranking score cannot silently
