@@ -46,6 +46,51 @@ object TextAnalysis {
       .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio", "quality_score")
   }
 
+  /** DISTINCT-n DIVERSITY (Li et al. 2016's distinct-1/2/3, the standard
+    * text-diversity report, here per training-data SOURCE): for
+    * n ∈ {1,2,3}, total n-grams, distinct n-grams, and their ratio in ppm
+    * — the dashboard that catches a collapsed/templated source (low
+    * distinct-2/3) before it trains a degenerate model. Integer-exact:
+    * two counts and one cross-multiplied ratio, no floats.
+    *
+    * Scale: the corpus is scanned once per n (narrow gram explode); the
+    * two-phase count_distinct aggregation is keyed on (source, n, gram) —
+    * bounded by the distinct-gram vocabulary, with map-side partials
+    * absorbing repeats; output is 3·|sources| rows at any corpus size. */
+  def distinctN(spark: SparkSession, sfDir: String): DataFrame =
+    distinctNOfDocs(Tables.documents(spark, sfDir))
+
+  private[graft] def distinctNOfDocs(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"), TextOps.tokens(col("text")).as("t"))
+    def grams(n: Int): DataFrame =
+      if (n == 1) toks.select(col("source"), lit(1L).as("n"), explode(col("t")).as("g"))
+      else toks.filter(size(col("t")) >= n)
+        .select(col("source"), lit(n.toLong).as("n"),
+          explode(graft.functions.ShinglesExpression.word_shingles(col("t"), n)).as("g"))
+    grams(1).unionAll(grams(2)).unionAll(grams(3))
+      .groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("total_grams"), count_distinct(col("g")).as("distinct_grams"))
+      .withColumn("distinct_ppm", expr("(distinct_grams * 1000000) div total_grams"))
+  }
+
+  val distinctNSql: String =
+    s"""WITH toks AS (SELECT source, ${TextOps.tokensSql} AS t FROM documents),
+       |grams AS (
+       |  SELECT source, CAST(1 AS BIGINT) AS n, unnest(t) AS g FROM toks
+       |  UNION ALL
+       |  SELECT source, 2, t[i] || ' ' || t[i + 1]
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g2
+       |  WHERE len(t) >= 2
+       |  UNION ALL
+       |  SELECT source, 3, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g3
+       |  WHERE len(t) >= 3)
+       |SELECT source, n,
+       |  CAST(count(*) AS BIGINT) AS total_grams,
+       |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams,
+       |  CAST((count(DISTINCT g) * 1000000) // count(*) AS BIGINT) AS distinct_ppm
+       |FROM grams GROUP BY 1, 2""".stripMargin
+
   /** Function words for [[gopherGate]]'s stopword rule — the module's
     * [[Stopwords]], standing in for Gopher's published 8-word English list
     * (the, be, to, of, and, that, have, with), most of which never occur
