@@ -1068,4 +1068,103 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
   }
+
+  // ---- cross-source corpus overlap (KMV sketch data card) ----------------
+
+  /** Sketch size for [[sourceOverlapKmv]] — larger than the per-doc
+    * [[ContainSketchK]] because a SOURCE's shingle set is corpus-sized
+    * and the estimate serves a data card, not a candidate filter. */
+  val SourceSketchK = 128
+
+  /** CROSS-SOURCE OVERLAP MATRIX — the corpus-level data card a training
+    * mix needs before weighting sources: for every source pair, estimated
+    * shingle-set intersection, Jaccard, and containment (overlap vs the
+    * smaller source), from one bottom-k (Broder/KMV) sketch per source.
+    * This is the "how much of snapshot B is already in snapshot A"
+    * measurement that decides whether a new crawl/source adds novelty or
+    * re-ingests what the mix already has — [[containmentKmv]]'s estimator
+    * lifted from document pairs to source pairs (same all-integer
+    * arithmetic, mirrored verbatim in DuckDB → hash-exact oracle).
+    *
+    * Estimator per pair, from the two sketches alone: M = bottom-k of
+    * sa ∪ sb, k' = |M|, I = |M ∩ sa ∩ sb|; jaccard_est_ppm = I·10^6 div k',
+    * |A∩B|_est = min(min(nA,nB), I·(nA+nB) div (k'+I)) — the cap is a true
+    * bound of the estimand (an intersection never exceeds its smaller set)
+    * that the raw ratio can break under heavy size skew — and
+    * containment_est_ppm = |A∩B|_est·10^6 div min(nA,nB) (≤ 10^6 by the
+    * cap). Sources with < k distinct
+    * shingles carry their full set — small-source rows are exact. The
+    * exact distinct counts nA/nB ride from the same pass as validation
+    * columns (the [[graft.operators.TextAnalysis.distinctKmv]] pattern).
+    *
+    * At 100 TB: the per-source distinct is vocab-bounded (map-side
+    * combine absorbs repeats), the rank filter compiles to
+    * WindowGroupLimit (≤ k rows/source leave each map task), and the
+    * pairwise stage touches only |S| sketch rows of k longs each —
+    * |S|²/2 pure-integer array comparisons over a broadcast, with the
+    * corpus read exactly once. */
+  def sourceOverlapKmv(spark: SparkSession, sfDir: String,
+      k: Int = SourceSketchK): DataFrame =
+    sourceOverlapKmvOf(Tables.documents(spark, sfDir), k)
+
+  /** Core over an explicit (source, text) frame — specs feed crafted
+    * multi-source corpora with known exact overlaps. */
+  def sourceOverlapKmvOf(docs: DataFrame, k: Int): DataFrame = {
+    val sh = docs
+      .select(col("source"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"),
+        explode(graft.functions.ShinglesExpression.word_shingles(col("t"), 3)).as("s"))
+      .select(col("source"), Hashing.md5Long(col("s")).as("h"))
+      .distinct()
+      .localCheckpoint() // sketch ranks + exact counts both read it
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h").asc)
+    val sk = sh.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k) // WindowGroupLimit: ≤ k rows/source shuffle
+      .groupBy(col("source")).agg(array_sort(collect_list(col("h"))).as("sk"))
+    val s = sk.join(sh.groupBy(col("source")).agg(count(lit(1)).as("n")), Seq("source"))
+    s.as("a").join(broadcast(s.as("b")), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.sk").as("sa"), col("b.sk").as("sb"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .withColumn("m", expr(s"slice(array_sort(array_union(sa, sb)), 1, $k)"))
+      .withColumn("ku", size(col("m")).cast("long"))
+      .withColumn("i", size(array_intersect(array_intersect(col("m"), col("sa")), col("sb"))).cast("long"))
+      // inter_est caps at min(nA,nB) — a TRUE bound of the estimand the
+      // raw ratio can exceed under heavy size skew (small A, huge B,
+      // shared minima), and the cap keeps containment ≤ 1 by construction
+      .select(col("source_a"), col("source_b"), col("na"), col("nb"),
+        expr("least(least(na, nb), i * (na + nb) div (ku + i))").as("inter_est"),
+        expr("i * 1000000 div ku").as("jaccard_est_ppm"),
+        expr("least(least(na, nb), i * (na + nb) div (ku + i)) * 1000000 div least(na, nb)")
+          .as("containment_est_ppm"))
+  }
+
+  /** Oracle twin: same distinct → bottom-k → union-sketch integer
+    * estimator, DuckDB list spelling. */
+  def sourceOverlapKmvSql(k: Int = SourceSketchK): String =
+    s"""WITH toks AS (SELECT source, ${TextOps.tokensSql} AS t FROM documents),
+       |shg AS (SELECT source, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS s
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+       |  WHERE len(t) >= 3),
+       |hs AS (SELECT DISTINCT source, ${Hashing.md5LongSql("s")} AS h FROM shg),
+       |sk AS (SELECT source, list_sort(list(h)) AS sk FROM (
+       |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM hs) WHERE rn <= $k GROUP BY source),
+       |s AS (SELECT sk.source, sk.sk, n FROM sk
+       |  JOIN (SELECT source, count(*) AS n FROM hs GROUP BY 1) c ON sk.source = c.source),
+       |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+       |    a.sk AS sa, b.sk AS sb, a.n AS na, b.n AS nb,
+       |    (list_sort(list_distinct(list_concat(a.sk, b.sk))))[1:$k] AS m
+       |  FROM s a JOIN s b ON a.source < b.source),
+       |est AS (SELECT source_a, source_b, na, nb, len(m) AS ku,
+       |    len(list_intersect(list_intersect(m, sa), sb)) AS i
+       |  FROM pairs)
+       |SELECT source_a, source_b, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+       |  CAST(least(least(na, nb), i * (na + nb) // (ku + i)) AS BIGINT) AS inter_est,
+       |  CAST(i * 1000000 // ku AS BIGINT) AS jaccard_est_ppm,
+       |  CAST(least(least(na, nb), i * (na + nb) // (ku + i)) * 1000000 // least(na, nb) AS BIGINT)
+       |    AS containment_est_ppm
+       |FROM est""".stripMargin
 }

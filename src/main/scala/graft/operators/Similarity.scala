@@ -1199,4 +1199,134 @@ object Similarity {
       |SELECT label, CAST(dim AS BIGINT) AS dim, n_vecs, sum_fp,
       |  CAST(sum_fp // n_vecs AS BIGINT) AS centroid_fp
       |FROM agg""".stripMargin
+
+  // ---- binary (1-bit) quantization + Hamming shortlist + exact rerank ----
+
+  /** Bits per packed word: 32, NOT 64. A 64-bit pack needs a 2^63 shift
+    * whose sign-bit wrap Spark tolerates but DuckDB raises on — exactly
+    * the divergent Spark-wraps/DuckDB-raises failure mode the cos2_fp fix
+    * removed. 32-bit words keep every packed value ≤ 2^32−1 and every
+    * fold far inside int64 in BOTH engines; the cost is one extra xor +
+    * popcount per 64 dims, invisible next to the scan. */
+  val BinWordBits = 32
+  /** Hamming shortlist size before the exact re-rank (the
+    * [[knnIvfRerank]] shortlist discipline). */
+  val BinShortlist = 20
+
+  /** BINARY QUANTIZATION kNN — the 1-bit rung below [[knnSq8]] on the
+    * compression ladder (FAISS `LSH`/binary indexes; the "binary
+    * quantization" mode of production vector stores): each dimension
+    * collapses to one bit (above/below its corpus midrange), packed into
+    * [[BinWordBits]]-bit words, so a d=64 float32 vector serves from
+    * 8 BYTES (32× compression) and candidate scoring is xor + popcount —
+    * integer ops with no floating point at all. Serving shape:
+    * Hamming-distance shortlist of [[BinShortlist]] per query over the
+    * packed corpus, then exact-cosine re-rank of the shortlist, the
+    * [[knnIvfRerank]] two-phase pattern.
+    *
+    * Threshold is the per-dimension MIDRANGE (mn+mx)/2, not the mean:
+    * min/max are order-independent aggregates, so the whole encode is
+    * deterministic and the oracle hash-exact — a distributed float mean
+    * would hash-diverge on partition order (the reason [[knnSq8]] trains
+    * on bounds too). The compare is cross-multiplied (`2·v > mn+mx`,
+    * exact in binary fp) so no engine divides.
+    *
+    * At 100 TB: the stats pass is one mergeable min/max aggregation
+    * (|dims| groups); encode is a narrow map under a broadcast 2-array
+    * row; the serving scan moves 2 longs/vector instead of 64 floats and
+    * its per-pair cost is ~2 xor+popcount vs 64 FMA; the shortlist is a
+    * WindowGroupLimit (≤ shortlist rows/query leave each map task); only
+    * queries×shortlist rows ever touch float vectors again. */
+  /** The packed binary codes (vec_id, wrds) — [[knnBinary]]'s encode
+    * phase, public so the spec verifies the pack bit-for-bit against a
+    * driver recomputation. Bit b of word j covers dim j·wb+b, MSB-first
+    * (2^(wb−1−b)), so the packed words sort like the bit string;
+    * out-of-range dims pack 0. */
+  def binaryCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val stats = e.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
+          s => s.getField("mn")).as("vmn"),
+        transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+          s => s.getField("mx")).as("vmx"))
+    val wb = BinWordBits
+    e.crossJoin(broadcast(stats))
+      .withColumn("wrds", expr(
+        s"""transform(sequence(0, CAST((size(v) + ${wb - 1}) div $wb AS INT) - 1),
+           |  j -> aggregate(sequence(0, ${wb - 1}), 0L,
+           |    (acc, b) -> acc + CASE WHEN j * $wb + b < size(v)
+           |        AND v[j * $wb + b] * 2.0D > (vmn[j * $wb + b] + vmx[j * $wb + b])
+           |      THEN shiftleft(1L, ${wb - 1} - b) ELSE 0L END))""".stripMargin))
+      .select(col("vec_id"), col("wrds"))
+  }
+
+  def knnBinary(spark: SparkSession, sfDir: String, k: Int = 5,
+      shortlist: Int = BinShortlist): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", graft.functions.VectorExpressions.vec_norm(col("v")))
+    val enc = binaryCodes(spark, sfDir)
+      .localCheckpoint() // corpus side + query side both read the codes
+    val q = enc.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("wrds").as("qwrds"))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham").asc, col("vec_id").asc)
+    val short = rebalance(spark, enc).join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("ham", expr(
+        """aggregate(sequence(0, size(wrds) - 1), 0L,
+          |  (acc, j) -> acc + CAST(bit_count(wrds[j] ^ qwrds[j]) AS LONG))""".stripMargin))
+      .withColumn("arank", row_number().over(wShort))
+      .filter(col("arank") <= shortlist)
+      .select(col("query_id"), col("vec_id"), col("ham"))
+    val vecs = e.select(col("vec_id"), col("v"), col("nrm"))
+    val qv = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    short.join(vecs, "vec_id").join(broadcast(qv), "query_id")
+      .withColumn("cos", cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("ham").as("hamming"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Oracle twin: same midrange bounds, same MSB-first pack (shifts, no
+    * 2^63), same xor+popcount fold, same two-phase shortlist → rerank. */
+  def knnBinarySql(k: Int = 5, shortlist: Int = BinShortlist): String = {
+    val wb = BinWordBits
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |dims AS (SELECT i AS dim, min(v[i]) AS mn, max(v[i]) AS mx
+       |  FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g GROUP BY 1),
+       |st AS (SELECT list(mn ORDER BY dim) AS vmn, list(mx ORDER BY dim) AS vmx FROM dims),
+       |enc AS (SELECT vec_id,
+       |    list_transform(generate_series(0, CAST((len(v) + ${wb - 1}) // $wb AS INTEGER) - 1),
+       |      j -> CAST(list_sum(list_transform(generate_series(0, ${wb - 1}),
+       |        b -> CASE WHEN j * $wb + b + 1 <= len(v)
+       |            AND v[j * $wb + b + 1] * 2.0 > (vmn[j * $wb + b + 1] + vmx[j * $wb + b + 1])
+       |          THEN (1::BIGINT << (${wb - 1} - b)) ELSE 0 END)) AS BIGINT)) AS wrds
+       |  FROM e CROSS JOIN st),
+       |q AS (SELECT vec_id AS query_id, wrds AS qwrds FROM enc WHERE vec_id < $NumQueries),
+       |scored AS (SELECT q.query_id, c.vec_id,
+       |    CAST(list_sum(list_transform(generate_series(1, len(c.wrds)),
+       |      j -> CAST(bit_count(xor(c.wrds[j], q.qwrds[j])) AS BIGINT))) AS BIGINT) AS ham
+       |  FROM enc c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+       |short AS (SELECT query_id, vec_id, ham FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ham ASC, vec_id ASC) AS arank FROM scored)
+       |  WHERE arank <= $shortlist)
+       |SELECT query_id, neighbor_id, rank, hamming, cos_sim FROM (
+       |  SELECT s.query_id, s.vec_id AS neighbor_id, s.ham AS hamming,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY ${cosineSql("qe", "e")} DESC, s.vec_id ASC) AS rank,
+       |    round(${cosineSql("qe", "e")}, 6) AS cos_sim
+       |  FROM short s JOIN embeddings e ON e.vec_id = s.vec_id
+       |    JOIN embeddings qe ON qe.vec_id = s.query_id)
+       |WHERE rank <= $k""".stripMargin
+  }
 }

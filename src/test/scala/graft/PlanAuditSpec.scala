@@ -579,4 +579,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nodes(p, "Exchange") == 0, s"audio decode must be a narrow map:\n$p")
     assert(nodes(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
   }
+
+  test("knn_binary: Hamming scan joins broadcast codes, shortlist is WindowGroupLimit, no cartesian") {
+    val p = plan("knn_binary")
+    assert(!p.contains("CartesianProduct"), s"binary kNN must never cartesian:\n$p")
+    assert(nodes(p, "WindowGroupLimit") >= 2,
+      s"both the Hamming shortlist and the rerank top-k must compile to WindowGroupLimit:\n$p")
+    // query codes and query vectors ride broadcasts; the corpus never
+    // shuffles against them (the stats row broadcast is inside the
+    // checkpointed encode, not this plan)
+    assert(nodes(p, "BroadcastExchange") >= 2,
+      s"query codes + query vectors must broadcast:\n$p")
+  }
+
+  test("source_overlap_kmv: sketch rank is WindowGroupLimit; pairwise stage is a broadcast over sketch rows") {
+    val p = plan("source_overlap_kmv")
+    assert(p.contains("WindowGroupLimit"),
+      s"the bottom-k rank filter must push into map tasks (<= k rows/source shuffle):\n$p")
+    assert(nodes(p, "BroadcastExchange") >= 1,
+      s"the |S|-row sketch side must broadcast into the pair join:\n$p")
+    assert(nodes(p, "Scan parquet") <= 1,
+      s"one corpus scan feeds the checkpointed shingle pass:\n$p")
+  }
 }

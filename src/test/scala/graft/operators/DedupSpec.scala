@@ -350,4 +350,46 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.exists { case (doc, cluster, kept, _) => kept && doc != cluster },
       "fixture should contain a cluster whose best member is not the min id")
   }
+
+  test("sourceOverlapKmv: sub-sketch sources are EXACT (inter_est = |intersection|); disjoint/identical extremes") {
+    import spark.implicits._
+    // every source far below k = 128 distinct shingles → sketches are the
+    // full sets and the estimator must collapse to exact set arithmetic:
+    // ku = |A∪B|, i = |A∩B|, inter_est = i·(nA+nB) div (nA+nB) = i
+    val docs = Seq(
+      ("x", 1L, "a b c d e f"),            // shingles: abc bcd cde def (4)
+      ("y", 2L, "c d e f g h"),            // cde def efg fgh (4); ∩x = {cde, def}
+      ("z", 3L, "p q r s t u"),            // disjoint from x and y
+      ("w", 4L, "a b c d e f")             // identical to x
+    ).toDF("source", "doc_id", "text")
+    val got = Dedup.sourceOverlapKmvOf(docs, Dedup.SourceSketchK).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got.keySet === Set(("w", "x"), ("w", "y"), ("w", "z"),
+      ("x", "y"), ("x", "z"), ("y", "z")))
+    // identical sources: full overlap
+    assert(got(("w", "x")) === ((4L, 4L, 4L, 1000000L, 1000000L)))
+    // half-overlapping: i=2, union=6 → jaccard 333333 ppm; containment 2/4
+    assert(got(("x", "y")) === ((4L, 4L, 2L, 333333L, 500000L)))
+    // disjoint pairs: all zeros
+    Seq(("w", "z"), ("x", "z"), ("y", "z")).foreach { p =>
+      val (_, _, inter, jac, cont) = got(p)
+      assert((inter, jac, cont) === ((0L, 0L, 0L)), s"pair $p must be disjoint")
+    }
+  }
+
+  test("sourceOverlapKmv: real corpus emits the full |S| choose 2 matrix, deterministic, ppm in range") {
+    val a = Dedup.sourceOverlapKmv(spark, Sf).collect()
+    val b = Dedup.sourceOverlapKmv(spark, Sf).collect()
+    assert(a.map(_.toSeq).toSet === b.map(_.toSeq).toSet, "estimator must be deterministic")
+    val srcs = a.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.length
+    assert(a.length === srcs * (srcs - 1) / 2, "one row per unordered source pair")
+    a.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs are canonically ordered")
+      assert(r.getLong(5) >= 0L && r.getLong(5) <= 1000000L)
+      assert(r.getLong(6) >= 0L && r.getLong(6) <= 1000000L)
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)),
+        "intersection estimate cannot exceed the smaller set")
+    }
+  }
 }

@@ -277,4 +277,71 @@ class SimilaritySpec extends AnyFunSuite {
       assert(ranks.size <= Similarity.OutliersPerCluster, s"cluster $cl overflows kOut")
     }
   }
+
+  // driver-side mirror of the binary pack: midrange thresholds, MSB-first
+  // 32-bit words — shared by the two knnBinary tests below
+  private def driverBinaryPack() = {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val d = vecs.values.head.length
+    val mn = Array.tabulate(d)(i => vecs.values.map(_(i)).min)
+    val mx = Array.tabulate(d)(i => vecs.values.map(_(i)).max)
+    val wb = Similarity.BinWordBits
+    val nw = (d + wb - 1) / wb
+    def pack(v: Array[Double]): Seq[Long] =
+      (0 until nw).map { j =>
+        (0 until wb).foldLeft(0L) { (acc, b) =>
+          val i = j * wb + b
+          acc + (if (i < d && v(i) * 2.0 > mn(i) + mx(i)) 1L << (wb - 1 - b) else 0L)
+        }
+      }
+    (vecs, vecs.map { case (id, v) => id -> pack(v) })
+  }
+
+  test("knnBinary: packed codes match a driver midrange-threshold pack bit-for-bit") {
+    val (vecs, want) = driverBinaryPack()
+    val got = Similarity.binaryCodes(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got.keySet === vecs.keySet)
+    vecs.keys.foreach { id => assert(got(id) === want(id), s"vec $id pack diverged") }
+    // the pack is discriminative on this corpus, not constant
+    assert(want.values.toSet.size > want.size / 2, "codes collapsed")
+  }
+
+  test("knnBinary: equals the driver Hamming-shortlist -> exact-rerank recomputation; recall floor vs brute") {
+    val (vecs, codes) = driverBinaryPack()
+    def dotL2R(a: Array[Double], b: Array[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def cos(a: Array[Double], b: Array[Double]) =
+      dotL2R(a, b) / (math.sqrt(dotL2R(a, a)) * math.sqrt(dotL2R(b, b)))
+    def ham(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+    val want = (0L until Similarity.NumQueries.toLong).flatMap { q =>
+      val short = vecs.keys.filter(_ != q).toSeq
+        .map(id => (id, ham(codes(q), codes(id))))
+        .sortBy { case (id, h) => (h, id) }.take(Similarity.BinShortlist)
+      short.map { case (id, h) => (id, h, cos(vecs(q), vecs(id))) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(5)
+        .zipWithIndex.map { case ((id, h, c), i) => (q, id, (i + 1).toLong, h) }
+    }.toSet
+    val rows = Similarity.knnBinary(spark, Sf).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want)
+    // exact rerank: cos_sim agrees with the brute scorer on the same pairs
+    val brute = Similarity.knnBrute(spark, Sf, k = 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    rows.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1))).foreach { bc =>
+        assert(math.abs(r.getDouble(4) - bc) < 1e-9)
+      }
+    }
+    // informational recall floor vs exact top-5 (1-bit codes on a
+    // near-uniform corpus are the worst case; a collapse means the
+    // pack/threshold broke, not that recall is fashionable)
+    val bruteSet = brute.keySet
+    val overlap = got.map(t => (t._1, t._2)).count(bruteSet.contains)
+    assert(overlap >= 10, s"binary recall collapsed: $overlap/50 vs brute")
+  }
 }
