@@ -1167,4 +1167,101 @@ object Dedup {
        |  CAST(least(least(na, nb), i * (na + nb) // (ku + i)) * 1000000 // least(na, nb) AS BIGINT)
        |    AS containment_est_ppm
        |FROM est""".stripMargin
+
+  // ---- content-defined chunking (CDC) dedup -------------------------------
+
+  /** Expected chunk length in tokens: a token ends a chunk when its hash
+    * ≡ 0 (mod this). Plain Rabin/gear-style cut rule — no min/max length
+    * normalization, so the contract stays a 1-line predicate both engines
+    * evaluate identically. */
+  val CdcDivisor = 16
+  /** Chunk-fingerprint fold modulus, 2^56: `acc*31 + h < 2^61 + 2^56`,
+    * inside int64 in Spark AND inside DuckDB's overflow-checked BIGINT —
+    * the portable-arithmetic discipline ([[Hashing]]); 56-bit fingerprints
+    * make birthday collisions negligible at 10^8+ chunks where a 32-bit
+    * fold would already produce hundreds. */
+  val CdcModulus = 72057594037927936L
+
+  /** CONTENT-DEFINED-CHUNKING dedup data card — the shift-resistant
+    * complement to [[substringPairs]]: token-hash boundaries (h % D == 0,
+    * forced at doc end) cut each document into variable chunks whose
+    * positions re-synchronize after any insertion/deletion, so a passage
+    * duplicated at DIFFERENT offsets in two documents still yields
+    * identical chunk fingerprints (fixed-size chunking shares ZERO blocks
+    * after a one-token shift — the rsync/LBFS observation, Muthitacharoen
+    * et al. SOSP'01, the storage-dedup standard). Output: one row per doc
+    * — chunk counts, cross-doc duplicated chunk instances, duplicated
+    * token volume, dup_ratio_ppm — the per-document "how much of me exists
+    * elsewhere" measure a chunk-level deduper thresholds on.
+    *
+    * Scale shape: chunking is a pure per-row array pipeline (tokenize →
+    * md5 → boundary filter → slice+fold), ZERO shuffle until chunks
+    * exist; then one map-side-combined distinct-doc count per fingerprint,
+    * one fp-keyed join back, one doc-keyed aggregation — every shuffle
+    * keyed and linear in the chunk stream (~n_tokens/D rows per doc), no
+    * pair term anywhere. Reference scope: the engine's dedup family
+    * (SURVEY §2 beyond-reference LLM-pipeline operators). */
+  def cdcChunkDedup(spark: SparkSession, sfDir: String): DataFrame =
+    cdcChunkDedupOf(Tables.documents(spark, sfDir))
+
+  private[graft] def cdcChunkDedupOf(docs: DataFrame): DataFrame = {
+    val ch = cdcChunksOf(docs)
+    val fps = ch.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    ch.join(fps, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        first(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("ndocs") >= 2, col("ln")).otherwise(0L)).as("dup_tokens"))
+      .withColumn("dup_ratio_ppm", expr("dup_tokens * 1000000 div n_tokens"))
+  }
+
+  /** One row per chunk: (doc_id, n_tokens, fp, ln). Boundary index i is
+    * 1-based; Spark's transform index j is 0-based (the DuckDB twin's is
+    * 1-based — the only spelling difference). The fold runs over the
+    * chunk's token hashes seeded with 0, `(acc*31 + h) % 2^56`. */
+  private[graft] def cdcChunksOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), transform(col("t"), x => Hashing.md5Long(x)).as("hs"))
+      .withColumn("bidx", expr(
+        s"filter(sequence(1, size(hs)), i -> element_at(hs, i) % $CdcDivisor = 0 OR i = size(hs))"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_tokens"),
+        explode(expr(
+          s"""transform(bidx, (bv, j) -> named_struct(
+             |  'fp', aggregate(
+             |    slice(hs, (CASE WHEN j = 0 THEN 0 ELSE element_at(bidx, j) END) + 1,
+             |          bv - (CASE WHEN j = 0 THEN 0 ELSE element_at(bidx, j) END)),
+             |    CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $CdcModulus),
+             |  'ln', CAST(bv - (CASE WHEN j = 0 THEN 0 ELSE element_at(bidx, j) END) AS BIGINT)))""".stripMargin)).as("c"))
+      .select(col("doc_id"), col("n_tokens"), col("c.fp").as("fp"), col("c.ln").as("ln"))
+
+  /** DuckDB twin — same boundary predicate, same fold ([[CdcModulus]]
+    * keeps every intermediate inside checked BIGINT), 1-based transform
+    * index. */
+  def cdcChunkDedupSql: String =
+    s"""WITH toks AS (SELECT doc_id, ${TextOps.tokensSql} AS t FROM documents),
+       |hsx AS (SELECT doc_id, list_transform(t, x -> ${Hashing.md5LongSql("x")}) AS hs
+       |  FROM toks WHERE len(t) >= 1),
+       |b AS (SELECT doc_id, hs,
+       |    list_filter(generate_series(1, len(hs)), (i) -> hs[i] % $CdcDivisor = 0 OR i = len(hs)) AS bidx
+       |  FROM hsx),
+       |ch0 AS (SELECT doc_id, len(hs) AS n_tokens,
+       |    unnest(list_transform(bidx, (bv, j) ->
+       |      {'fp': list_reduce(
+       |          list_prepend(0, hs[(CASE WHEN j = 1 THEN 0 ELSE bidx[j - 1] END) + 1 : bv]),
+       |          (acc, x) -> (acc * 31 + x) % $CdcModulus),
+       |       'ln': bv - (CASE WHEN j = 1 THEN 0 ELSE bidx[j - 1] END)})) AS c
+       |  FROM b),
+       |ch AS (SELECT doc_id, n_tokens, c.fp AS fp, c.ln AS ln FROM ch0),
+       |fps AS (SELECT fp, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY 1)
+       |SELECT ch.doc_id, CAST(any_value(n_tokens) AS BIGINT) AS n_tokens,
+       |  count(*) AS n_chunks,
+       |  CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |  CAST(sum(CASE WHEN ndocs >= 2 THEN ln ELSE 0 END) AS BIGINT) AS dup_tokens,
+       |  CAST(sum(CASE WHEN ndocs >= 2 THEN ln ELSE 0 END) * 1000000
+       |    // any_value(n_tokens) AS BIGINT) AS dup_ratio_ppm
+       |FROM ch JOIN fps USING (fp) GROUP BY 1""".stripMargin
 }

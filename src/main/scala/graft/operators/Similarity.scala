@@ -477,6 +477,79 @@ object Similarity {
        |  FROM assigned e JOIN q ON e.cluster = q.cluster AND e.vec_id <> q.query_id)
        |WHERE rank <= $k""".stripMargin
 
+  /** Multi-probe width: each query scans its [[NumProbes]] nearest
+    * clusters. Fixed like [[NumCentroids]] — the probe fan-out is a serving
+    * knob, not a corpus-dependent quantity. */
+  val NumProbes = 4
+
+  /** MULTI-PROBE IVF — FAISS's `nprobe` serving knob, the missing rung
+    * between [[knnIvf]] (nprobe=1) and [[knnBrute]] (nprobe=C): each query
+    * probes its [[NumProbes]] nearest clusters by centroid cosine, trading
+    * a P/C corpus fraction per query for the recall lost to hard cluster
+    * boundaries (a true neighbor assigned to the runner-up cluster is
+    * invisible at nprobe=1 — the standard IVF failure mode multi-probe
+    * exists to fix).
+    *
+    * Monotonicity is structural: the candidate pool grows with P under the
+    * same total order (cos desc, vec_id asc), so recall@k vs the brute
+    * baseline is non-decreasing in P, and P = C IS the brute scan — both
+    * proven in SimilaritySpec. Scale shape: the query-side (query × top-P
+    * cluster) frame is NumQueries·P rows riding a broadcast; the corpus
+    * never joins centroids again (the checkpointed [[ivfAssigned]] carries
+    * the cluster), candidates bound at P/C of the corpus per query, top-k
+    * compiles to WindowGroupLimit. A candidate belongs to exactly one
+    * cluster, so pairs are join-unique — no distinct pass. */
+  def knnIvfMultiprobe(spark: SparkSession, sfDir: String, k: Int = 3,
+      p: Int = NumProbes): DataFrame = {
+    val assigned = ivfAssigned(spark, sfDir)
+    val cent = assigned.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val qp = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .join(broadcast(cent))
+      .withColumn("ccos", cosinePre(col("qv"), col("cv"), col("qnrm"), col("cnrm")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= p)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cent_id").as("qcluster"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    assigned.join(broadcast(qp),
+        col("cluster") === col("qcluster") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** DuckDB twin — same seeded assignment as [[knnIvfSql]], with the query
+    * side ranked to its top-P clusters instead of argmax-1. */
+  def knnIvfMultiprobeSql(k: Int = 3, p: Int = NumProbes): String =
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < $NumCentroids),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cent_id AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("e", "c")} DESC, c.cent_id ASC) AS arn
+       |    FROM embeddings e CROSS JOIN cent c)
+       |  WHERE arn = 1),
+       |qp AS (
+       |  SELECT vec_id AS query_id, embedding, cent_id AS qcluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("e", "c")} DESC, c.cent_id ASC) AS prn
+       |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < $NumQueries)
+       |  WHERE prn <= $p)
+       |SELECT query_id, neighbor_id, rank, cos_sim FROM (
+       |  SELECT qp.query_id, e.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY qp.query_id
+       |      ORDER BY ${cosineSql("qp", "e")} DESC, e.vec_id ASC) AS rank,
+       |    round(${cosineSql("qp", "e")}, 6) AS cos_sim
+       |  FROM assigned e JOIN qp ON e.cluster = qp.qcluster AND e.vec_id <> qp.query_id)
+       |WHERE rank <= $k""".stripMargin
+
   /** ANN quality evaluation: recall@k of the IVF index against the exact
     * brute-force baseline, per query — the measurement loop an ANN
     * deployment runs before trusting its index parameters. Output is

@@ -344,4 +344,31 @@ class SimilaritySpec extends AnyFunSuite {
     val overlap = got.map(t => (t._1, t._2)).count(bruteSet.contains)
     assert(overlap >= 10, s"binary recall collapsed: $overlap/50 vs brute")
   }
+
+  test("knn_ivf_multiprobe: p=1 IS knn_ivf; p=C IS brute; recall is monotone in p") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // nprobe=1 degenerates to the single-cluster probe, pair-for-pair.
+    assert(rows(Similarity.knnIvfMultiprobe(spark, Sf, k = 3, p = 1)) ===
+      rows(Similarity.knnIvf(spark, Sf, k = 3)))
+    // nprobe=C scans every cluster = the exhaustive baseline, pair-for-pair.
+    assert(rows(Similarity.knnIvfMultiprobe(spark, Sf, k = 5, p = Similarity.NumCentroids)) ===
+      rows(Similarity.knnBrute(spark, Sf, k = 5)))
+    // recall@k vs brute is non-decreasing in p (the candidate pool only
+    // grows, under one total order), and the default p=4 must be a strict
+    // improvement over p=1 somewhere for the knob to be informative.
+    val brute = rows(Similarity.knnBrute(spark, Sf, k = 5)).map(t => (t._1, t._2))
+    def recall(p: Int): Map[Long, Int] = {
+      val got = rows(Similarity.knnIvfMultiprobe(spark, Sf, k = 5, p = p)).map(t => (t._1, t._2))
+      brute.groupBy(_._1).map { case (q, bs) => q -> bs.count(got.contains) }
+    }
+    val byP = Seq(1, 2, 4, 8).map(p => p -> recall(p))
+    byP.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+      ra.keys.foreach { q =>
+        assert(ra(q) <= rb(q), s"recall dropped for query $q going p=$pa -> p=$pb")
+      }
+    }
+    assert(byP.head._2.values.sum < byP(2)._2.values.sum,
+      "p=4 recalls no more than p=1: the multi-probe knob is not biting on this corpus")
+  }
 }
