@@ -1273,6 +1273,107 @@ object Similarity {
       |  CAST(sum_fp // n_vecs AS BIGINT) AS centroid_fp
       |FROM agg""".stripMargin
 
+  /** Unit-direction quantization scale for [[embeddingHealth]]: 2^10.
+    * |floor(u·1024)| ≤ 1024 per component, so a per-(label, dim) direction
+    * sum stays ≤ n·2^10 — far inside int64 even at 10^12 vectors — and the
+    * squared sums move to double ONLY at the |labels|-row final step. */
+  val HealthDirScale = 1024L
+
+  /** EMBEDDING-CORPUS HEALTH CARD — the QA pass an embedding pipeline runs
+    * before trusting an ANN index over a new encoder drop: per label,
+    * vector counts, norm statistics (collapsed / exploded norms flag a
+    * broken encoder or an unnormalized mix), and the squared MEAN RESULTANT
+    * LENGTH of the unit directions — directional statistics' concentration
+    * measure (R² = ‖Σuᵢ‖²/n², 1 = all vectors aligned, →1/n = uniform
+    * spread), the anisotropy diagnostic of Ethayarajh (EMNLP 2019) /
+    * Mu & Viswanath's all-but-the-top (ICLR 2018): a cone-collapsed
+    * embedding space ruins cosine contrast long before recall gates see it.
+    *
+    * Portability: norms are the engine-shared left-to-right sqrt-dot fold;
+    * unit components quantize to int ([[HealthDirScale]]) so the per-(label,
+    * dim) sums are EXACT order-free int64; the final ‖S‖²/(scale·n)² runs in
+    * double over the dim-sorted array (fixed fold order, exact integer
+    * inputs → bit-identical IEEE in both engines) and floors to ppm.
+    * Zero-norm vectors are counted (`n_zero`) and contribute nothing to
+    * direction or norm stats.
+    *
+    * Shape: ONE corpus scan → posexplode ×d (narrow) → ONE (label, dim)
+    * aggregation with map-side partials (norm stats ride the same groups as
+    * conditional aggregates) → a |labels|·d-row rollup. Scan-bound at any
+    * scale, like [[embeddingCentroids]]. */
+  def embeddingHealth(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingHealthOf(Tables.embeddings(spark, sfDir))
+
+  /** Core of [[embeddingHealth]] over any (label, embedding) frame. */
+  private[graft] def embeddingHealthOf(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("label").cast("long").as("label"),
+        toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", graft.functions.VectorExpressions.vec_norm(col("v")))
+      .withColumn("norm_ppm", floor(col("nrm") * 1000000).cast("long"))
+      .withColumn("q", when(col("norm_ppm") > 0,
+          expr(s"transform(v, x -> CAST(floor(x / nrm * $HealthDirScale) AS BIGINT))"))
+        .otherwise(expr("transform(v, x -> CAST(0 AS BIGINT))")))
+      .select(col("label"), col("norm_ppm"), posexplode(col("q")).as(Seq("dim", "qx")))
+    val dims = base.groupBy(col("label"), col("dim"))
+      .agg(sum(col("qx")).as("s"),
+        count(lit(1)).as("cnt"),
+        sum(when(col("norm_ppm") === 0, 1L).otherwise(0L)).as("nz"),
+        min(when(col("norm_ppm") > 0, col("norm_ppm"))).as("mn"),
+        max(when(col("norm_ppm") > 0, col("norm_ppm"))).as("mx"),
+        sum(when(col("norm_ppm") > 0, col("norm_ppm")).otherwise(0L)).as("nsum"))
+    dims.groupBy(col("label"))
+      .agg(max(col("cnt")).as("n_vecs"),
+        max(col("nz")).as("n_zero"),
+        min(col("mn")).as("norm_ppm_min"),
+        max(col("mx")).as("norm_ppm_max"),
+        max(col("nsum")).as("nsum"),
+        collect_list(struct(col("dim"), col("s"))).as("sv"))
+      .withColumn("n_dir", col("n_vecs") - col("n_zero"))
+      .withColumn("sumsq", expr(
+        "aggregate(array_sort(sv), CAST(0.0 AS DOUBLE), (acc, e) -> acc + CAST(e.s AS DOUBLE) * CAST(e.s AS DOUBLE))"))
+      .select(col("label"), col("n_vecs"), col("n_zero"),
+        col("norm_ppm_min"), col("norm_ppm_max"),
+        when(col("n_dir") > 0, expr("nsum div n_dir")).as("norm_ppm_avg"),
+        when(col("n_dir") > 0,
+          floor(col("sumsq") * lit(1000000.0) /
+            ((lit(HealthDirScale.toDouble) * col("n_dir")) *
+             (lit(HealthDirScale.toDouble) * col("n_dir")))).cast("long"))
+          .as("mrl2_ppm"))
+  }
+
+  /** DuckDB twin — same norm fold, same quantization, same dim-ordered
+    * double fold for ‖S‖². */
+  def embeddingHealthSql: String =
+    s"""WITH base AS (
+       |  SELECT CAST(label AS BIGINT) AS label,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |b2 AS (SELECT label, CAST(floor(nrm * 1000000) AS BIGINT) AS norm_ppm, nrm, v FROM base),
+       |comp AS (
+       |  SELECT label, norm_ppm, i - 1 AS dim,
+       |    CASE WHEN norm_ppm > 0 THEN CAST(floor(v[i] / nrm * $HealthDirScale) AS BIGINT)
+       |         ELSE 0 END AS qx
+       |  FROM b2, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) t),
+       |dims AS (
+       |  SELECT label, dim, CAST(sum(qx) AS BIGINT) AS s, count(*) AS cnt,
+       |    CAST(sum(CASE WHEN norm_ppm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz,
+       |    min(CASE WHEN norm_ppm > 0 THEN norm_ppm END) AS mn,
+       |    max(CASE WHEN norm_ppm > 0 THEN norm_ppm END) AS mx,
+       |    CAST(sum(CASE WHEN norm_ppm > 0 THEN norm_ppm ELSE 0 END) AS BIGINT) AS nsum
+       |  FROM comp GROUP BY 1, 2),
+       |lab AS (
+       |  SELECT label, CAST(max(cnt) AS BIGINT) AS n_vecs, max(nz) AS n_zero,
+       |    min(mn) AS norm_ppm_min, max(mx) AS norm_ppm_max, max(nsum) AS nsum,
+       |    list_sum(list_transform(list(s ORDER BY dim), z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))) AS sumsq
+       |  FROM dims GROUP BY 1)
+       |SELECT label, n_vecs, n_zero, norm_ppm_min, norm_ppm_max,
+       |  CASE WHEN n_vecs - n_zero > 0 THEN nsum // (n_vecs - n_zero) END AS norm_ppm_avg,
+       |  CASE WHEN n_vecs - n_zero > 0 THEN CAST(floor(sumsq * 1000000.0 /
+       |    (($HealthDirScale.0 * (n_vecs - n_zero)) * ($HealthDirScale.0 * (n_vecs - n_zero)))) AS BIGINT)
+       |  END AS mrl2_ppm
+       |FROM lab""".stripMargin
+
   // ---- binary (1-bit) quantization + Hamming shortlist + exact rerank ----
 
   /** Bits per packed word: 32, NOT 64. A 64-bit pack needs a 2^63 shift

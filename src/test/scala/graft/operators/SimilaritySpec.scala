@@ -371,4 +371,60 @@ class SimilaritySpec extends AnyFunSuite {
     assert(byP.head._2.values.sum < byP(2)._2.values.sum,
       "p=4 recalls no more than p=1: the multi-probe knob is not biting on this corpus")
   }
+
+  test("embedding_health: concentration extremes and zero-vector accounting (crafted)") {
+    import spark.implicits._
+    def vec(f: Int => Double): Array[Float] = Array.tabulate(64)(i => f(i).toFloat)
+    val aligned = Seq.tabulate(5)(_ => vec(i => if (i < 4) 0.5 else 0.0))
+    val anti = Seq(vec(i => if (i == 0) 1.0 else 0.0), vec(i => if (i == 0) -1.0 else 0.0))
+    val ortho = Seq(vec(i => if (i == 0) 2.0 else 0.0), vec(i => if (i == 1) 2.0 else 0.0))
+    val withZero = Seq(vec(i => if (i == 0) 3.0 else 0.0), vec(_ => 0.0))
+    val emb = (aligned.map((1L, _)) ++ anti.map((2L, _)) ++
+        ortho.map((3L, _)) ++ withZero.map((4L, _)))
+      .toDF("label", "embedding")
+    val got = Similarity.embeddingHealthOf(emb).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // identical directions: mrl2 -> 1 (minus quantization floor loss)
+    assert(got(1L).getLong(6) >= 900000L && got(1L).getLong(6) <= 1000000L)
+    // antipodal pair: directions cancel, mrl2 -> 0
+    assert(got(2L).getLong(6) <= 5000L)
+    // orthogonal pair: mrl2 -> 1/n = 1/2 (from below, quantization floors)
+    assert(got(3L).getLong(6) >= 450000L && got(3L).getLong(6) <= 500000L)
+    // zero vector: counted, excluded from norm stats and directions
+    val z = got(4L)
+    assert(z.getLong(1) === 2L && z.getLong(2) === 1L)
+    assert(z.getLong(3) === z.getLong(4), "min/max norm must come from the one non-zero vector")
+    assert(z.getLong(3) === 3000000L - 1L || z.getLong(3) === 3000000L,
+      s"norm of the 3.0-spike vector, floored ppm: ${z.getLong(3)}")
+    // all-aligned norm stats: every vector has |v| = 1
+    assert(got(1L).getLong(5) === got(1L).getLong(3), "avg == min when all norms equal")
+  }
+
+  test("embedding_health equals a driver recomputation on the real sf0.001 corpus") {
+    val emb = graft.Tables.embeddings(spark, Sf)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0).toLong, r.getSeq[Float](1).toArray))
+    val want = emb.groupBy(_._1).map { case (label, rows) =>
+      val stats = rows.map { case (_, e) =>
+        val v = e.map(_.toDouble)
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        val ppm = math.floor(nrm * 1000000).toLong
+        val q = if (ppm > 0) v.map(x => math.floor(x / nrm * 1024).toLong)
+                else Array.fill(64)(0L)
+        (ppm, q)
+      }
+      val dir = stats.filter(_._1 > 0)
+      val s = Array.tabulate(64)(d => stats.map(_._2(d)).sum)
+      val sumsq = s.map(x => x.toDouble * x.toDouble).sum
+      val nDir = dir.length.toLong
+      val dd = 1024.0 * nDir
+      (label, rows.length.toLong, (rows.length - dir.length).toLong,
+        dir.map(_._1).min, dir.map(_._1).max, dir.map(_._1).sum / nDir,
+        math.floor(sumsq * 1000000.0 / (dd * dd)).toLong)
+    }.toSet
+    val got = Similarity.embeddingHealth(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got === want)
+  }
 }
