@@ -649,4 +649,76 @@ object Curation {
        |  CAST((2 * coalesce(tc.t, 0) * $CoeffScale)
        |    // (d.degree * (d.degree - 1)) AS BIGINT) AS coeff_fp
        |FROM deg d LEFT JOIN tc USING (doc_id) WHERE d.degree >= 2""".stripMargin
+
+  // ---- snapshot diff (dataset release notes) -------------------------------
+
+  /** SNAPSHOT DIFF CARD — the release-engineering step between two corpus
+    * versions: per (source, op) the document counts and character volume a
+    * dataset changelog publishes before a version bump ships to training
+    * (what a Delta/Iceberg table-diff or a crawl re-snapshot review reads).
+    * Ops: `added` (new docs), `removed`, `changed` (same doc_id, different
+    * content fingerprint), `unchanged`.
+    *
+    * The two versions derive deterministically from the one documents
+    * table so the oracle can re-derive them (the [[Relational.snapshotMerge]]
+    * side-derivation precedent): v1 lacks doc_id ≡ 3 (mod 7) (added later)
+    * and carries a half-truncated re-crawl text for doc_id ≡ 2 (mod 5)
+    * (changed later); v2 lacks doc_id ≡ 4 (mod 11) (removed).
+    *
+    * Scale shape: each side projects to (doc_id, source, fingerprint,
+    * chars) BEFORE the join — the diff moves four narrow columns per doc,
+    * NEVER text (the fingerprint is the repo-wide portable 56-bit md5) —
+    * then ONE key-bounded full-outer join on doc_id and a |sources|×4
+    * rollup. At 100 TB both sides would additionally be bucket-co-located
+    * on doc_id, making the diff shuffle-free. */
+  def corpusDiff(spark: SparkSession, sfDir: String): DataFrame =
+    corpusDiffOf(Tables.documents(spark, sfDir))
+
+  /** Core of [[corpusDiff]] over any (doc_id, source, text) frame. */
+  private[graft] def corpusDiffOf(docs: DataFrame): DataFrame = {
+    def side(df: DataFrame) = df.select(col("doc_id"), col("source"),
+      Hashing.md5Long(col("text")).as("h"), length(col("text")).cast("long").as("chars"))
+    val v1 = side(docs.filter(col("doc_id") % 7 =!= 3)
+      .withColumn("text", when(col("doc_id") % 5 === 2,
+          expr("substring(text, 1, length(text) div 2)")).otherwise(col("text"))))
+    val v2 = side(docs.filter(col("doc_id") % 11 =!= 4))
+    v1.as("a").join(v2.as("b"), col("a.doc_id") === col("b.doc_id"), "full_outer")
+      .select(
+        coalesce(col("b.source"), col("a.source")).as("source"),
+        when(col("a.doc_id").isNull, "added")
+          .when(col("b.doc_id").isNull, "removed")
+          .when(col("a.h") =!= col("b.h"), "changed")
+          .otherwise("unchanged").as("op"),
+        coalesce(col("a.chars"), lit(0L)).as("c1"),
+        coalesce(col("b.chars"), lit(0L)).as("c2"))
+      .groupBy(col("source"), col("op"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("c1")).as("chars_old"),
+        sum(col("c2")).as("chars_new"))
+      .withColumn("chars_delta", col("chars_new") - col("chars_old"))
+  }
+
+  /** DuckDB twin — same version derivations, same fingerprint compare. */
+  val corpusDiffSql: String =
+    s"""WITH v1r AS (SELECT doc_id, source,
+       |    CASE WHEN doc_id % 5 = 2 THEN substr(text, 1, length(text) // 2)
+       |         ELSE text END AS text
+       |  FROM documents WHERE doc_id % 7 <> 3),
+       |v1 AS (SELECT doc_id, source, ${Hashing.md5LongSql("text")} AS h,
+       |    CAST(length(text) AS BIGINT) AS chars
+       |  FROM v1r),
+       |v2 AS (SELECT doc_id, source, ${Hashing.md5LongSql("text")} AS h,
+       |    CAST(length(text) AS BIGINT) AS chars
+       |  FROM documents WHERE doc_id % 11 <> 4),
+       |j AS (SELECT coalesce(b.source, a.source) AS source,
+       |    CASE WHEN a.doc_id IS NULL THEN 'added'
+       |         WHEN b.doc_id IS NULL THEN 'removed'
+       |         WHEN a.h <> b.h THEN 'changed'
+       |         ELSE 'unchanged' END AS op,
+       |    coalesce(a.chars, 0) AS c1, coalesce(b.chars, 0) AS c2
+       |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+       |SELECT source, op, count(*) AS n_docs,
+       |  CAST(sum(c1) AS BIGINT) AS chars_old, CAST(sum(c2) AS BIGINT) AS chars_new,
+       |  CAST(sum(c2) - sum(c1) AS BIGINT) AS chars_delta
+       |FROM j GROUP BY 1, 2""".stripMargin
 }

@@ -291,6 +291,82 @@ object TextAnalysis {
        |FROM (SELECT doc_id, unnest(${TextOps.tokensSql}) AS term FROM documents)
        |GROUP BY term ORDER BY df DESC, term LIMIT $topK""".stripMargin
 
+  /** word2vec phrase-rule discount: pairs seen ≤ δ times can never pass,
+    * killing one-off adjacencies before any ratio flatters them. */
+  val PhraseDelta = 5L
+  /** word2vec phrase-rule threshold (Mikolov et al. NeurIPS 2013 §4 use
+    * single digits to low tens; Gensim's default is 10). */
+  val PhraseThreshold = 10L
+  val PhraseTopK = 50
+
+  /** COLLOCATION / PHRASE DETECTION — the word2vec phrase pass (Mikolov et
+    * al. NeurIPS 2013 §4; Gensim `Phrases`): adjacent word pairs whose
+    * co-occurrence beats chance by the discounted ratio
+    * `(c_ab − δ)·N / (c_a·c_b) ≥ T` are vocabulary-merge candidates — the
+    * corpus statistic a tokenizer/vocab-prep stage mines before training
+    * ("new york" becomes one token; "of the" does not, because its parts
+    * are everywhere). Reported for the top-[[PhraseTopK]] bigrams by count
+    * with the verdict DIVISION-FREE: the rule evaluates cross-multiplied
+    * in DECIMAL(38,0) (HUGEINT in the twin) — products reach N², past
+    * int64 at real corpus sizes, and comparisons in wide integers are
+    * exact where a rounded division would wobble (the [[gopherGate]]
+    * discipline). Output columns stay BIGINT.
+    *
+    * Shape: one token scan → unigram aggregation (vocab-bounded,
+    * map-side combined) + adjacent-pair aggregation (bigram-vocab-bounded);
+    * top-k compiles to TakeOrderedAndProject (count desc, pair asc — ASCII
+    * tokens, so the string tie-break is engine-portable); the 50-row
+    * shortlist then BROADCASTS against the unigram counts twice and the
+    * 1-row total rides a broadcast crossJoin. No corpus-scale join
+    * anywhere. */
+  def phraseDetect(spark: SparkSession, sfDir: String): DataFrame =
+    phraseDetectOf(Tables.documents(spark, sfDir))
+
+  /** Core of [[phraseDetect]] over any (text) frame. */
+  private[graft] def phraseDetectOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c")).as("n_total"))
+    val topk = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> named_struct('wa', element_at(t, i), 'wb', element_at(t, i + 1)))")).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c_ab"))
+      .orderBy(col("c_ab").desc, col("wa").asc, col("wb").asc)
+      .limit(PhraseTopK)
+    val dec = "DECIMAL(38,0)"
+    val withA = uni.select(col("w").as("wa"), col("c").as("c_a"))
+      .join(broadcast(topk), Seq("wa"))
+    uni.select(col("w").as("wb"), col("c").as("c_b"))
+      .join(broadcast(withA), Seq("wb"))
+      .crossJoin(broadcast(n))
+      .withColumn("is_phrase",
+        when(expr(s"(CAST(c_ab AS $dec) - $PhraseDelta) * CAST(n_total AS $dec)" +
+            s" >= $PhraseThreshold * CAST(c_a AS $dec) * CAST(c_b AS $dec)"), 1L)
+          .otherwise(0L))
+      .select(col("wa"), col("wb"), col("c_ab"), col("c_a"), col("c_b"),
+        col("n_total"), col("is_phrase"))
+  }
+
+  /** DuckDB twin — HUGEINT plays DECIMAL(38,0) in the cross-multiplied
+    * rule; every output column casts back to BIGINT. */
+  val phraseDetectSql: String =
+    s"""WITH toks AS (SELECT ${TextOps.tokensSql} AS t FROM documents),
+       |uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks WHERE len(t) >= 1) GROUP BY 1),
+       |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+       |bi AS (SELECT t[i] AS wa, t[i + 1] AS wb, count(*) AS c_ab
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+       |  WHERE len(t) >= 2 GROUP BY 1, 2),
+       |topk AS (SELECT * FROM bi ORDER BY c_ab DESC, wa ASC, wb ASC LIMIT $PhraseTopK)
+       |SELECT topk.wa, topk.wb, CAST(topk.c_ab AS BIGINT) AS c_ab,
+       |  CAST(ua.c AS BIGINT) AS c_a, CAST(ub.c AS BIGINT) AS c_b, n.n_total,
+       |  CAST(CASE WHEN (CAST(topk.c_ab AS HUGEINT) - $PhraseDelta) * n.n_total
+       |      >= $PhraseThreshold * CAST(ua.c AS HUGEINT) * CAST(ub.c AS HUGEINT)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS is_phrase
+       |FROM topk JOIN uni ua ON topk.wa = ua.w JOIN uni ub ON topk.wb = ub.w CROSS JOIN n""".stripMargin
+
   /** Token-count histogram with fixed integer-width bins (`n_tokens div
     * 32`): the length-distribution profile a curation pipeline reports
     * before choosing truncation/packing budgets. One aggregation whose

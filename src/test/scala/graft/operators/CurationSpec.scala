@@ -216,4 +216,29 @@ class CurationSpec extends AnyFunSuite {
       Seq(h, m, t).flatten.foreach { case (_, _, lo, hi) => assert(lo <= hi) }
     }
   }
+
+  test("corpus_diff: every op class lands exactly where the residues put it (crafted)") {
+    import spark.implicits._
+    // residue plan: v1 excludes doc_id%7==3, truncates doc_id%5==2 to half;
+    // v2 excludes doc_id%11==4.
+    val d = Seq(
+      (1L, "s0", "alpha beta gamma"),        // in both, untouched -> unchanged
+      (3L, "s0", "brand new document"),      // 3%7=3: absent from v1 -> added
+      (4L, "s1", "doomed document"),         // 4%11=4: absent from v2 -> removed
+      (2L, "s1", "abcdefgh"),                // 2%5=2: v1 holds "abcd" -> changed
+      (12L, "s0", "x"),                      // 12%5=2: v1 holds "" -> changed
+      (25L, "s1", "steady content here")     // 25%7=4, 25%5=0, 25%11=3 -> unchanged
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.corpusDiffOf(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("s0", "unchanged")) === ((1L, 16L, 16L, 0L)))
+    assert(got(("s0", "added")) === ((1L, 0L, 18L, 18L)))
+    assert(got(("s1", "removed")) === ((1L, 15L, 0L, -15L)))
+    // changed rows: chars_old counts the v1 (truncated) text
+    assert(got(("s1", "changed")) === ((1L, 4L, 8L, 4L)))
+    assert(got(("s0", "changed")) === ((1L, 0L, 1L, 1L)))
+    assert(got(("s1", "unchanged")) === ((1L, 19L, 19L, 0L)))
+    assert(got.size === 6, s"exactly one row per exercised (source, op): ${got.keys}")
+  }
 }
