@@ -1264,4 +1264,148 @@ object Dedup {
        |  CAST(sum(CASE WHEN ndocs >= 2 THEN ln ELSE 0 END) * 1000000
        |    // any_value(n_tokens) AS BIGINT) AS dup_ratio_ppm
        |FROM ch JOIN fps USING (fp) GROUP BY 1""".stripMargin
+
+  // ---- LSH parameter sweep (S-curve tuning) --------------------------------
+
+  /** Band-count sweep over the 16-slot signature: (2×8), (4×4), (8×2),
+    * (16×1) — each a (bands × rows) split of the SAME MinHash signature,
+    * so one signature pass feeds every configuration. */
+  val TuneBandCounts: Seq[Int] = Seq(2, 4, 8, 16)
+  /** The sweep's ground-truth duplicate rule: exact Jaccard ≥ 0.5 in
+    * integer ppm — between the four configs' S-curve midpoints (~0.88,
+    * ~0.66, ~0.35, ~0.04), so the sweep genuinely separates them. */
+  val TuneJaccardPpm = 500000L
+  /** Per-(cfg, band, key) bucket cap — the WinnowMaxDf discipline: a
+    * boilerplate bucket (the (16×1) arm's single-slot buckets especially)
+    * would otherwise expand O(|bucket|²) pairs; both engines drop buckets
+    * above the cap, so the cap is part of the measured contract. */
+  val TuneBucketCap = 200
+
+  /** LSH PARAMETER SWEEP — the S-curve measurement (Leskovec/Rajaraman/
+    * Ullman, MMDS ch.3) that decides a dedup configuration BEFORE paying
+    * for a 100 TB run, next to [[zonemapPrune]]/[[Skew.skewProfile]] in
+    * this engine's "measure, don't guess" family: for each (bands × rows)
+    * split of the shared 16-slot MinHash signature, the candidate-pair
+    * count, how many candidates are true duplicates under the exact
+    * Jaccard rule ([[TuneJaccardPpm]], scored on full distinct shingle-hash
+    * sets), precision, and recall. Recall is measured against the truth
+    * pairs found inside the WIDEST config's candidates: a band match in
+    * any config implies slotwise matches, so (16×1) candidates provably
+    * contain every other config's — the sweep's recall denominator is
+    * self-contained, with the widest arm pinned at recall 1 by
+    * construction.
+    *
+    * Scale shape: one signature aggregation (16 mergeable min slots), 30
+    * band rows per doc, ONE bucket shuffle keyed (cfg, band, key) with
+    * pair expansion bucket-local and capped ([[TuneBucketCap]]), exact
+    * scoring only on candidates via two equi-joins against the
+    * checkpointed sorted-hash arrays (the [[containment]] scoring shape).
+    * Output: one row per configuration. */
+  def lshTune(spark: SparkSession, sfDir: String): DataFrame =
+    lshTuneOfShingles(shingles(spark, sfDir))
+
+  /** Candidate pairs per configuration — split out for the nesting spec. */
+  private[graft] def lshTuneCandidates(sh0: DataFrame): DataFrame = {
+    val hs = sh0.select(col("doc_id"),
+      (Hashing.md5Long(col("shingle")) % MinhashM).as("h"))
+    val slotCols = (0 until MinhashHashes).map(i =>
+      min((lit(MinhashA(i)) * col("h") + lit(MinhashB(i))) % MinhashM).as(s"s$i"))
+    val sigs = hs.groupBy(col("doc_id")).agg(slotCols.head, slotCols.tail: _*)
+    val bandStructs = TuneBandCounts.flatMap { b =>
+      val r = MinhashHashes / b
+      (0 until b).map { i =>
+        val key = concat_ws("|",
+          (0 until r).map(k => col(s"s${i * r + k}").cast("string")): _*)
+        struct(lit(b).as("cfg"), lit(i).as("band"), key.as("bk"))
+      }
+    }
+    val br = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("e.cfg").as("cfg"),
+        col("e.band").as("band"), col("e.bk").as("bk"))
+    br.groupBy(col("cfg"), col("band"), col("bk"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= TuneBucketCap)
+      .select(col("cfg"), explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))")).as("p"))
+      .select(col("cfg"), col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+  }
+
+  /** Core of [[lshTune]] over any (doc_id, shingle) set. */
+  private[graft] def lshTuneOfShingles(sh0: DataFrame): DataFrame = {
+    val hs = sh0.select(col("doc_id"),
+      (Hashing.md5Long(col("shingle")) % MinhashM).as("h"))
+    val docsets = hs.distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("hset"), count(lit(1)).as("nsh"))
+      .localCheckpoint()
+    val scored = lshTuneCandidates(sh0)
+      .join(docsets.select(col("doc_id").as("doc_a"),
+        col("hset").as("ha"), col("nsh").as("na")), Seq("doc_a"))
+      .join(docsets.select(col("doc_id").as("doc_b"),
+        col("hset").as("hb"), col("nsh").as("nb")), Seq("doc_b"))
+      .withColumn("inter", expr("size(array_intersect(ha, hb))").cast("long"))
+      .withColumn("is_dup", when(col("inter") * lit(1000000L) >=
+          lit(TuneJaccardPpm) * (col("na") + col("nb") - col("inter")), 1L)
+        .otherwise(0L))
+    val per = scored.groupBy(col("cfg"))
+      .agg(count(lit(1)).as("n_candidates"), sum(col("is_dup")).as("n_true_pairs"))
+    val truth = per.filter(col("cfg") === MinhashHashes)
+      .select(col("n_true_pairs").as("truth_pairs"))
+    per.crossJoin(broadcast(truth))
+      .select(col("cfg").cast("long").as("bands"),
+        expr(s"$MinhashHashes div cfg").cast("long").as("rows_per_band"),
+        col("n_candidates"), col("n_true_pairs"), col("truth_pairs"),
+        expr("n_true_pairs * 1000000 div n_candidates").as("precision_ppm"),
+        when(col("truth_pairs") > 0,
+          expr("n_true_pairs * 1000000 div truth_pairs")).as("recall_ppm"))
+  }
+
+  /** DuckDB twin — same signature slots, the four band splits as a UNION
+    * ALL, same bucket cap, same exact-Jaccard scoring on distinct hash
+    * sets. */
+  def lshTuneSql: String = {
+    val slotExprs = (0 until MinhashHashes).map(i =>
+      s"min((${MinhashA(i)}::BIGINT * h + ${MinhashB(i)}) % $MinhashM) AS s$i").mkString(", ")
+    val brSelects = TuneBandCounts.map { b =>
+      val r = MinhashHashes / b
+      val cases = (0 until b).map { i =>
+        val key = (0 until r).map(k => s"s${i * r + k}").mkString(" || '|' || ")
+        if (i < b - 1) s"WHEN $i THEN $key" else s"ELSE $key"
+      }.mkString(" ")
+      s"""  SELECT doc_id, $b AS cfg, band, CASE band $cases END AS bk
+         |  FROM sigs, LATERAL (SELECT unnest(generate_series(0, ${b - 1})) AS band) u$b""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ${shinglesSql(3)},
+       |hashed AS (SELECT doc_id, ${Hashing.md5LongSql("shingle")} % $MinhashM AS h FROM sh),
+       |hsd AS (SELECT DISTINCT doc_id, h FROM hashed),
+       |docsets AS (SELECT doc_id, list_sort(list(h)) AS hset, count(*) AS nsh FROM hsd GROUP BY 1),
+       |sigs AS (SELECT doc_id, $slotExprs FROM hashed GROUP BY doc_id),
+       |br AS (
+       |$brSelects),
+       |ok AS (SELECT cfg, band, bk FROM br GROUP BY 1, 2, 3
+       |       HAVING count(*) >= 2 AND count(*) <= $TuneBucketCap),
+       |cand AS (SELECT DISTINCT x.cfg, x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM br x JOIN br y ON x.cfg = y.cfg AND x.band = y.band AND x.bk = y.bk
+       |    AND x.doc_id < y.doc_id
+       |  JOIN ok ON ok.cfg = x.cfg AND ok.band = x.band AND ok.bk = x.bk),
+       |scored AS (SELECT c.cfg,
+       |    len(list_filter(a.hset, z -> list_contains(b.hset, z))) AS inter,
+       |    a.nsh AS na, b.nsh AS nb
+       |  FROM cand c JOIN docsets a ON c.doc_a = a.doc_id JOIN docsets b ON c.doc_b = b.doc_id),
+       |per AS (SELECT cfg, count(*) AS n_candidates,
+       |    sum(CASE WHEN inter * 1000000 >= $TuneJaccardPpm * (na + nb - inter)
+       |        THEN 1 ELSE 0 END) AS n_true
+       |  FROM scored GROUP BY 1),
+       |tr AS (SELECT n_true AS truth_pairs FROM per WHERE cfg = $MinhashHashes)
+       |SELECT CAST(cfg AS BIGINT) AS bands,
+       |  CAST($MinhashHashes // cfg AS BIGINT) AS rows_per_band,
+       |  CAST(n_candidates AS BIGINT) AS n_candidates,
+       |  CAST(n_true AS BIGINT) AS n_true_pairs,
+       |  CAST(truth_pairs AS BIGINT) AS truth_pairs,
+       |  CAST(n_true * 1000000 // n_candidates AS BIGINT) AS precision_ppm,
+       |  CASE WHEN truth_pairs > 0 THEN CAST(n_true * 1000000 // truth_pairs AS BIGINT)
+       |  END AS recall_ppm
+       |FROM per CROSS JOIN tr""".stripMargin
+  }
 }
