@@ -585,6 +585,54 @@ object Multimodal {
       |  min(doc_id) AS keep_doc
       |FROM f GROUP BY 1 HAVING count(*) > 1""".stripMargin
 
+  /** Keyframe mean-shift threshold: a frame is a keyframe when its mean
+    * byte value moves ≥ this many /255 steps vs the previous frame. */
+  val KeyframeMeanDelta = 8L
+
+  /** KEYFRAME SELECTION over parsed containers — the frame-SAMPLING step of
+    * a video ingest pipeline (train on scene changes, skip near-static
+    * runs): frame i is a keyframe iff it opens the container or its byte-
+    * level mean shifts ≥ [[KeyframeMeanDelta]]/255 vs frame i−1 — the
+    * honest shot-boundary proxy without a pixel codec (a real pipeline
+    * swaps in a histogram/embedding distance; the plumbing — parse, order,
+    * lag-compare, flag — is identical). The mean compare is
+    * CROSS-MULTIPLIED (|sum_i·n_{i−1} − sum_{i−1}·n_i| ≥ δ·n_i·n_{i−1}),
+    * so no engine divides; products stay in int64 for frames up to
+    * ~190 MB (255·n·m ≤ 2^63). Zero-length frames (and successors of
+    * them) count as keyframes — a size collapse IS a scene event.
+    *
+    * Shape: the shuffle-free [[frameStats]] map feeds ONE doc-keyed lag
+    * window — the only exchange, keyed by container, same cardinality as
+    * the frame stream. */
+  def keyframes(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frameStats(spark, sfDir)
+      .withColumn("prev_n", lag(col("n_bytes"), 1).over(w))
+      .withColumn("prev_sum", lag(col("byte_sum"), 1).over(w))
+      .withColumn("is_keyframe",
+        when(col("prev_n").isNull, 1L)
+          .when(col("n_bytes") === 0 || col("prev_n") === 0, 1L)
+          .when(abs(col("byte_sum") * col("prev_n") - col("prev_sum") * col("n_bytes"))
+            >= lit(KeyframeMeanDelta) * col("n_bytes") * col("prev_n"), 1L)
+          .otherwise(0L))
+      .select(col("doc_id"), col("frame_idx"), col("n_bytes"), col("is_keyframe"))
+  }
+
+  /** DuckDB twin — wraps the frame-stats derivation in a lag window with
+    * the same cross-multiplied rule. */
+  val keyframesSql: String =
+    s"""WITH fs AS ($frameStatsSql)
+       |SELECT doc_id, frame_idx, n_bytes,
+       |  CAST(CASE WHEN prev_n IS NULL THEN 1
+       |    WHEN n_bytes = 0 OR prev_n = 0 THEN 1
+       |    WHEN abs(byte_sum * prev_n - prev_sum * n_bytes)
+       |      >= $KeyframeMeanDelta * n_bytes * prev_n THEN 1
+       |    ELSE 0 END AS BIGINT) AS is_keyframe
+       |FROM (SELECT doc_id, frame_idx, n_bytes, byte_sum,
+       |    lag(n_bytes) OVER w AS prev_n, lag(byte_sum) OVER w AS prev_sum
+       |  FROM fs WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx))""".stripMargin
+
   /** Pure-JVM builder and parser for RIFF/WAVE containers (public format:
     * the Microsoft/IBM RIFF specification; canonical PCM WAVE layout) —
     * the AUDIO modality beside the PNG/JPEG image path, same honesty
