@@ -207,6 +207,57 @@ object Bpe {
       .agg(sum(col("c")).as("n_tokens"), sum(col("c") * col("ns")).as("n_bpe"))
   }
 
+  /** TOKENIZER FERTILITY — the per-language tokenizer-equity card
+    * (tokens-per-word "fertility", the metric multilingual tokenizer work
+    * reports — NLLB / XLM-R style: a language whose words explode into many
+    * subword tokens pays more sequence length per sentence, trains slower
+    * and truncates earlier): for each language, whitespace-word volume,
+    * BPE-token volume under the corpus-trained [[bpeTrain]] merges,
+    * character volume, fertility (BPE tokens per word) and compression
+    * (chars per BPE token) in integer ppm. Closes the BPE loop:
+    * train ([[bpeTrain]]) → encode ([[bpeEncode]]) → EVALUATE.
+    *
+    * Shape: identical to [[bpeEncode]] — the merge chain applies to each
+    * DISTINCT word once (|vocab|-bounded, codegen'd literal-replace tree),
+    * the corpus pays one (lang, word) aggregation, and the card is a
+    * |langs|-row rollup. */
+  def tokenizerFertility(spark: SparkSession, sfDir: String, numMerges: Int = 20): DataFrame = {
+    val ms = bpeTrain(spark, sfDir, numMerges).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val dw = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val wl = dw.select(col("w")).distinct()
+      .withColumn("ns",
+        size(split(trim(bpeApply(ms)(symbolize(col("w")))), " ")).cast("long"))
+      .withColumn("wlen", length(col("w")).cast("long"))
+    dw.join(wl, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("ns")).as("n_bpe_tokens"),
+        sum(col("c") * col("wlen")).as("n_chars"))
+      .withColumn("fertility_ppm", expr("n_bpe_tokens * 1000000 div n_words"))
+      .withColumn("chars_per_token_ppm", expr("n_chars * 1000000 div n_bpe_tokens"))
+  }
+
+  /** Oracle for [[tokenizerFertility]]: the unrolled training chain, then
+    * the same |langs|-row rollup off the final vocab state. */
+  def tokenizerFertilitySql(numMerges: Int = 20): String = {
+    val tail =
+      s"""wl AS (SELECT w, len(string_split(trim(sym), ' ')) AS ns,
+         |  CAST(length(w) AS BIGINT) AS wlen FROM v$numMerges),
+         |dw AS (SELECT lang, w, count(*) AS c FROM (
+         |  SELECT lang, unnest(${TextOps.tokensSql}) AS w FROM documents) GROUP BY 1, 2)
+         |SELECT lang, CAST(sum(c) AS BIGINT) AS n_words,
+         |  CAST(sum(c * ns) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(c * wlen) AS BIGINT) AS n_chars,
+         |  CAST(sum(c * ns) * 1000000 // sum(c) AS BIGINT) AS fertility_ppm,
+         |  CAST(sum(c * wlen) * 1000000 // sum(c * ns) AS BIGINT) AS chars_per_token_ppm
+         |FROM dw JOIN wl USING (w) GROUP BY 1""".stripMargin
+    s"WITH ${chainSql(numMerges)},\n$tail"
+  }
+
   /** Oracle for [[bpeEncode]]: the same chain, reading the final vocab
     * state v(numMerges) as the encoded-word symbol counts. */
   def bpeEncodeSql(numMerges: Int = 20): String = {

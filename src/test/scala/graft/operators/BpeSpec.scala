@@ -144,4 +144,29 @@ class BpeSpec extends AnyFunSuite {
     // merging can only shrink: per doc, tokens <= bpe symbols <= chars+tokens
     assert(got.forall { case (_, nt, nb) => nb >= nt })
   }
+
+  test("tokenizer_fertility reconciles with bpe_encode per-doc totals and driver char volume") {
+    val docs = graft.Tables.documents(spark, Sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val langOf = docs.map(d => d._1 -> d._2).toMap
+    val enc = Bpe.bpeEncode(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val perLang = enc.groupBy(t => langOf(t._1)).view
+      .mapValues(rs => (rs.map(_._2).sum, rs.map(_._3).sum)).toMap
+    val charsPerLang = docs.groupBy(_._2).view.mapValues(_.iterator.map { case (_, _, t) =>
+      "[a-z0-9]+".r.findAllIn(t.toLowerCase).map(_.length.toLong).sum
+    }.sum).toMap
+    val got = Bpe.tokenizerFertility(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet === perLang.keySet)
+    got.foreach { case (lang, (nw, nb, nc, fert, cpt)) =>
+      assert((nw, nb) === perLang(lang), s"$lang word/bpe volume must match bpe_encode")
+      assert(nc === charsPerLang(lang), s"$lang char volume vs driver tokenization")
+      assert(fert === nb * 1000000L / nw)
+      assert(cpt === nc * 1000000L / nb)
+      assert(fert >= 1000000L, s"$lang: a word cannot encode to fewer than 1 token")
+    }
+  }
 }
