@@ -601,4 +601,66 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nodes(p, "Scan parquet") <= 1,
       s"one corpus scan feeds the checkpointed shingle pass:\n$p")
   }
+
+  test("knn_ivf_multiprobe: top-k is WindowGroupLimit over a broadcast probe frame") {
+    val p = plan("knn_ivf_multiprobe")
+    assert(p.contains("WindowGroupLimit"),
+      s"the rank <= k filter must push into map tasks:\n$p")
+    assert(nodes(p, "BroadcastExchange") >= 2,
+      s"the centroid frame and the (query x top-P) probe frame must ride broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"), s"probe must stay cluster-equi-joined:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"the checkpointed IVF assignment must feed both probe sides:\n$p")
+  }
+
+  test("dedup_cdc: chunking is a generate-only pipeline; the only joins are fp-equi") {
+    val p = plan("dedup_cdc")
+    assert(nodes(p, "Generate") >= 1,
+      s"chunk rows must come from an explode, not a join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no pair term anywhere in CDC dedup:\n$p")
+  }
+
+  test("embedding_health: zero joins — one scan, (label, dim) + label exchanges only") {
+    val p = plan("embedding_health")
+    assert(!p.contains("Join"), s"the health card must not join anything:\n$p")
+    assert(nodes(p, "Scan parquet") === 1, s"one corpus scan:\n$p")
+    assert(nodes(p, "Exchange") === 2,
+      s"(label, dim) aggregation + label rollup are the only shuffles:\n$p")
+  }
+
+  test("phrase_detect: top-k without a global sort; shortlist joins ride broadcasts") {
+    val p = plan("phrase_detect")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the bigram top-k must not global-sort:\n$p")
+    assert(nodes(p, "BroadcastExchange") >= 2,
+      s"the 50-row shortlist and the 1-row total must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row total may ride a nested-loop broadcast:\n$p")
+  }
+
+  test("corpus_diff: one key-bounded full-outer join, no nested loop") {
+    val p = plan("corpus_diff")
+    assert(p.contains("FullOuter"), s"the diff is a full-outer join on doc_id:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the diff join must stay doc_id-equi:\n$p")
+  }
+
+  test("dedup_lsh_tune: band fan-out and pair expansion are explodes; scoring reads the checkpoint") {
+    val p = plan("dedup_lsh_tune")
+    assert(nodes(p, "Generate") >= 2,
+      s"30-band fan-out + in-bucket pair expansion must both be explodes:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidates must stay bucket-equi-joined (the 1-row truth broadcast aside):\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"both scoring sides must read the checkpointed sorted-hash arrays:\n$p")
+  }
+
+  test("multimodal_keyframes: the lag window's doc exchange is the only shuffle") {
+    val p = plan("multimodal_keyframes")
+    assert(nodes(p, "Window") === 1, s"one lag window:\n$p")
+    assert(nodes(p, "Exchange") === 1,
+      s"the frame map is shuffle-free; only the window exchanges:\n$p")
+    assert(!p.contains("Join"), s"keyframes must not join anything:\n$p")
+  }
 }
