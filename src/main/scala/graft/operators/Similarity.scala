@@ -1374,6 +1374,111 @@ object Similarity {
        |  END AS mrl2_ppm
        |FROM lab""".stripMargin
 
+  /** EMBEDDING DRIFT between two snapshot versions — the encoder-drop
+    * validation an embedding pipeline runs before re-indexing ("did the
+    * new encoder shift the space?"): per label, the cosine between the
+    * old and new snapshots' exact fixed-point centroids plus the mean-norm
+    * delta. A centroid cosine well below 1 for an unchanged label, or a
+    * norm shift, means serving and training vectors no longer live in the
+    * same space — the drift monitor production vector stores run between
+    * versions (the [[corpusDiff]] release-notes idea on the vector side).
+    * Snapshots derive deterministically (old = even vec_id, new = odd) so
+    * the oracle re-derives them; a real deployment feeds two tables.
+    *
+    * Portability: per-(label, side, dim) component sums are the exact
+    * int64 [[embeddingCentroids]] quantization (floor(x·10^6), `div` for
+    * the mean); the final centroid cosine runs in double over the
+    * dim-sorted array (fixed fold order, exact integer inputs → identical
+    * IEEE in both engines) and floors to ppm.
+    *
+    * Shape: one scan → posexplode ×d → ONE (label, dim) aggregation with
+    * the two sides as conditional sums (map-side combined) → |labels|·d
+    * rollup. Scan-bound at any scale. */
+  def embeddingDrift(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingDriftOf(Tables.embeddings(spark, sfDir))
+
+  /** Core of [[embeddingDrift]] over any (vec_id, label, embedding) frame. */
+  private[graft] def embeddingDriftOf(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("label").cast("long").as("label"),
+        (col("vec_id") % 2).as("side"),
+        toDoubleVec(col("embedding")).as("v"))
+      .withColumn("norm_ppm",
+        floor(graft.functions.VectorExpressions.vec_norm(col("v")) * 1000000).cast("long"))
+      .select(col("label"), col("side"), col("norm_ppm"),
+        posexplode(expr("transform(v, x -> CAST(floor(x * 1000000) AS BIGINT))"))
+          .as(Seq("dim", "fp")))
+    val dims = base.groupBy(col("label"), col("dim"))
+      .agg(
+        sum(when(col("side") === 0, col("fp")).otherwise(0L)).as("s_old"),
+        sum(when(col("side") === 1, col("fp")).otherwise(0L)).as("s_new"),
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("side") === 0, col("norm_ppm")).otherwise(0L)).as("np_old"),
+        sum(when(col("side") === 1, col("norm_ppm")).otherwise(0L)).as("np_new"))
+    dims.groupBy(col("label"))
+      .agg(max(col("n_old")).as("n_old"), max(col("n_new")).as("n_new"),
+        max(col("np_old")).as("np_old"), max(col("np_new")).as("np_new"),
+        collect_list(struct(col("dim"),
+          expr("CASE WHEN n_old > 0 THEN s_old div n_old ELSE 0 END").as("co"),
+          expr("CASE WHEN n_new > 0 THEN s_new div n_new ELSE 0 END").as("cn"))).as("cv"))
+      .withColumn("dotp", expr(
+        "aggregate(array_sort(cv), CAST(0.0 AS DOUBLE), (acc, e) -> acc + CAST(e.co AS DOUBLE) * CAST(e.cn AS DOUBLE))"))
+      .withColumn("no2", expr(
+        "aggregate(array_sort(cv), CAST(0.0 AS DOUBLE), (acc, e) -> acc + CAST(e.co AS DOUBLE) * CAST(e.co AS DOUBLE))"))
+      .withColumn("nn2", expr(
+        "aggregate(array_sort(cv), CAST(0.0 AS DOUBLE), (acc, e) -> acc + CAST(e.cn AS DOUBLE) * CAST(e.cn AS DOUBLE))"))
+      .select(col("label"), col("n_old"), col("n_new"),
+        when(col("n_old") > 0 && col("n_new") > 0 && col("no2") > 0 && col("nn2") > 0,
+          floor(col("dotp") * lit(1000000.0) / (sqrt(col("no2")) * sqrt(col("nn2"))))
+            .cast("long")).as("centroid_cos_ppm"),
+        when(col("n_old") > 0, expr("np_old div n_old")).as("norm_ppm_old"),
+        when(col("n_new") > 0, expr("np_new div n_new")).as("norm_ppm_new"),
+        when(col("n_old") > 0 && col("n_new") > 0,
+          expr("np_new div n_new - np_old div n_old")).as("norm_delta_ppm"))
+  }
+
+  /** DuckDB twin — same quantization, same dim-ordered double folds. */
+  def embeddingDriftSql: String =
+    s"""WITH base AS (
+       |  SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS side,
+       |    CAST(floor(sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000000) AS BIGINT) AS norm_ppm,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fpv
+       |  FROM embeddings),
+       |comp AS (
+       |  SELECT label, side, norm_ppm, i - 1 AS dim, fpv[i] AS fp
+       |  FROM base, LATERAL (SELECT unnest(generate_series(1, len(fpv))) AS i) t),
+       |dims AS (
+       |  SELECT label, dim,
+       |    CAST(sum(CASE WHEN side = 0 THEN fp ELSE 0 END) AS BIGINT) AS s_old,
+       |    CAST(sum(CASE WHEN side = 1 THEN fp ELSE 0 END) AS BIGINT) AS s_new,
+       |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+       |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |    CAST(sum(CASE WHEN side = 0 THEN norm_ppm ELSE 0 END) AS BIGINT) AS np_old,
+       |    CAST(sum(CASE WHEN side = 1 THEN norm_ppm ELSE 0 END) AS BIGINT) AS np_new
+       |  FROM comp GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label, dim, n_old, n_new, np_old, np_new,
+       |    CASE WHEN n_old > 0 THEN s_old // n_old ELSE 0 END AS co,
+       |    CASE WHEN n_new > 0 THEN s_new // n_new ELSE 0 END AS cn
+       |  FROM dims),
+       |lab AS (
+       |  SELECT label, max(n_old) AS n_old, max(n_new) AS n_new,
+       |    max(np_old) AS np_old, max(np_new) AS np_new,
+       |    list_sum(list_transform(list(co * 1.0 * cn ORDER BY dim), z -> z)) AS dotp,
+       |    list_sum(list_transform(list(co * 1.0 * co ORDER BY dim), z -> z)) AS no2,
+       |    list_sum(list_transform(list(cn * 1.0 * cn ORDER BY dim), z -> z)) AS nn2
+       |  FROM cent GROUP BY 1)
+       |SELECT label, n_old, n_new,
+       |  CASE WHEN n_old > 0 AND n_new > 0 AND no2 > 0 AND nn2 > 0
+       |    THEN CAST(floor(dotp * 1000000.0 / (sqrt(no2) * sqrt(nn2))) AS BIGINT)
+       |  END AS centroid_cos_ppm,
+       |  CASE WHEN n_old > 0 THEN np_old // n_old END AS norm_ppm_old,
+       |  CASE WHEN n_new > 0 THEN np_new // n_new END AS norm_ppm_new,
+       |  CASE WHEN n_old > 0 AND n_new > 0 THEN np_new // n_new - np_old // n_old
+       |  END AS norm_delta_ppm
+       |FROM lab""".stripMargin
+
   // ---- binary (1-bit) quantization + Hamming shortlist + exact rerank ----
 
   /** Bits per packed word: 32, NOT 64. A 64-bit pack needs a 2^63 shift

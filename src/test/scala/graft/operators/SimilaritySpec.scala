@@ -400,6 +400,66 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(1L).getLong(5) === got(1L).getLong(3), "avg == min when all norms equal")
   }
 
+  test("embedding_drift: identical halves read ~1.0, orthogonal halves ~0, one-sided labels null (crafted)") {
+    import spark.implicits._
+    def vec(f: Int => Double): Array[Float] = Array.tabulate(64)(i => f(i).toFloat)
+    val same = vec(i => if (i < 4) 0.5 else 0.0)
+    val ortho = vec(i => if (i >= 4 && i < 8) 0.5 else 0.0)
+    val emb =
+      // label 1: both sides carry the same direction -> cos ~ 1, delta 0
+      Seq((0L, 1, same), (2L, 1, same), (1L, 1, same), (3L, 1, same)) ++
+      // label 2: new side rotates into an orthogonal subspace -> cos ~ 0
+      Seq((10L, 2, same), (12L, 2, same), (11L, 2, ortho), (13L, 2, ortho)) ++
+      // label 3: old side only -> cos and new-side stats are null
+      Seq((20L, 3, same))
+    val got = Similarity.embeddingDriftOf(emb.toDF("vec_id", "label", "embedding"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(3) >= 999000L && got(1L).getLong(3) <= 1000000L)
+    assert(got(1L).getLong(6) === 0L, "identical halves: zero norm delta")
+    assert(math.abs(got(2L).getLong(3)) <= 1000L, s"orthogonal halves: ${got(2L).getLong(3)}")
+    assert(got(3L).isNullAt(3) && got(3L).isNullAt(5) && got(3L).isNullAt(6))
+    assert(got(3L).getLong(1) === 1L && got(3L).getLong(2) === 0L)
+  }
+
+  test("embedding_drift equals a driver recomputation on the real sf0.001 corpus") {
+    val emb = graft.Tables.embeddings(spark, Sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getSeq[Float](2).toArray))
+    val want = emb.groupBy(_._2).map { case (label, rows) =>
+      def sideStats(par: Long) = {
+        val vs = rows.filter(_._1 % 2 == par)
+        val fps = vs.map(_._3.map(x => math.floor(x.toDouble * 1000000).toLong))
+        val nps = vs.map { case (_, _, e) =>
+          val v = e.map(_.toDouble)
+          math.floor(math.sqrt(v.map(x => x * x).sum) * 1000000).toLong
+        }
+        (vs.length.toLong, fps, nps.sum)
+      }
+      val (nOld, fOld, npOld) = sideStats(0)
+      val (nNew, fNew, npNew) = sideStats(1)
+      def cent(n: Long, fs: Array[Array[Long]]): Array[Long] =
+        Array.tabulate(64)(d => if (n > 0) fs.map(_(d)).sum / n else 0L)
+      val (co, cn) = (cent(nOld, fOld), cent(nNew, fNew))
+      val dotp = (0 until 64).map(d => co(d).toDouble * cn(d).toDouble).sum
+      val no2 = co.map(x => x.toDouble * x.toDouble).sum
+      val nn2 = cn.map(x => x.toDouble * x.toDouble).sum
+      val cos = if (nOld > 0 && nNew > 0 && no2 > 0 && nn2 > 0)
+        Some(math.floor(dotp * 1000000.0 / (math.sqrt(no2) * math.sqrt(nn2))).toLong)
+      else None
+      (label, nOld, nNew, cos,
+        if (nOld > 0) Some(npOld / nOld) else None,
+        if (nNew > 0) Some(npNew / nNew) else None,
+        if (nOld > 0 && nNew > 0) Some(npNew / nNew - npOld / nOld) else None)
+    }.toSet
+    val got = Similarity.embeddingDrift(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)))).toSet
+    assert(got === want)
+  }
+
   test("embedding_health equals a driver recomputation on the real sf0.001 corpus") {
     val emb = graft.Tables.embeddings(spark, Sf)
       .select("label", "embedding").collect()
