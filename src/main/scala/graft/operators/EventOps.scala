@@ -60,6 +60,84 @@ object EventOps {
        | count(*) AS n_events, ${sqlSum("value", 24, 6)} AS sum_value
        |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** EWMA horizon in hours: the window carries 21 terms (k = 0..20); the
+    * k=20 tail weight is 2^0, below 1 ppm of the total, so truncating
+    * there loses nothing an integer fixed point can see. */
+  val EwmaHorizon = 20
+
+  /** SMOOTHED-BASELINE MONITOR — per (event_type, hour) the
+    * exponentially-weighted moving average of hourly event counts with
+    * α = 1/2, in EXACT integer arithmetic: α = 1/2 makes every EWMA
+    * weight a power of two (2^(20−k) for lag k), so the weighted sums are
+    * order-free int64 — a float EWMA recurrence would be partition-order-
+    * dependent and never hash-match. This is the ops-telemetry shape
+    * behind alerting ("is this hour's volume off its smoothed baseline?")
+    * — the trailing-mean complement of [[anomalyHours]]' z-score, with
+    * geometric decay instead of a flat 24 h window. Missing hours inside
+    * a type's [min, max] span count as genuine zero observations (the
+    * [[gapFill]] densification rule), so a traffic gap pulls the baseline
+    * down instead of vanishing. `ewma_milli` = baseline ×1000;
+    * `ratio_permille` = actual/baseline ×1000.
+    *
+    * Shape: one corpus scan → the |types|×|hours| hourly aggregation;
+    * everything after runs on that METADATA-sized frame (dense domain
+    * generated per type between its broadcast bounds, ×21 offset explode,
+    * one (type, hour) aggregation) — at 100 TB the EWMA costs the same
+    * hourly rollup [[hourly]] already pays, plus noise. */
+  def ewma(spark: SparkSession, sfDir: String): DataFrame =
+    ewmaOfCounts(Tables.events(spark, sfDir)
+      .groupBy(hourEpoch, col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("h", expr("hour_epoch div 3600"))
+      .select(col("event_type"), col("h"), col("n")))
+
+  /** Core of [[ewma]] over any (event_type, h, n) hourly-count frame. */
+  private[graft] def ewmaOfCounts(counts: DataFrame): DataFrame = {
+    val bounds = counts.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val dense = bounds
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+      .join(counts, Seq("event_type", "h"), "left")
+      .withColumn("x", coalesce(col("n"), lit(0L)))
+      .select(col("event_type"), col("h"), col("x"))
+    val contrib = dense
+      .select(col("event_type"), col("h"), col("x"),
+        explode(expr(s"sequence(0, $EwmaHorizon)")).as("k"))
+      .select(col("event_type"), (col("h") + col("k")).as("t"),
+        expr(s"x * shiftleft(CAST(1 AS BIGINT), CAST($EwmaHorizon - k AS INT))").as("xw"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST($EwmaHorizon - k AS INT))").as("w"))
+    contrib.groupBy(col("event_type"), col("t"))
+      .agg(sum(col("xw")).as("s"), sum(col("w")).as("wsum"))
+      .join(dense.select(col("event_type"), col("h").as("t"), col("x")), Seq("event_type", "t"))
+      .select(col("event_type"), (col("t") * 3600).as("hour_epoch"),
+        col("x").as("n_events"),
+        expr("s * 1000 div wsum").as("ewma_milli"),
+        expr("x * 1000000 div greatest(s * 1000 div wsum, 1)").as("ratio_permille"))
+  }
+
+  /** DuckDB twin — same densification, same power-of-two weights, same
+    * truncating divisions. */
+  val ewmaSql: String =
+    s"""WITH c AS (SELECT event_type,
+       |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM c GROUP BY 1),
+       |dense0 AS (SELECT b.event_type, g.h
+       |  FROM b, LATERAL (SELECT unnest(generate_series(b.h0, b.h1)) AS h) g),
+       |dense AS (SELECT d.event_type, d.h, CAST(coalesce(c.n, 0) AS BIGINT) AS x
+       |  FROM dense0 d LEFT JOIN c ON c.event_type = d.event_type AND c.h = d.h),
+       |contrib AS (SELECT event_type, h + k AS t,
+       |    x * (CAST(1 AS BIGINT) << ($EwmaHorizon - k)) AS xw,
+       |    CAST(1 AS BIGINT) << ($EwmaHorizon - k) AS w
+       |  FROM dense, LATERAL (SELECT unnest(generate_series(0, $EwmaHorizon)) AS k) u),
+       |agg AS (SELECT event_type, t, CAST(sum(xw) AS BIGINT) AS s,
+       |    CAST(sum(w) AS BIGINT) AS wsum
+       |  FROM contrib GROUP BY 1, 2)
+       |SELECT a.event_type, t * 3600 AS hour_epoch, d.x AS n_events,
+       |  CAST(s * 1000 // wsum AS BIGINT) AS ewma_milli,
+       |  CAST(d.x * 1000000 // greatest(s * 1000 // wsum, 1) AS BIGINT) AS ratio_permille
+       |FROM agg a JOIN dense d ON d.event_type = a.event_type AND d.h = a.t""".stripMargin
+
   /** Sliding windows (width 1 h, slide 15 min): each event lands in
     * exactly width/slide = 4 windows, generated by integer bucket
     * arithmetic — the same shape Spark's `window()` produces, but kept in

@@ -94,4 +94,61 @@ class EventOpsSpec extends AnyFunSuite {
     val ushape = byKey(EventOps.attributionPosition(spark, dir))
     assert(linear === ushape, "n<=2 is the degenerate case where both models coincide")
   }
+
+  test("ewma: constant series locks to the constant; a spike decays by exact halves; gaps pull the baseline") {
+    import spark.implicits._
+    // type A: constant 6/hour for 40 hours; type B: one 1024-count spike
+    // at hour 100 then silence for 25 hours (zeros are real observations).
+    val counts =
+      (0L until 40L).map(h => ("A", h, 6L)) ++
+      Seq(("B", 100L, 1024L)) ++ Seq(("B", 125L, 2L))
+    val got = EventOps.ewmaOfCounts(counts.toDF("event_type", "h", "n")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 3600) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // constant series, full window (t >= 20): EWMA == the constant exactly
+    (20L until 40L).foreach { t =>
+      assert(got(("A", t))._2 === 6000L, s"A@$t")
+      assert(got(("A", t))._3 === 1000L, "actual/baseline == 1 for a flat series")
+    }
+    // spike decay: the numerator halves per hour; the window is partial
+    // until d = 20 (no observations exist before the series start), so the
+    // normalizer is 2^21 - 2^(20-d): ewma(100+d) = 1024·2^(20-d)·1000 div it
+    val wsum = (1L << 21) - 1
+    (0L to 20L).foreach { d =>
+      val wd = (1L << 21) - (1L << (20 - d).toInt)
+      val expect = 1024L * (1L << (20 - d).toInt) * 1000L / wd
+      assert(got(("B", 100L + d))._2 === expect, s"B@${100 + d}")
+    }
+    // after the spike leaves the window the baseline is back to ~zero,
+    // and the hour-125 burst of 2 reads as a large ratio
+    assert(got(("B", 124L))._2 === 0L)
+    assert(got(("B", 125L))._3 === 2L * 1000000L / math.max(2L * 1000L * (1L << 20) / wsum, 1L))
+  }
+
+  test("ewma equals a driver recomputation on the real sf0.001 corpus") {
+    val counts = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(expr("((ts - pmod(ts, 3600000000000)) div 3600000000000)").as("h"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val want = counts.groupBy(_._1).toSeq.flatMap { case (et, rows) =>
+      val byH = rows.map(r => r._2 -> r._3).toMap
+      val (h0, h1) = (byH.keys.min, byH.keys.max)
+      (h0 to h1).map { t =>
+        var s = 0L; var w = 0L
+        (0 to EventOps.EwmaHorizon).foreach { k =>
+          val src = t - k
+          if (src >= h0) { val wk = 1L << (EventOps.EwmaHorizon - k); w += wk
+            s += byH.getOrElse(src, 0L) * wk }
+        }
+        val x = byH.getOrElse(t, 0L)
+        val em = s * 1000L / w
+        (et, t * 3600L, x, em, x * 1000000L / math.max(em, 1L))
+      }
+    }.toSet
+    val got = EventOps.ewma(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
