@@ -650,6 +650,90 @@ object Curation {
        |    // (d.degree * (d.degree - 1)) AS BIGINT) AS coeff_fp
        |FROM deg d LEFT JOIN tc USING (doc_id) WHERE d.degree >= 2""".stripMargin
 
+  /** Eval share: doc lands in eval iff md5(id) % 10 == 0 (~10%). */
+  val SplitEvalMod = 10L
+
+  /** LEAKAGE-SAFE TRAIN/EVAL SPLIT — the reason a pipeline dedups BEFORE
+    * splitting (Lee et al. 2022's motivation: near-duplicate train/test
+    * leakage silently inflates eval scores): a naive per-document hash
+    * split routes the two halves of a near-dup pair independently, so
+    * ~2·p·(1−p) of pairs straddle the boundary and the eval set contains
+    * soft copies of training documents. The fix is splitting by DEDUP
+    * CLUSTER: every member of a near-dup component inherits the
+    * component's hash, so no pair can straddle — leakage is zero BY
+    * CONSTRUCTION, and this operator measures both strategies side by
+    * side (the quantified argument for the extra CC pass). One row per
+    * strategy: train/eval doc counts and the cross-split near-dup pair
+    * count.
+    *
+    * Scale shape: the LSH pair graph and CC loop are the registered
+    * [[Dedup.clusters]] machinery (edge-bounded shuffles); split flags
+    * are a hash map; leak counting joins the (bounded) pair set against
+    * the checkpointed assignment twice — never corpus×corpus. */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame =
+    splitLeakageOf(Tables.documents(spark, sfDir).select(col("doc_id")),
+      Dedup.minhashLsh(spark, sfDir))
+
+  /** Core of [[splitLeakage]] over any doc-id frame + near-dup pair set. */
+  private[graft] def splitLeakageOf(docs: DataFrame, pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.localCheckpoint() // CC loop + both leak joins read it
+    val comp = Dedup.clustersOfPairs(pairs)
+    val assign = docs
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("naive_eval",
+        Hashing.md5Long(col("doc_id").cast("string")) % SplitEvalMod === 0)
+      .withColumn("cluster_eval",
+        Hashing.md5Long(col("cid").cast("string")) % SplitEvalMod === 0)
+      .localCheckpoint() // counts + two leak joins read it
+    def strat(name: String, flag: String): DataFrame = {
+      val counts = assign.agg(
+        sum(when(!col(flag), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col(flag), 1L).otherwise(0L)).as("n_eval"))
+      val leaks = pairs
+        .join(assign.select(col("doc_id").as("doc_a"), col(flag).as("ea")), Seq("doc_a"))
+        .join(assign.select(col("doc_id").as("doc_b"), col(flag).as("eb")), Seq("doc_b"))
+        .agg(coalesce(sum(when(col("ea") =!= col("eb"), 1L).otherwise(0L)), lit(0L))
+          .as("leaked_pairs"))
+      counts.crossJoin(broadcast(leaks))
+        .select(lit(name).as("strategy"), col("n_train"), col("n_eval"),
+          col("leaked_pairs"))
+    }
+    strat("doc_hash", "naive_eval")
+      .unionByName(strat("cluster_hash", "cluster_eval"))
+  }
+
+  /** DuckDB twin — the recursive-CC cluster CTEs, the same hash splits,
+    * the same leak counts. */
+  def splitLeakageSql: String = {
+    def flags(idExpr: String) =
+      s"${Hashing.md5LongSql(s"CAST($idExpr AS VARCHAR)")} % $SplitEvalMod = 0"
+    s"""WITH RECURSIVE ${Dedup.clusterCtes},
+       |assign AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cid
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |fl AS (SELECT doc_id, ${flags("doc_id")} AS naive_eval,
+       |    ${flags("cid")} AS cluster_eval
+       |  FROM assign),
+       |naive_leak AS (SELECT count(*) AS lk FROM pairs p
+       |  JOIN fl a ON p.doc_a = a.doc_id JOIN fl b ON p.doc_b = b.doc_id
+       |  WHERE a.naive_eval <> b.naive_eval),
+       |cluster_leak AS (SELECT count(*) AS lk FROM pairs p
+       |  JOIN fl a ON p.doc_a = a.doc_id JOIN fl b ON p.doc_b = b.doc_id
+       |  WHERE a.cluster_eval <> b.cluster_eval)
+       |SELECT 'doc_hash' AS strategy,
+       |  CAST(sum(CASE WHEN naive_eval THEN 0 ELSE 1 END) AS BIGINT) AS n_train,
+       |  CAST(sum(CASE WHEN naive_eval THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+       |  (SELECT CAST(lk AS BIGINT) FROM naive_leak) AS leaked_pairs
+       |FROM fl
+       |UNION ALL
+       |SELECT 'cluster_hash',
+       |  CAST(sum(CASE WHEN cluster_eval THEN 0 ELSE 1 END) AS BIGINT),
+       |  CAST(sum(CASE WHEN cluster_eval THEN 1 ELSE 0 END) AS BIGINT),
+       |  (SELECT CAST(lk AS BIGINT) FROM cluster_leak)
+       |FROM fl""".stripMargin
+  }
+
   // ---- snapshot diff (dataset release notes) -------------------------------
 
   /** SNAPSHOT DIFF CARD — the release-engineering step between two corpus

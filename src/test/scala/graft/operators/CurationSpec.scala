@@ -241,4 +241,33 @@ class CurationSpec extends AnyFunSuite {
     assert(got(("s1", "unchanged")) === ((1L, 19L, 19L, 0L)))
     assert(got.size === 6, s"exactly one row per exercised (source, op): ${got.keys}")
   }
+
+  test("split_leakage: the cluster split cannot leak; the doc split leaks the crafted straddling pair") {
+    import spark.implicits._
+    val ids = (0L until 200L)
+    val evalIds = ids.filter(i => Hashing.md5LongJvm(i.toString) % Curation.SplitEvalMod == 0)
+    val trainIds = ids.filter(i => Hashing.md5LongJvm(i.toString) % Curation.SplitEvalMod != 0)
+    assert(evalIds.nonEmpty && trainIds.size >= 2)
+    // a near-dup pair built to straddle the naive split
+    val (a, b) = (evalIds.head, trainIds.head)
+    val docs = Seq(a, b, trainIds(1)).toDF("doc_id")
+    val pairs = Seq((math.min(a, b), math.max(a, b))).toDF("doc_a", "doc_b")
+    val got = Curation.splitLeakageOf(docs, pairs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("doc_hash"))._3 === 1L, "the crafted pair must straddle the doc-hash split")
+    assert(got(("cluster_hash"))._3 === 0L, "cluster members share a hash: leakage impossible")
+    assert(got(("doc_hash"))._1 + got(("doc_hash"))._2 === 3L)
+    assert(got(("cluster_hash"))._1 + got(("cluster_hash"))._2 === 3L)
+  }
+
+  test("split_leakage on the real corpus: cluster strategy leak-free, totals reconcile") {
+    val nDocs = graft.Tables.documents(spark, Sf).count()
+    val got = Curation.splitLeakage(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === Set("doc_hash", "cluster_hash"))
+    got.values.foreach { case (tr, ev, _) => assert(tr + ev === nDocs) }
+    assert(got(("cluster_hash"))._3 === 0L,
+      "splitting by dedup-cluster hash must leak zero near-dup pairs")
+    assert(got(("doc_hash"))._3 >= got(("cluster_hash"))._3)
+  }
 }
