@@ -83,7 +83,13 @@ object EventOps {
     * everything after runs on that METADATA-sized frame (dense domain
     * generated per type between its broadcast bounds, ×21 offset explode,
     * one (type, hour) aggregation) — at 100 TB the EWMA costs the same
-    * hourly rollup [[hourly]] already pays, plus noise. */
+    * hourly rollup [[hourly]] already pays, plus noise.
+    *
+    * Overflow bound (the [[graft.operators.Ranking]] documentation
+    * discipline): the widest intermediate is `s · 1000` where
+    * s ≤ mean_hourly_count · (2^21 − 1), so int64 holds up to ~4.4×10^9
+    * events per (type, hour) — three orders past any real per-type hourly
+    * volume; beyond that, drop the ×1000 fixed point before widening. */
   def ewma(spark: SparkSession, sfDir: String): DataFrame =
     ewmaOfCounts(Tables.events(spark, sfDir)
       .groupBy(hourEpoch, col("event_type"))
