@@ -126,7 +126,15 @@ object Bench {
     // per-query median+spread+passes map is written to a repo artifact
     // (path overridable via SPARK_GRAFT_BENCH_DETAILS) and mirrored to
     // stderr.
-    val detailsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS", "bench_details.json")
+    // Canonical noise gate (BenchCore.CanonicalNoiseGate): a throttled
+    // window's capture is diverted to <path>.noisy — kept for inspection,
+    // never the cross-round comparison baseline. The stdout JSON reports
+    // the actual path written.
+    val requestedPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS", "bench_details.json")
+    val detailsPath = BenchCore.detailsPathFor(requestedPath, noiseIndex)
+    if (detailsPath != requestedPath)
+      System.err.println(f"[bench] noise_index $noiseIndex%.2f > ${BenchCore.CanonicalNoiseGate}: " +
+        s"canonical capture refused, details diverted to $detailsPath")
     val detailsJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":3,"estimator":"median","n":${results.size},"noise_index":${f"$noiseIndex%.2f"},"calibration_sec":$calJson,"failed":$failed,"rescued":$rescued,"rescue_ran":${core.rescueRan},"queries":$qs,"spread_pct":$spreads,"pass_count":$passCounts}"""
     try {

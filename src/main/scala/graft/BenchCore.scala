@@ -38,6 +38,24 @@ object BenchCore {
   val ScreenSlack = 0.8 // screening pass < 80% of old median → re-measure
   val MaxRecoveryProbes = 40
 
+  /** Canonical-capture noise gate (round 10): round 9 committed three
+    * same-code canonical refreshes spanning 117.5–151.1 s (±22%), so
+    * cross-round per-query comparisons were dominated by host throttling,
+    * not code. A capture whose calibration noise_index exceeds this is NOT
+    * allowed to overwrite the canonical details artifact — it lands beside
+    * it (suffix [[NoisySuffix]]) so the data is kept but never becomes the
+    * comparison baseline. 1.5 is the recovery criterion the rescue sweep
+    * already trusts ([[RecoveredFactor]]): a window the rescue logic would
+    * call "recovered" is one we accept as canonical. */
+  val CanonicalNoiseGate = 1.5
+  val NoisySuffix = ".noisy"
+
+  /** Where a capture with this noise_index may be written: the requested
+    * (canonical) path only when the window was quiet. Pure so the rule is
+    * spec-testable. */
+  def detailsPathFor(requested: String, noiseIndex: Double): String =
+    if (noiseIndex <= CanonicalNoiseGate) requested else requested + NoisySuffix
+
   case class Q(name: String, median: Double, spreadPct: Double, passes: Int,
       ok: Boolean, rescued: Boolean = false)
 

@@ -217,6 +217,17 @@ object Bpe {
     * (chars per BPE token) in integer ppm. Closes the BPE loop:
     * train ([[bpeTrain]]) → encode ([[bpeEncode]]) → EVALUATE.
     *
+    * Token counting (round 10): a word's token count is its merged SUBWORD
+    * count — an UNMERGED trailing [[EndOfWord]] sentinel is a segmentation
+    * artifact, not a token, so it is excluded (a fully-unmerged c-char word
+    * counts c tokens, not c+1); a sentinel merged INTO a subword (`w</w>`)
+    * counts as that one token. This is the tokens-per-word definition the
+    * NLLB/XLM-R fertility literature reports — counting the bare sentinel
+    * inflated fertility_ppm and deflated chars_per_token_ppm relative to
+    * any cross-paper comparison. ([[bpeEncode]]'s `n_bpe` deliberately
+    * stays the raw SYMBOL count: it reports the merge chain's literal
+    * output, the quantity its driver-reference spec replays.)
+    *
     * Shape: identical to [[bpeEncode]] — the merge chain applies to each
     * DISTINCT word once (|vocab|-bounded, codegen'd literal-replace tree),
     * the corpus pays one (lang, word) aggregation, and the card is a
@@ -229,8 +240,13 @@ object Bpe {
       .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
     val wl = dw.select(col("w")).distinct()
+      .withColumn("sym", trim(bpeApply(ms)(symbolize(col("w")))))
+      // symbols are space-delimited and space-free, so a " </w>" suffix is
+      // exactly "the final symbol is the bare sentinel"
       .withColumn("ns",
-        size(split(trim(bpeApply(ms)(symbolize(col("w")))), " ")).cast("long"))
+        (size(split(col("sym"), " ")) -
+          when(col("sym").endsWith(s" $EndOfWord"), 1).otherwise(0)).cast("long"))
+      .drop("sym")
       .withColumn("wlen", length(col("w")).cast("long"))
     dw.join(wl, Seq("w"))
       .groupBy(col("lang"))
@@ -242,10 +258,13 @@ object Bpe {
   }
 
   /** Oracle for [[tokenizerFertility]]: the unrolled training chain, then
-    * the same |langs|-row rollup off the final vocab state. */
+    * the same |langs|-row rollup off the final vocab state — with the same
+    * bare-sentinel exclusion (a trailing unmerged `</w>` symbol is not a
+    * token). */
   def tokenizerFertilitySql(numMerges: Int = 20): String = {
     val tail =
-      s"""wl AS (SELECT w, len(string_split(trim(sym), ' ')) AS ns,
+      s"""wl AS (SELECT w, len(string_split(trim(sym), ' '))
+         |    - CASE WHEN trim(sym) LIKE '% $EndOfWord' THEN 1 ELSE 0 END AS ns,
          |  CAST(length(w) AS BIGINT) AS wlen FROM v$numMerges),
          |dw AS (SELECT lang, w, count(*) AS c FROM (
          |  SELECT lang, unnest(${TextOps.tokensSql}) AS w FROM documents) GROUP BY 1, 2)

@@ -101,8 +101,7 @@ object Dedup {
     // pairs each suffix with its W successors via lead() — ONE window
     // pass, no self-join, no second read of the ranked frame — and every
     // heavy stage (the kh shuffle, the in-partition sort) is
-    // external-spill-safe by construction. The suffix derivation runs
-    // twice (df branch + main branch), a CPU-only cost.
+    // external-spill-safe by construction.
     val suf = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= minSpan)
@@ -112,16 +111,22 @@ object Dedup {
           s"struct($kh AS kh, slice(ht, i + 1 + $minSpan, $ext) AS ext))")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col.kh").as("kh"), col("col.ext").as("ext"))
-    val dfk = suf.groupBy(col("kh")).agg(count(lit(1)).as("df"))
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("kh"))
     val wspec = org.apache.spark.sql.expressions.Window
       .partitionBy(col("kh")).orderBy(col("ext"), col("doc_id"), col("pos"))
     // lead(j) ≡ the rank-distance-j successor in the same (kh) partition —
     // the oracle states the same contract as a row_number self-join; the
-    // two spellings are pointwise identical. The W lead columns share one
-    // Window node (same spec), and the kh equi-join's partitioning
-    // satisfies the window's partitionBy, so the whole candidate stage
-    // rides a single exchange.
-    val paired = suf.join(dfk, Seq("kh")).filter(col("df") <= maxDf)
+    // two spellings are pointwise identical. df rides a whole-partition
+    // count(*) WINDOW over the same kh key (round 10 — previously a
+    // groupBy+join against a second derivation of the suffix stream, i.e.
+    // tokenize+md5+explode ran TWICE and the stream crossed two exchanges;
+    // both windows and the df filter now share ONE exchange, and the
+    // filter drops whole kh partitions, so the lead ranks it feeds are
+    // unchanged). Both window passes stay sort-based and spill-safe —
+    // nothing is materialized.
+    val paired = suf
+      .withColumn("df", count(lit(1)).over(wdf))
+      .filter(col("df") <= maxDf)
       .select(Seq(col("doc_id"), col("ext")) ++
         (1 to w).map(j =>
           lead(struct(col("doc_id"), col("ext")), j).over(wspec).as(s"n$j")): _*)
@@ -1288,12 +1293,23 @@ object Dedup {
     * split of the shared 16-slot MinHash signature, the candidate-pair
     * count, how many candidates are true duplicates under the exact
     * Jaccard rule ([[TuneJaccardPpm]], scored on full distinct shingle-hash
-    * sets), precision, and recall. Recall is measured against the truth
-    * pairs found inside the WIDEST config's candidates: a band match in
-    * any config implies slotwise matches, so (16×1) candidates provably
-    * contain every other config's — the sweep's recall denominator is
-    * self-contained, with the widest arm pinned at recall 1 by
-    * construction.
+    * sets), precision, and recall. Recall is measured against the DISTINCT
+    * true pairs found across ALL configs' candidates (round 10): the naive
+    * denominator — the widest arm's true pairs — rests on the nesting
+    * theorem (a band match in any config implies slotwise matches, so
+    * (16×1) candidates contain every other config's), but [[TuneBucketCap]]
+    * BREAKS that proof: a single-slot (16×1) bucket over the cap is dropped
+    * while the corresponding multi-row-band buckets in narrower arms stay
+    * under it, so on a boilerplate-heavy corpus a narrow arm can surface
+    * true pairs the widest arm never scored (recall > 1), and if every
+    * widest-arm bucket exceeded the cap the truth frame went empty and the
+    * crossJoin silently emptied the whole sweep. The union denominator is
+    * still self-contained in the sweep's own scoring work, restores
+    * recall ≤ 1 by construction, and equals the old denominator wherever
+    * the cap does not bind (the nesting regime — LshTuneSpec pins both).
+    * Configs whose every bucket was dropped (cap or singletons) emit an
+    * explicit zero-candidate row with NULL precision/recall instead of
+    * vanishing from the output.
     *
     * Scale shape: one signature aggregation (16 mergeable min slots), 30
     * band rows per doc, ONE bucket shuffle keyed (cfg, band, key) with
@@ -1350,13 +1366,27 @@ object Dedup {
         .otherwise(0L))
     val per = scored.groupBy(col("cfg"))
       .agg(count(lit(1)).as("n_candidates"), sum(col("is_dup")).as("n_true_pairs"))
-    val truth = per.filter(col("cfg") === MinhashHashes)
-      .select(col("n_true_pairs").as("truth_pairs"))
-    per.crossJoin(broadcast(truth))
+    // Union-of-configs truth (see the [[lshTune]] scaladoc): candidates are
+    // distinct per config already, so the cross-config distinct is the only
+    // extra pass — over the (tiny) true-pair survivors, not the corpus.
+    val truth = scored.filter(col("is_dup") === 1L)
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .agg(count(lit(1)).as("truth_pairs"))
+    import sh0.sparkSession.implicits._
+    val cfgs = TuneBandCounts.toDF("cfg")
+    cfgs.join(per, Seq("cfg"), "left")
+      .crossJoin(broadcast(truth))
+      .select(col("cfg"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_true_pairs"), lit(0L)).as("n_true_pairs"),
+        col("truth_pairs"))
       .select(col("cfg").cast("long").as("bands"),
         expr(s"$MinhashHashes div cfg").cast("long").as("rows_per_band"),
         col("n_candidates"), col("n_true_pairs"), col("truth_pairs"),
-        expr("n_true_pairs * 1000000 div n_candidates").as("precision_ppm"),
+        // a zero-candidate config has no precision (0/0); its recall over a
+        // non-empty truth is an honest 0 (it found none of it)
+        when(col("n_candidates") > 0,
+          expr("n_true_pairs * 1000000 div n_candidates")).as("precision_ppm"),
         when(col("truth_pairs") > 0,
           expr("n_true_pairs * 1000000 div truth_pairs")).as("recall_ppm"))
   }
@@ -1389,7 +1419,7 @@ object Dedup {
        |  FROM br x JOIN br y ON x.cfg = y.cfg AND x.band = y.band AND x.bk = y.bk
        |    AND x.doc_id < y.doc_id
        |  JOIN ok ON ok.cfg = x.cfg AND ok.band = x.band AND ok.bk = x.bk),
-       |scored AS (SELECT c.cfg,
+       |scored AS (SELECT c.cfg, c.doc_a, c.doc_b,
        |    len(list_filter(a.hset, z -> list_contains(b.hset, z))) AS inter,
        |    a.nsh AS na, b.nsh AS nb
        |  FROM cand c JOIN docsets a ON c.doc_a = a.doc_id JOIN docsets b ON c.doc_b = b.doc_id),
@@ -1397,15 +1427,19 @@ object Dedup {
        |    sum(CASE WHEN inter * 1000000 >= $TuneJaccardPpm * (na + nb - inter)
        |        THEN 1 ELSE 0 END) AS n_true
        |  FROM scored GROUP BY 1),
-       |tr AS (SELECT n_true AS truth_pairs FROM per WHERE cfg = $MinhashHashes)
-       |SELECT CAST(cfg AS BIGINT) AS bands,
-       |  CAST($MinhashHashes // cfg AS BIGINT) AS rows_per_band,
-       |  CAST(n_candidates AS BIGINT) AS n_candidates,
-       |  CAST(n_true AS BIGINT) AS n_true_pairs,
+       |tr AS (SELECT count(*) AS truth_pairs FROM (
+       |  SELECT DISTINCT doc_a, doc_b FROM scored
+       |  WHERE inter * 1000000 >= $TuneJaccardPpm * (na + nb - inter))),
+       |cfgs AS (SELECT unnest([${TuneBandCounts.mkString(", ")}]) AS cfg)
+       |SELECT CAST(cfgs.cfg AS BIGINT) AS bands,
+       |  CAST($MinhashHashes // cfgs.cfg AS BIGINT) AS rows_per_band,
+       |  CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  CAST(coalesce(n_true, 0) AS BIGINT) AS n_true_pairs,
        |  CAST(truth_pairs AS BIGINT) AS truth_pairs,
-       |  CAST(n_true * 1000000 // n_candidates AS BIGINT) AS precision_ppm,
-       |  CASE WHEN truth_pairs > 0 THEN CAST(n_true * 1000000 // truth_pairs AS BIGINT)
-       |  END AS recall_ppm
-       |FROM per CROSS JOIN tr""".stripMargin
+       |  CASE WHEN coalesce(n_candidates, 0) > 0
+       |    THEN CAST(coalesce(n_true, 0) * 1000000 // n_candidates AS BIGINT) END AS precision_ppm,
+       |  CASE WHEN truth_pairs > 0
+       |    THEN CAST(coalesce(n_true, 0) * 1000000 // truth_pairs AS BIGINT) END AS recall_ppm
+       |FROM cfgs LEFT JOIN per ON per.cfg = cfgs.cfg CROSS JOIN tr""".stripMargin
   }
 }

@@ -85,11 +85,17 @@ object EventOps {
     * one (type, hour) aggregation) — at 100 TB the EWMA costs the same
     * hourly rollup [[hourly]] already pays, plus noise.
     *
-    * Overflow bound (the [[graft.operators.Ranking]] documentation
-    * discipline): the widest intermediate is `s · 1000` where
-    * s ≤ mean_hourly_count · (2^21 − 1), so int64 holds up to ~4.4×10^9
-    * events per (type, hour) — three orders past any real per-type hourly
-    * volume; beyond that, drop the ×1000 fixed point before widening. */
+    * Overflow (round 10, closing the last oracle-blind wrap): the weighted
+    * sum `s ≤ hourly_count · (2^21 − 1)` and the `s·1000` / `x·1000000`
+    * fixed points ran in int64, wrapping silently past ~4.4×10^9 events per
+    * (type, hour) — identically in Spark (non-ANSI) and the old oracle, so
+    * the hash check could never see it. All wide intermediates now run in
+    * DECIMAL(38,0) (DuckDB twin: HUGEINT), the [[graft.operators.Ranking]]
+    * cos2_fp precedent: exact for hourly counts up to ~9.2×10^15, where the
+    * OUTPUT columns' own int64 fixed points saturate — no intermediate can
+    * wrap before the result itself is unrepresentable. `div` on decimals is
+    * Spark's IntegralDivide (exact floor, returns BIGINT), so values in the
+    * old in-bound regime are bit-identical. */
   def ewma(spark: SparkSession, sfDir: String): DataFrame =
     ewmaOfCounts(Tables.events(spark, sfDir)
       .groupBy(hourEpoch, col("event_type"))
@@ -110,7 +116,8 @@ object EventOps {
       .select(col("event_type"), col("h"), col("x"),
         explode(expr(s"sequence(0, $EwmaHorizon)")).as("k"))
       .select(col("event_type"), (col("h") + col("k")).as("t"),
-        expr(s"x * shiftleft(CAST(1 AS BIGINT), CAST($EwmaHorizon - k AS INT))").as("xw"),
+        // xw widened BEFORE the multiply: x · 2^20 wraps int64 past x ≈ 8.8e12
+        expr(s"CAST(x AS DECIMAL(38,0)) * shiftleft(CAST(1 AS BIGINT), CAST($EwmaHorizon - k AS INT))").as("xw"),
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST($EwmaHorizon - k AS INT))").as("w"))
     contrib.groupBy(col("event_type"), col("t"))
       .agg(sum(col("xw")).as("s"), sum(col("w")).as("wsum"))
@@ -118,11 +125,13 @@ object EventOps {
       .select(col("event_type"), (col("t") * 3600).as("hour_epoch"),
         col("x").as("n_events"),
         expr("s * 1000 div wsum").as("ewma_milli"),
-        expr("x * 1000000 div greatest(s * 1000 div wsum, 1)").as("ratio_permille"))
+        expr("CAST(x AS DECIMAL(38,0)) * 1000000 div greatest(s * 1000 div wsum, 1)").as("ratio_permille"))
   }
 
   /** DuckDB twin — same densification, same power-of-two weights, same
-    * truncating divisions. */
+    * truncating divisions; wide intermediates in HUGEINT (the
+    * DECIMAL(38,0) mirror — DuckDB would RAISE where non-ANSI Spark
+    * wrapped, the divergent failure mode the widening removes). */
   val ewmaSql: String =
     s"""WITH c AS (SELECT event_type,
        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h, count(*) AS n
@@ -133,15 +142,15 @@ object EventOps {
        |dense AS (SELECT d.event_type, d.h, CAST(coalesce(c.n, 0) AS BIGINT) AS x
        |  FROM dense0 d LEFT JOIN c ON c.event_type = d.event_type AND c.h = d.h),
        |contrib AS (SELECT event_type, h + k AS t,
-       |    x * (CAST(1 AS BIGINT) << ($EwmaHorizon - k)) AS xw,
+       |    CAST(x AS HUGEINT) * (CAST(1 AS BIGINT) << ($EwmaHorizon - k)) AS xw,
        |    CAST(1 AS BIGINT) << ($EwmaHorizon - k) AS w
        |  FROM dense, LATERAL (SELECT unnest(generate_series(0, $EwmaHorizon)) AS k) u),
-       |agg AS (SELECT event_type, t, CAST(sum(xw) AS BIGINT) AS s,
+       |agg AS (SELECT event_type, t, sum(xw) AS s,
        |    CAST(sum(w) AS BIGINT) AS wsum
        |  FROM contrib GROUP BY 1, 2)
        |SELECT a.event_type, t * 3600 AS hour_epoch, d.x AS n_events,
        |  CAST(s * 1000 // wsum AS BIGINT) AS ewma_milli,
-       |  CAST(d.x * 1000000 // greatest(s * 1000 // wsum, 1) AS BIGINT) AS ratio_permille
+       |  CAST(CAST(d.x AS HUGEINT) * 1000000 // greatest(s * 1000 // wsum, 1) AS BIGINT) AS ratio_permille
        |FROM agg a JOIN dense d ON d.event_type = a.event_type AND d.h = a.t""".stripMargin
 
   /** Sliding windows (width 1 h, slide 15 min): each event lands in

@@ -295,4 +295,81 @@ object Ranking {
        |FROM ranked
        |WHERE df * $dfCapDen <= (SELECT count(*) FROM documents) * $dfCapNum
        |  AND rank <= $topK""".stripMargin
+
+  /** The served phrase for the registered `phrase_search` query — a real
+    * corpus trigram (measured ~7 occurrences at sf0.01), so the adjacency
+    * chain is exercised on live data, not a degenerate empty result. */
+  val PhraseTerms: Seq[String] = Seq("stream", "table", "hash")
+
+  /** PHRASE SEARCH — the serve side of [[invertedPostings]], closing the
+    * build→serve loop the way `bpe_encode` serves `bpe_train`: the index
+    * stores per-(term, doc) POSITION LISTS precisely so phrase/proximity
+    * queries can run off postings alone, and until something intersects
+    * those positions the column is dead weight. One row per occurrence of
+    * the exact k-term phrase: (doc_id, match_pos of its first word),
+    * computed by the classic adjacency intersection — slot i's postings,
+    * shifted by −i, equi-joined across all slots.
+    *
+    * Shape: the corpus contributes ONE tokenize+posexplode scan filtered
+    * to the phrase's terms (k terms — the filter prunes before any
+    * aggregation, so the postings build shuffles only the phrase terms'
+    * occurrence rows, df(t₁..tk) of them); the stored positions string is
+    * then exploded BACK into ints — deliberately consuming the index's own
+    * serialized format — and the k−1 equi-joins on (doc_id, shifted pos)
+    * move only those df-bounded rows (AQE broadcasts the small slots). At
+    * 100 TB: corpus-linear scan, term-df-bounded everything after —
+    * serving an indexed phrase never re-touches non-phrase text. The
+    * per-term impact cap invertedPostings applies for RANKED retrieval is
+    * deliberately NOT applied: truncating a phrase term's postings to its
+    * top-tf docs would silently lose matches; full postings for k named
+    * terms are still df-bounded. */
+  def phraseSearch(spark: SparkSession, sfDir: String,
+      phrase: Seq[String] = PhraseTerms): DataFrame =
+    phraseSearchOf(Tables.documents(spark, sfDir), phrase)
+
+  /** Core over an explicit (doc_id, text) frame — specs feed crafted
+    * corpora (overlapping self-matches, repeated-term phrases, cross-doc
+    * false adjacency). */
+  def phraseSearchOf(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val occ = docs
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase.distinct: _*))
+    // the phrase terms' slice of the positional index, in the index's own
+    // storage format (the comma-joined sorted position string
+    // invertedPostings writes)
+    val postings = occ.groupBy(col("term"), col("doc_id"))
+      .agg(array_join(transform(sort_array(collect_list(col("pos").cast("long"))),
+        x => x.cast("string")), ",").as("positions"))
+    val slots = phrase.zipWithIndex.map { case (t, i) =>
+      postings.filter(col("term") === t)
+        .select(col("doc_id"), explode(split(col("positions"), ",")).as("p"))
+        .select(col("doc_id"), (col("p").cast("long") - i).as("match_pos"))
+    }
+    slots.reduce((a, b) => a.join(b, Seq("doc_id", "match_pos")))
+      .select(col("doc_id"), col("match_pos"))
+  }
+
+  /** DuckDB twin: the SAME postings derivation (grouped, sorted,
+    * comma-joined — re-deriving the index rows, not shortcutting to raw
+    * positions), then the same shifted-slot intersection. */
+  def phraseSearchSql(phrase: Seq[String] = PhraseTerms): String = {
+    val inList = phrase.distinct.map(t => s"'$t'").mkString(", ")
+    val slotCtes = phrase.zipWithIndex.map { case (t, i) =>
+      s"""s$i AS (SELECT doc_id, CAST(p AS BIGINT) - $i AS match_pos
+         |  FROM posting, LATERAL (SELECT unnest(string_split(positions, ',')) AS p) u$i
+         |  WHERE term = '$t')""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 until phrase.length)
+      .map(i => s"JOIN s$i USING (doc_id, match_pos)").mkString(" ")
+    s"""WITH toks AS (SELECT doc_id, ${TextOps.tokensSql} AS t FROM documents),
+       |occ AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS term
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g
+       |  WHERE t[i] IN ($inList)),
+       |posting AS (SELECT term, doc_id,
+       |    array_to_string(list(pos ORDER BY pos), ',') AS positions
+       |  FROM occ GROUP BY term, doc_id),
+       |$slotCtes
+       |SELECT s0.doc_id, s0.match_pos FROM s0 $joins""".stripMargin
+  }
 }

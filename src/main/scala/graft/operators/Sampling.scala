@@ -124,6 +124,81 @@ object Sampling {
        |FROM o, LATERAL (SELECT unnest(generate_series(
        |    off // $binTokens, (off + n_tokens - 1) // $binTokens)) AS b) g""".stripMargin
 
+  /** Per-image token budget for [[packMultimodal]] — the fixed sequence
+    * cost a vision encoder charges per image/frame (the MMC4/OBELICS
+    * layout constant; production values are 64–576 patch tokens, scaled
+    * here to the test corpus's token volumes). */
+  val ImgTokens = 16L
+
+  /** INTERLEAVED IMAGE-TEXT PACKING — the MMC4/OBELICS layout step for
+    * multimodal pretraining: documents whose media containers were PARSED
+    * by [[Multimodal.mediaFeatures]] (frame count from walking real
+    * APNG/MJPEG structure, not metadata trust) pack into fixed-token bins
+    * where every frame costs [[ImgTokens]] and text costs its whitespace
+    * token count — [[packChunks]]' concat-and-chunk rule over the COMBINED
+    * token space, documents split across bin boundaries, every bin exactly
+    * full (bar the final partial per source). Document layout is the
+    * frame blocks first, then the text (the OBELICS media-anchored
+    * convention), so each fragment also reports its image/text token
+    * split — what a loader needs to budget vision-encoder batches per bin.
+    *
+    * Shape: [[Multimodal.mediaFeatures]]' partition-wise container parse
+    * (corpus-linear, no shuffle) + ONE doc_id equi-join to the token
+    * counts + the same per-source prefix-sum window as [[packChunks]] +
+    * a narrow fragment explode. At 100 TB the added cost over packChunks
+    * is the parse scan and the one join — both corpus-linear, no new
+    * quadratic or driver-side term. */
+  def packMultimodal(spark: SparkSession, sfDir: String,
+      binTokens: Int = PackBinTokens): DataFrame = {
+    val media = Multimodal.mediaFeatures(spark, sfDir)
+      .select(col("doc_id"), (col("n_frames") * ImgTokens).as("n_img"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_text"))
+      .join(media, Seq("doc_id"))
+      .withColumn("n_total", col("n_text") + col("n_img"))
+      .filter(col("n_total") > 0)
+      .withColumn("off", sum(col("n_total")).over(w) - col("n_total"))
+      .withColumn("bin_id", explode(sequence(
+        expr(s"off div $binTokens"),
+        expr(s"(off + n_total - 1) div $binTokens"))))
+      .withColumn("tok_start", expr(s"greatest(CAST(0 AS BIGINT), bin_id * $binTokens - off)"))
+      .withColumn("tok_end", expr(s"least(n_total, (bin_id + 1) * $binTokens - off)"))
+      // fragment ∩ [0, n_img) = its image-token share; text is the rest.
+      // least() alone suffices: tok_start ≤ tok_end makes the difference
+      // non-negative.
+      .withColumn("img_tokens",
+        least(col("tok_end"), col("n_img")) - least(col("tok_start"), col("n_img")))
+      .select(col("doc_id"), col("source"), col("bin_id"),
+        col("tok_start"), col("tok_end"), col("img_tokens"),
+        (col("tok_end") - col("tok_start") - col("img_tokens")).as("text_tokens"))
+  }
+
+  /** DuckDB twin: frame count re-derived from the container-build
+    * arithmetic (the [[Multimodal.mediaFeaturesSql]] contract — the engine
+    * must PARSE its way back to the same number), same window, same
+    * fragment algebra. */
+  def packMultimodalSql(binTokens: Int = PackBinTokens): String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len(${graft.operators.TextOps.tokensSql}) AS BIGINT) AS n_text,
+       |    (1 + CAST(octet_length(encode(text)) AS BIGINT) % 16) * $ImgTokens AS n_img
+       |  FROM documents),
+       |o AS (SELECT doc_id, source, n_text + n_img AS n_total, n_img,
+       |    CAST(sum(n_text + n_img) OVER (PARTITION BY source ORDER BY doc_id)
+       |         - (n_text + n_img) AS BIGINT) AS off
+       |  FROM t WHERE n_text + n_img > 0),
+       |frag AS (SELECT doc_id, source, CAST(b AS BIGINT) AS bin_id, n_img,
+       |    CAST(greatest(0, b * $binTokens - off) AS BIGINT) AS tok_start,
+       |    CAST(least(n_total, (b + 1) * $binTokens - off) AS BIGINT) AS tok_end
+       |  FROM o, LATERAL (SELECT unnest(generate_series(
+       |      off // $binTokens, (off + n_total - 1) // $binTokens)) AS b) g)
+       |SELECT doc_id, source, bin_id, tok_start, tok_end,
+       |  CAST(least(tok_end, n_img) - least(tok_start, n_img) AS BIGINT) AS img_tokens,
+       |  CAST(tok_end - tok_start
+       |    - (least(tok_end, n_img) - least(tok_start, n_img)) AS BIGINT) AS text_tokens
+       |FROM frag""".stripMargin
+
   /** [[weightedSample]] saturation length: a doc of ≥ this many chars is
     * kept with probability 1; shorter docs keep proportionally. */
   val WeightTau = 2000L

@@ -367,6 +367,80 @@ object Similarity {
        |  coalesce(d.dup_of, s.vec_id) AS canonical
        |FROM assigned s LEFT JOIN dup_of d ON s.vec_id = d.dup_id""".stripMargin
 
+  // ---- semantic contamination vs a benchmark/eval set ---------------------
+
+  /** Eval-set slice for [[contaminationSemantic]]: vec_ids in
+    * [EvalLo, EvalHi) play the benchmark embeddings. A FIXED id range, the
+    * [[NumQueries]]/[[NumCentroids]] discipline: the decade generator
+    * shifts replica ids far above it, so the eval set stays O(1) while the
+    * corpus grows — the realistic shape (benchmarks don't grow with the
+    * crawl). */
+  val EvalLo = 128L
+  val EvalHi = 160L
+
+  /** Decision threshold for [[contaminationSemantic]] — between
+    * [[dedupSemantic]]'s 0.4 near-dup bar and the corpus's background
+    * cosine level, so the flagged set is non-trivial at every test SF. */
+  val ContamSemTau = 0.35
+
+  /** SEMANTIC CONTAMINATION — embedding-space decontamination of the
+    * training corpus against a benchmark/eval set: every corpus vector
+    * whose cosine against ANY eval embedding reaches [[ContamSemTau]] is
+    * flagged, with the best-matching eval id and its cosine. The
+    * SemDeDup-style complement of the n-gram [[Curation.contamination]] /
+    * `contamination_spans` pair (production decontamination — the GPT-4 /
+    * Llama report recipe — runs BOTH: n-gram overlap catches verbatim
+    * leakage, embedding cosine catches paraphrase). Flagged docs are
+    * dropped before training so eval scores measure generalization, not
+    * memorization.
+    *
+    * Shape — and why this is NOT the IVF path [[dedupSemantic]] takes: the
+    * eval set is a FIXED-size frame (benchmarks are O(10k) items however
+    * big the corpus), so the right 100 TB plan is the [[knnBrute]] one —
+    * broadcast the eval side and scan the corpus ONCE, scoring n·|eval|
+    * pairs map-side with zero candidate-generation machinery and zero
+    * recall loss (IVF assignment would pay the same broadcast-scored n·C
+    * pass just to build buckets, then still probe — strictly more work to
+    * return a subset of the answer). The per-vector argmax folds into the
+    * same hash aggregation [[ivfAssigned]] uses (max_by over (cos, −id)):
+    * all of a vector's eval pairs sit in one task, so partials collapse
+    * n·|eval| → n before the exchange and the only shuffle is the
+    * |flagged|-row aggregation. */
+  def contaminationSemantic(spark: SparkSession, sfDir: String,
+      threshold: Double = ContamSemTau): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", graft.functions.VectorExpressions.vec_norm(col("v")))
+    val ev = e.filter(col("vec_id") >= EvalLo && col("vec_id") < EvalHi)
+      .select(col("vec_id").as("eval_id"), col("v").as("evv"), col("nrm").as("evnrm"))
+    rebalance(spark, e.filter(col("vec_id") < EvalLo || col("vec_id") >= EvalHi))
+      .join(broadcast(ev))
+      .withColumn("cos", cosinePre(col("v"), col("evv"), col("nrm"), col("evnrm")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("eval_id"), struct(col("cos"), -col("eval_id"))).as("eval_id"),
+        // the winning pair's cosine — max(cos) IS the argmax's value
+        max(col("cos")).as("mcos"))
+      .select(col("vec_id"), col("eval_id"), round(col("mcos"), 6).as("cos_sim"))
+  }
+
+  /** DuckDB twin: same fold-order cosine, same threshold, argmax via
+    * row_number (cos DESC, eval_id ASC) — equivalent to the engine's
+    * max_by(…, (cos, −eval_id)) because both order by the RAW double
+    * cosine first. */
+  def contaminationSemanticSql(threshold: Double = ContamSemTau): String =
+    s"""WITH ev AS (SELECT vec_id AS eval_id, embedding FROM embeddings
+       |  WHERE vec_id >= $EvalLo AND vec_id < $EvalHi),
+       |cand AS (SELECT e.vec_id, ev.eval_id, ${cosineSql("e", "ev")} AS cos
+       |  FROM embeddings e CROSS JOIN ev
+       |  WHERE (e.vec_id < $EvalLo OR e.vec_id >= $EvalHi)
+       |    AND ${cosineSql("e", "ev")} >= $threshold)
+       |SELECT vec_id, eval_id, round(cos, 6) AS cos_sim FROM (
+       |  SELECT vec_id, eval_id, cos, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, eval_id ASC) AS rn
+       |  FROM cand)
+       |WHERE rn = 1""".stripMargin
+
   // ---- sign-random-projection LSH (centroid-free scale path) --------------
 
   /** SRP-LSH geometry: 32 hyperplanes = 4 bands × 8 bits. Bit j of a vector

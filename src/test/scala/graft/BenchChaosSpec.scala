@@ -74,6 +74,20 @@ class BenchChaosSpec extends AnyFunSuite {
         s"${q.name}: final median ${q.median} vs true ${trueCost(q.name)} — not healed")
   }
 
+  test("canonical noise gate: a throttled window cannot overwrite the canonical artifact") {
+    // quiet window → canonical path; anything past the gate → diverted.
+    assert(BenchCore.detailsPathFor("bench_details.json", 1.0) === "bench_details.json")
+    assert(BenchCore.detailsPathFor("bench_details.json", BenchCore.CanonicalNoiseGate)
+      === "bench_details.json")
+    assert(BenchCore.detailsPathFor("bench_details.json", 1.51)
+      === "bench_details.json.noisy")
+    assert(BenchCore.detailsPathFor("bench_details.json", 18.44) // the round-5 capture
+      === "bench_details.json.noisy")
+    // the gate must be at least as strict as what the rescue layer calls
+    // "recovered" — a window rescue would accept is one canonical accepts
+    assert(BenchCore.CanonicalNoiseGate <= BenchCore.RecoveredFactor)
+  }
+
   test("a quiet host never pays the rescue phase") {
     val host = new Host(trueCost, throttleFrom = 0, throttleTo = 0, factor = 1.0)
     val out = BenchCore.measure(names, host.onePass, host.calibrate)

@@ -150,20 +150,58 @@ class BpeSpec extends AnyFunSuite {
       .select("doc_id", "lang", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     val langOf = docs.map(d => d._1 -> d._2).toMap
+    // Driver scan-merge encoder (the bpeEncode reference mechanism), kept
+    // as full symbol sequences so the test derives BOTH counting rules:
+    // bpeEncode's raw symbol count AND fertility's bare-sentinel exclusion.
+    val merges = Bpe.bpeTrain(spark, Sf, 20).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    def encSyms(w: String): Vector[String] = {
+      var syms = w.map(_.toString).toVector :+ Bpe.EndOfWord
+      merges.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val symCache = scala.collection.mutable.Map.empty[String, Vector[String]]
+    def toks(t: String) = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+    def nsOf(w: String): Long = {
+      val s = symCache.getOrElseUpdate(w, encSyms(w))
+      s.length.toLong - (if (s.last == Bpe.EndOfWord) 1L else 0L)
+    }
     val enc = Bpe.bpeEncode(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val perLang = enc.groupBy(t => langOf(t._1)).view
+    val encPerLang = enc.groupBy(t => langOf(t._1)).view
       .mapValues(rs => (rs.map(_._2).sum, rs.map(_._3).sum)).toMap
-    val charsPerLang = docs.groupBy(_._2).view.mapValues(_.iterator.map { case (_, _, t) =>
-      "[a-z0-9]+".r.findAllIn(t.toLowerCase).map(_.length.toLong).sum
-    }.sum).toMap
+    val wantPerLang = docs.groupBy(_._2).view.mapValues { ds =>
+      val ws = ds.flatMap(d => toks(d._3))
+      (ws.size.toLong, ws.iterator.map(nsOf).sum,
+        ws.iterator.map(_.length.toLong).sum,
+        // word instances whose encoding ends in a bare sentinel — the exact
+        // amount by which fertility's token volume undercuts bpe_encode's
+        // raw symbol volume
+        ws.iterator.count(w => symCache.getOrElseUpdate(w, encSyms(w))
+          .last == Bpe.EndOfWord).toLong)
+    }.toMap
     val got = Bpe.tokenizerFertility(spark, Sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))).toMap
-    assert(got.keySet === perLang.keySet)
+    assert(got.keySet === wantPerLang.keySet)
     got.foreach { case (lang, (nw, nb, nc, fert, cpt)) =>
-      assert((nw, nb) === perLang(lang), s"$lang word/bpe volume must match bpe_encode")
-      assert(nc === charsPerLang(lang), s"$lang char volume vs driver tokenization")
+      val (wnw, wnb, wnc, bareSentinels) = wantPerLang(lang)
+      assert((nw, nb, nc) === ((wnw, wnb, wnc)),
+        s"$lang volumes must match the driver scan-merge reference")
+      // reconciliation with bpe_encode: raw symbol volume minus the bare
+      // sentinels IS fertility's token volume (and word counts agree)
+      assert(nw === encPerLang(lang)._1, s"$lang word volume vs bpe_encode")
+      assert(nb === encPerLang(lang)._2 - bareSentinels,
+        s"$lang token volume must be bpe_encode's symbol volume less bare sentinels")
       assert(fert === nb * 1000000L / nw)
       assert(cpt === nc * 1000000L / nb)
       assert(fert >= 1000000L, s"$lang: a word cannot encode to fewer than 1 token")

@@ -125,6 +125,30 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got(("B", 125L))._3 === 2L * 1000000L / math.max(2L * 1000L * (1L << 20) / wsum, 1L))
   }
 
+  test("ewma is exact past the old int64 wrap bound (the oracle-blind overflow)") {
+    import spark.implicits._
+    // x = 5e12 events/hour: the weighted sum s = x·(2^21−1) ≈ 1.05e19
+    // EXCEEDS Long.MaxValue (9.22e18) — before the round-10 DECIMAL(38,0)
+    // widening, s (and s·1000) wrapped silently in non-ANSI Spark and the
+    // old int64 oracle computed the SAME wrapped value, so the hash check
+    // was blind to it. A constant series makes the exact answer trivial:
+    // ewma == x at every full-window hour, ratio exactly 1000.
+    val x = 5_000_000_000_000L
+    assert(BigInt(x) * ((1L << 21) - 1) > BigInt(Long.MaxValue),
+      "the crafted volume must actually exceed the old intermediate bound")
+    val counts = (0L until 25L).map(h => ("big", h, x))
+    val got = EventOps.ewmaOfCounts(counts.toDF("event_type", "h", "n")).collect()
+      .map(r => r.getLong(1) / 3600 -> ((r.getLong(3), r.getLong(4)))).toMap
+    (20L until 25L).foreach { t =>
+      assert(got(t)._1 === x * 1000L, s"ewma_milli@$t must be exactly x·1000")
+      assert(got(t)._2 === 1000L, s"ratio_permille@$t must be exactly 1")
+    }
+    // partial-window hours are exact too: s/wsum with no wrap anywhere
+    (0L until 20L).foreach { t =>
+      assert(got(t)._1 === x * 1000L, s"constant series: partial window still locks@$t")
+    }
+  }
+
   test("ewma equals a driver recomputation on the real sf0.001 corpus") {
     val counts = graft.Tables.events(spark, "/root/testdata/sf0.001")
       .groupBy(expr("((ts - pmod(ts, 3600000000000)) div 3600000000000)").as("h"),

@@ -4,11 +4,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
 
-/** LSH parameter sweep ([[Dedup.lshTune]]): the nesting theorem the recall
-  * denominator rests on (a band match implies slotwise matches, so wider
-  * configs' candidate sets contain narrower ones), the output's arithmetic
-  * invariants on the real corpus, and the bucket cap binding on a crafted
-  * boilerplate flood. */
+/** LSH parameter sweep ([[Dedup.lshTune]]): the nesting theorem (a band
+  * match implies slotwise matches, so wider configs' candidate sets contain
+  * narrower ones — true whenever the bucket cap does not bind), the output's
+  * arithmetic invariants on the real corpus (including recall ≤ 1 under the
+  * round-10 union-of-configs truth denominator), the bucket cap binding on
+  * a crafted boilerplate flood, and the explicit zero-candidate rows a
+  * fully-capped corpus must emit instead of an empty sweep. */
 class LshTuneSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val Sf = "/root/testdata/sf0.001"
@@ -39,12 +41,20 @@ class LshTuneSpec extends AnyFunSuite {
     rows.foreach { case (bands, (rpb, nc, nt, tp, prec, rec)) =>
       assert(rpb === 16L / bands)
       assert(nt <= nc, s"bands=$bands: true pairs exceed candidates")
+      // the union denominator is a superset of EVERY config's true pairs —
+      // holds even where the cap breaks nesting, unlike the old widest-arm
+      // denominator
       assert(nt <= truth, s"bands=$bands: true pairs exceed the truth denominator")
-      assert(tp === truth, "truth column must repeat the widest arm's count")
+      assert(tp === truth, "truth column must repeat the union count on all rows")
       assert(prec === nt * 1000000L / nc)
-      if (truth > 0) assert(rec === nt * 1000000L / truth)
+      if (truth > 0) {
+        assert(rec === nt * 1000000L / truth)
+        assert(rec <= 1000000L, s"bands=$bands: recall must never exceed 1")
+      }
     }
-    // the widest arm IS the truth source: recall pinned at 1
+    // the cap does not bind on this corpus (nesting test above), so the
+    // widest arm's candidates contain every config's: union truth equals
+    // the widest arm's true pairs and pins its recall at exactly 1
     if (truth > 0) assert(rows(16L)._6 === 1000000L)
     // wider configs can only add candidates (nesting, cap not binding here)
     assert(rows(2L)._2 <= rows(4L)._2 && rows(4L)._2 <= rows(8L)._2 &&
@@ -68,5 +78,27 @@ class LshTuneSpec extends AnyFunSuite {
     }
     assert(cands(16).contains((1L, 2L)),
       "the honest near-dup pair must surface in the widest arm")
+  }
+
+  test("a fully-capped corpus emits explicit zero-candidate rows, not an empty sweep") {
+    import spark.implicits._
+    // 250 identical docs: every band bucket in every config holds all 250
+    // ids (> TuneBucketCap), so every config's candidate set is empty. The
+    // pre-round-10 widest-arm truth frame came back EMPTY here and the
+    // crossJoin silently emptied the whole sweep output.
+    val docs = Seq.tabulate(250)(i =>
+      (i.toLong, (1 to 30).map(k => s"same$k").mkString(" "))).toDF("doc_id", "text")
+    val sh = Dedup.shinglesOfTokenized(
+      docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        TextOps.tokens(org.apache.spark.sql.functions.col("text")).as("t")))
+    val rows = Dedup.lshTuneOfShingles(sh).collect()
+    assert(rows.map(_.getLong(0)).toSet === Set(2L, 4L, 8L, 16L))
+    rows.foreach { r =>
+      assert(r.getLong(2) === 0L, "n_candidates must be an explicit 0")
+      assert(r.getLong(3) === 0L, "n_true_pairs must be an explicit 0")
+      assert(r.getLong(4) === 0L, "truth_pairs must be an explicit 0")
+      assert(r.isNullAt(5), "precision over zero candidates is NULL (0/0)")
+      assert(r.isNullAt(6), "recall over an empty truth set is NULL")
+    }
   }
 }

@@ -212,6 +212,56 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_multimodal: combined-space tiling, full bins, and the image/text split reconciles with the parsed frames") {
+    val w = Sampling.PackBinTokens
+    val rows = Sampling.packMultimodal(spark, Sf).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    // driver ground truth per doc: text tokens + parsed-frame image budget
+    val docs = graft.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wantImg = docs.map { case (id, text) =>
+      id -> (1L + text.getBytes("UTF-8").length % 16) * Sampling.ImgTokens
+    }.toMap
+    val wantText = docs.map { case (id, text) =>
+      id -> "[a-z0-9]+".r.findAllIn(text.toLowerCase).size.toLong
+    }.toMap
+    // per doc: fragments tile [0, n_total); img/text shares reconcile
+    rows.groupBy(_._2).foreach { case (id, frs) =>
+      val sorted = frs.sortBy(_._4)
+      assert(sorted.head._4 === 0L, s"doc $id must start at combined token 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 === b._4, s"doc $id fragments not contiguous")
+        case _ =>
+      }
+      assert(sorted.last._5 === wantImg(id) + wantText(id),
+        s"doc $id fragments must cover the combined token space")
+      assert(frs.map(_._6).sum === wantImg(id),
+        s"doc $id image-token volume must equal parsed frames x budget")
+      assert(frs.map(_._7).sum === wantText(id),
+        s"doc $id text-token volume must equal its whitespace token count")
+      frs.foreach { case (_, _, _, st, en, img, txt) =>
+        assert(img + txt === en - st, s"doc $id fragment split must sum to its span")
+        assert(img >= 0 && txt >= 0)
+        // layout contract: frames first — a fragment past the image block
+        // carries no image tokens, one inside it is all image
+        if (st >= wantImg(id)) assert(img === 0L)
+        if (en <= wantImg(id)) assert(txt === 0L)
+      }
+    }
+    // per source: every bin except the last is exactly full — zero padding
+    rows.groupBy(_._1).foreach { case (src, frs) =>
+      val perBin = frs.groupBy(_._3).view
+        .mapValues(_.map(f => f._5 - f._4).sum).toMap
+      val lastBin = perBin.keys.max
+      perBin.foreach { case (bin, tokens) =>
+        if (bin < lastBin) assert(tokens === w, s"$src bin $bin holds $tokens, want $w")
+      }
+    }
+  }
+
   test("dsirSelect: target-vocabulary docs outscore off-target ones, mixed in between, top-k picks them") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, length, lit}

@@ -487,4 +487,44 @@ class SimilaritySpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5), r.getLong(6))).toSet
     assert(got === want)
   }
+
+  test("contamination_semantic equals a driver brute-force recomputation; eval rows never flagged") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val (evals, corpus) = rows.partition(r =>
+      r._1 >= Similarity.EvalLo && r._1 < Similarity.EvalHi)
+    val want = corpus.flatMap { case (id, v) =>
+      val hits = evals.map { case (eid, ev) => (eid, cos(v, ev)) }
+        .filter(_._2 >= Similarity.ContamSemTau)
+      if (hits.isEmpty) None
+      else {
+        val (eid, c) = hits.minBy { case (eid, c) => (-c, eid) }
+        Some((id, eid, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.toSet
+    val got = Similarity.contaminationSemantic(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "the threshold must flag something on the real corpus")
+    // the eval set itself is never in the flagged output (it is the probe,
+    // not the corpus — otherwise every eval row self-flags at cos 1)
+    val flagged = got.map(_._1)
+    assert(flagged.forall(id => id < Similarity.EvalLo || id >= Similarity.EvalHi))
+  }
+
+  test("contamination_semantic: threshold 1-epsilon flags only exact/near-identical vectors (crafted)") {
+    // a corpus vector equal to an eval vector must flag at cos ~1 with that
+    // eval id even under an extreme threshold; everything else drops
+    val got = Similarity.contaminationSemantic(spark, Sf, threshold = 0.999999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got.foreach { case (_, _, c) => assert(c >= 0.999999) }
+  }
 }
