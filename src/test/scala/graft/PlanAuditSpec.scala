@@ -663,4 +663,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the frame map is shuffle-free; only the window exchanges:\n$p")
     assert(!p.contains("Join"), s"keyframes must not join anything:\n$p")
   }
+
+  test("contamination_semantic: eval side broadcast, argmax is a hash agg, no window/sort over the corpus") {
+    val p = plan("contamination_semantic")
+    assert(nodes(p, "BroadcastExchange") === 1,
+      s"the fixed eval slice must ride ONE broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"corpus x eval scoring is the broadcast NLJ scan (the knnBrute shape):\n$p")
+    assert(!p.contains("CartesianProduct"), s"never a physical cartesian:\n$p")
+    assert(nodes(p, "Window") === 0 && !p.contains("SortMergeJoin"),
+      s"the per-vector argmax must fold into max_by partials, not a window or SMJ:\n$p")
+  }
+
+  test("phrase_search: slot joins stay equi on (doc_id, pos); no nested loop anywhere") {
+    val p = plan("phrase_search")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"adjacency intersection must be equi-joins:\n$p")
+    assert(nodes(p, "Generate") >= PhraseTermCount + 1,
+      s"one posexplode per slot branch + the position-string explodes:\n$p")
+  }
+  private val PhraseTermCount = operators.Ranking.PhraseTerms.length
+
+  test("pack_multimodal: one doc_id join, one packing window, fragment explode adds no shuffle") {
+    val p = plan("pack_multimodal")
+    assert(nodes(p, "Window") === 1, s"one per-source prefix-sum window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the media join must stay doc_id-equi:\n$p")
+    assert(nodes(p, "Generate") >= 1, s"the fragment explode must be a Generate:\n$p")
+  }
 }
