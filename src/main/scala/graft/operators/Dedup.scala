@@ -1364,11 +1364,17 @@ object Dedup {
       .withColumn("is_dup", when(col("inter") * lit(1000000L) >=
           lit(TuneJaccardPpm) * (col("na") + col("nb") - col("inter")), 1L)
         .otherwise(0L))
+      // materialized because BOTH the per-config rollup and the union truth
+      // read it — without this the whole bucket-shuffle + scoring-join
+      // lineage runs twice. Four scalar columns × the cap-bounded candidate
+      // count: strictly lighter than the docsets checkpoint above.
+      .select(col("cfg"), col("doc_a"), col("doc_b"), col("is_dup"))
+      .localCheckpoint()
     val per = scored.groupBy(col("cfg"))
       .agg(count(lit(1)).as("n_candidates"), sum(col("is_dup")).as("n_true_pairs"))
     // Union-of-configs truth (see the [[lshTune]] scaladoc): candidates are
     // distinct per config already, so the cross-config distinct is the only
-    // extra pass — over the (tiny) true-pair survivors, not the corpus.
+    // extra pass — over the checkpointed candidate rows, not the corpus.
     val truth = scored.filter(col("is_dup") === 1L)
       .select(col("doc_a"), col("doc_b")).distinct()
       .agg(count(lit(1)).as("truth_pairs"))
