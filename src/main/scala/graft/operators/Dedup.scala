@@ -1364,12 +1364,15 @@ object Dedup {
       .withColumn("is_dup", when(col("inter") * lit(1000000L) >=
           lit(TuneJaccardPpm) * (col("na") + col("nb") - col("inter")), 1L)
         .otherwise(0L))
-      // materialized because BOTH the per-config rollup and the union truth
-      // read it — without this the whole bucket-shuffle + scoring-join
-      // lineage runs twice. Four scalar columns × the cap-bounded candidate
-      // count: strictly lighter than the docsets checkpoint above.
+      // projected narrow (4 scalar columns) because BOTH the per-config
+      // rollup and the union truth read it. Deliberately NOT checkpointed:
+      // the two consumers' scoring subtrees canonicalize identically, so
+      // exchange reuse already dedupes every shuffle write below them and
+      // the duplication costs only post-shuffle map CPU — an sf1 A/B
+      // measured the localCheckpoint spelling SLOWER (21.3 s vs 17.6 s;
+      // materializing a corpus-linear frame is the anti-pattern the
+      // round-9 substring audit flagged, even at 4 columns).
       .select(col("cfg"), col("doc_a"), col("doc_b"), col("is_dup"))
-      .localCheckpoint()
     val per = scored.groupBy(col("cfg"))
       .agg(count(lit(1)).as("n_candidates"), sum(col("is_dup")).as("n_true_pairs"))
     // Union-of-configs truth (see the [[lshTune]] scaladoc): candidates are

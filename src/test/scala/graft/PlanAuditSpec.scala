@@ -646,23 +646,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the diff join must stay doc_id-equi:\n$p")
   }
 
-  test("dedup_lsh_tune: band fan-out and pair expansion are explodes; rollups read the checkpointed candidates") {
-    // Round 10 materializes the scored candidates (4 scalar columns,
-    // cap-bounded) because BOTH the per-config rollup and the union-truth
-    // distinct read them — so the registered plan is the rollups over
-    // ExistingRDD plus the 1-row truth broadcast, and the candidate
-    // stage's shapes are audited on the pre-checkpoint lineage.
+  test("dedup_lsh_tune: band fan-out and pair expansion are explodes; scoring reads the checkpoint") {
     val p = plan("dedup_lsh_tune")
-    assert(p.contains("ExistingRDD"),
-      s"both consumers must read the checkpointed scored candidates:\n$p")
+    assert(nodes(p, "Generate") >= 2,
+      s"30-band fan-out + in-bucket pair expansion must both be explodes:\n$p")
     assert(!p.contains("CartesianProduct"),
-      s"nothing in the rollup may go cartesian (the 1-row truth broadcast aside):\n$p")
-    val cand = operators.Dedup.lshTuneCandidates(operators.Dedup.shingles(spark, Sf))
-      .queryExecution.explainString(ExplainMode.fromString("formatted"))
-    assert(nodes(cand, "Generate") >= 2,
-      s"30-band fan-out + in-bucket pair expansion must both be explodes:\n$cand")
-    assert(!cand.contains("CartesianProduct"),
-      s"candidates must stay bucket-equi-joined:\n$cand")
+      s"candidates must stay bucket-equi-joined (the 1-row truth broadcast aside):\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"both scoring sides must read the checkpointed sorted-hash arrays:\n$p")
+    // The union truth (round 10) duplicates the scored subtree in the
+    // logical plan; the duplicates canonicalize identically, so exchange
+    // reuse must dedupe the shuffle writes below them. AQE applies reuse
+    // at runtime — assert on the executed plan.
+    val df = SparkEntry.queries("dedup_lsh_tune")(spark, Sf)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") || !executed.contains("Exchange"),
+      s"the duplicated scoring subtree must reuse exchanges, not re-shuffle:\n$executed")
   }
 
   test("multimodal_keyframes: the lag window's doc exchange is the only shuffle") {
