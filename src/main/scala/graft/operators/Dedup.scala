@@ -120,10 +120,15 @@ object Dedup {
     // count(*) WINDOW over the same kh key (round 10 — previously a
     // groupBy+join against a second derivation of the suffix stream, i.e.
     // tokenize+md5+explode ran TWICE and the stream crossed two exchanges;
-    // both windows and the df filter now share ONE exchange, and the
-    // filter drops whole kh partitions, so the lead ranks it feeds are
-    // unchanged). Both window passes stay sort-based and spill-safe —
-    // nothing is materialized.
+    // now one derivation, one exchange). Operator order is deliberate and
+    // MEASURED: count window first (sorted by kh alone, buffering the
+    // narrow (doc_id, pos, kh, ext) rows), df filter, THEN the lead
+    // window — the one-sort alternative (leads first, count on top) made
+    // the count window buffer rows widened by W lead structs each
+    // carrying an ext array, and ran 20.4 s vs 16.1 s at sf1. The filter
+    // drops whole kh partitions (df is constant per kh), so lead ranks
+    // after it are unchanged. Both windows stay sort-based and
+    // spill-safe; nothing is materialized.
     val paired = suf
       .withColumn("df", count(lit(1)).over(wdf))
       .filter(col("df") <= maxDf)
@@ -1355,7 +1360,22 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("h"))).as("hset"), count(lit(1)).as("nsh"))
       .localCheckpoint()
-    val scored = lshTuneCandidates(sh0)
+    // ONE exact-scoring evaluation per distinct candidate pair, total.
+    // Attribution (ProbeLshTune at sf1: 1.58M (cfg, pair) rows, 1.56M
+    // distinct pairs — the (16×1) arm IS the candidate volume, and the
+    // array_intersect scoring join is the decade's dominant cost): the
+    // verdict depends only on the pair, so candidates collapse to distinct
+    // pairs carrying their config SET (collect_set — the same shuffle the
+    // per-cfg distinct already paid), scoring joins run once, and BOTH
+    // rollups come out of ONE aggregation by exploding each scored pair
+    // into its config rows plus a sentinel −1 "union" row (the
+    // [[TextAnalysis]] HLL ALL-row precedent) — the previous spelling
+    // scored every (cfg, pair) row and then re-ran the whole scoring
+    // lineage for the truth consumer (~4× the intersects at sf10).
+    val pairCfgs = lshTuneCandidates(sh0)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(collect_set(col("cfg")).as("cfgs"))
+    val scored = pairCfgs
       .join(docsets.select(col("doc_id").as("doc_a"),
         col("hset").as("ha"), col("nsh").as("na")), Seq("doc_a"))
       .join(docsets.select(col("doc_id").as("doc_b"),
@@ -1364,23 +1384,18 @@ object Dedup {
       .withColumn("is_dup", when(col("inter") * lit(1000000L) >=
           lit(TuneJaccardPpm) * (col("na") + col("nb") - col("inter")), 1L)
         .otherwise(0L))
-      // projected narrow (4 scalar columns) because BOTH the per-config
-      // rollup and the union truth read it. Deliberately NOT checkpointed:
-      // the two consumers' scoring subtrees canonicalize identically, so
-      // exchange reuse already dedupes every shuffle write below them and
-      // the duplication costs only post-shuffle map CPU — an sf1 A/B
-      // measured the localCheckpoint spelling SLOWER (21.3 s vs 17.6 s;
-      // materializing a corpus-linear frame is the anti-pattern the
-      // round-9 substring audit flagged, even at 4 columns).
-      .select(col("cfg"), col("doc_a"), col("doc_b"), col("is_dup"))
-    val per = scored.groupBy(col("cfg"))
+      .select(explode(concat(col("cfgs"), array(lit(-1)))).as("cfg"), col("is_dup"))
+    // 5 rows (4 configs + the −1 union row); materialized because the per
+    // and truth splits below both read it — O(1), not corpus-linear.
+    val agg = scored.groupBy(col("cfg"))
       .agg(count(lit(1)).as("n_candidates"), sum(col("is_dup")).as("n_true_pairs"))
-    // Union-of-configs truth (see the [[lshTune]] scaladoc): candidates are
-    // distinct per config already, so the cross-config distinct is the only
-    // extra pass — over the checkpointed candidate rows, not the corpus.
-    val truth = scored.filter(col("is_dup") === 1L)
-      .select(col("doc_a"), col("doc_b")).distinct()
-      .agg(count(lit(1)).as("truth_pairs"))
+      .localCheckpoint()
+    val per = agg.filter(col("cfg") =!= -1)
+    // re-aggregated so the frame is ALWAYS exactly one row: on a corpus
+    // whose every bucket is capped, agg is EMPTY and a bare filter would
+    // re-create the empty-crossJoin bug the zero-candidate spec pins.
+    val truth = agg.filter(col("cfg") === -1)
+      .agg(coalesce(sum(col("n_true_pairs")), lit(0L)).as("truth_pairs"))
     import sh0.sparkSession.implicits._
     val cfgs = TuneBandCounts.toDF("cfg")
     cfgs.join(per, Seq("cfg"), "left")

@@ -646,23 +646,40 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the diff join must stay doc_id-equi:\n$p")
   }
 
-  test("dedup_lsh_tune: band fan-out and pair expansion are explodes; scoring reads the checkpoint") {
+  test("dedup_lsh_tune: band fan-out and pair expansion are explodes; one scoring pass feeds both rollups") {
+    // Round 10 folds the per-config rollup AND the union truth into ONE
+    // aggregation over a sentinel-cfg explode, checkpointed at 5 rows —
+    // so the registered plan is two filters over ExistingRDD, and the
+    // heavy stages are audited on the pre-checkpoint scoring lineage.
     val p = plan("dedup_lsh_tune")
-    assert(nodes(p, "Generate") >= 2,
-      s"30-band fan-out + in-bucket pair expansion must both be explodes:\n$p")
-    assert(!p.contains("CartesianProduct"),
-      s"candidates must stay bucket-equi-joined (the 1-row truth broadcast aside):\n$p")
     assert(p.contains("ExistingRDD"),
-      s"both scoring sides must read the checkpointed sorted-hash arrays:\n$p")
-    // The union truth (round 10) duplicates the scored subtree in the
-    // logical plan; the duplicates canonicalize identically, so exchange
-    // reuse must dedupe the shuffle writes below them. AQE applies reuse
-    // at runtime — assert on the executed plan.
-    val df = SparkEntry.queries("dedup_lsh_tune")(spark, Sf)
-    df.collect()
-    val executed = df.queryExecution.executedPlan.toString
-    assert(executed.contains("ReusedExchange") || !executed.contains("Exchange"),
-      s"the duplicated scoring subtree must reuse exchanges, not re-shuffle:\n$executed")
+      s"per and truth must split the 5-row checkpointed aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"nothing may go cartesian (the 1-row truth broadcast aside):\n$p")
+    val sh = operators.Dedup.shingles(spark, Sf)
+    val cand = operators.Dedup.lshTuneCandidates(sh)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(nodes(cand, "Generate") >= 2,
+      s"30-band fan-out + in-bucket pair expansion must both be explodes:\n$cand")
+    assert(!cand.contains("CartesianProduct"),
+      s"candidates must stay bucket-equi-joined:\n$cand")
+  }
+
+  test("dedup_substring: suffix stream derives once; df is a window over the lead window's exchange") {
+    // round 10: df = count(*) over (kh) BEFORE the lead window (narrow-row
+    // buffering measured faster than the one-sort leads-first order, which
+    // buffered W lead structs per row through the count window). One scan,
+    // one exchange shared by both windows, no join anywhere.
+    val p = plan("dedup_substring")
+    assert(nodes(p, "Scan parquet") === 1,
+      s"the suffix derivation (tokenize+md5+explode) must run ONCE:\n$p")
+    assert(nodes(p, "Window") === 2, s"df count window + lead window:\n$p")
+    assert(!p.contains("Join"), s"df is a window, never a join back onto the stream:\n$p")
+    // both windows partition by kh: one exchange for them + the final
+    // pair aggregation's — a third exchange appearing means the windows
+    // stopped sharing their clustering
+    assert(nodes(p, "Exchange") <= 2,
+      s"both windows must share the kh exchange:\n$p")
   }
 
   test("multimodal_keyframes: the lag window's doc exchange is the only shuffle") {
