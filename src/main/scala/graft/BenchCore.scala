@@ -41,20 +41,48 @@ object BenchCore {
   /** Canonical-capture noise gate (round 10): round 9 committed three
     * same-code canonical refreshes spanning 117.5–151.1 s (±22%), so
     * cross-round per-query comparisons were dominated by host throttling,
-    * not code. A capture whose calibration noise_index exceeds this is NOT
-    * allowed to overwrite the canonical details artifact — it lands beside
-    * it (suffix [[NoisySuffix]]) so the data is kept but never becomes the
+    * not code. A capture that fails [[canonicalAcceptable]] is NOT allowed
+    * to overwrite the canonical details artifact — it lands beside it
+    * (suffix [[NoisySuffix]]) so the data is kept but never becomes the
     * comparison baseline. 1.5 is the recovery criterion the rescue sweep
-    * already trusts ([[RecoveredFactor]]): a window the rescue logic would
-    * call "recovered" is one we accept as canonical. */
+    * already trusts ([[RecoveredFactor]]).
+    *
+    * The EXIT-CALIBRATION clause exists by measurement, not taste: on a
+    * full 182-query window the mid/end calibrations sit 1.7–2.4× above
+    * the start one in EVERY capture ever taken on this host — including
+    * the very capture the round-9 verdict labeled "cleaner" (noise 2.40,
+    * cals 0.30/0.48/0.72) — because a calibration sampled between
+    * memory-heavy queries inherits their GC/heap state. That drift is
+    * SELF-inflicted and identical across same-code runs, so it cannot
+    * corrupt a cross-round comparison; external throttling can. The two
+    * are separable at window exit: once the bench's own pressure stops, a
+    * quiet host returns to the window's best calibration within
+    * [[RecoveredFactor]], while a genuinely throttled host stays slow.
+    * A raw noise_index ≤ 1.5 therefore accepts directly; otherwise the
+    * capture is canonical iff the exit calibration (min of 3 post-run
+    * runs) recovered AND no query carried a >[[UnstableSpread]]% spread
+    * through full escalation (the direct per-query throttle evidence). */
   val CanonicalNoiseGate = 1.5
   val NoisySuffix = ".noisy"
+  /** Spread-based throttle evidence only counts for queries at least this
+    * long: below it, absolute scheduler jitter (±~0.1 s) dominates the
+    * relative spread — ~90 sub-second queries escalate with >50% spread in
+    * EVERY full-surface window, quiet or not, so they carry no signal. */
+  val DirtyMedianFloor = 1.0
 
-  /** Where a capture with this noise_index may be written: the requested
-    * (canonical) path only when the window was quiet. Pure so the rule is
-    * spec-testable. */
-  def detailsPathFor(requested: String, noiseIndex: Double): String =
-    if (noiseIndex <= CanonicalNoiseGate) requested else requested + NoisySuffix
+  /** The canonical-capture acceptance rule — pure so it is spec-testable.
+    * `exitRatio` = (min of 3 post-run calibrations) / (window's best
+    * calibration); `spreadDirty` = some query escalated to 5 passes and
+    * still spread >[[UnstableSpread]]%. */
+  def canonicalAcceptable(noiseIndex: Double, exitRatio: Double,
+      spreadDirty: Boolean): Boolean =
+    noiseIndex <= CanonicalNoiseGate ||
+      (exitRatio <= RecoveredFactor && !spreadDirty)
+
+  def detailsPathFor(requested: String, noiseIndex: Double,
+      exitRatio: Double, spreadDirty: Boolean): String =
+    if (canonicalAcceptable(noiseIndex, exitRatio, spreadDirty)) requested
+    else requested + NoisySuffix
 
   case class Q(name: String, median: Double, spreadPct: Double, passes: Int,
       ok: Boolean, rescued: Boolean = false)
