@@ -134,8 +134,14 @@ object Bench {
     // ever captured on this host, identical across same-code runs) from
     // external throttling: a quiet host returns to the window's best
     // calibration once the bench's own pressure stops.
-    val exitCal = (1 to 3).map(_ => calibrate()).min
-    val exitRatio = exitCal / math.max(cals.min, 1e-9)
+    // Skipped when the raw noise_index already accepts (round 11, ADVICE):
+    // the gate's first disjunct decides regardless of the exit state, so
+    // the three passes would be pure added wall-clock on every quiet
+    // window. exit fields emit as null in that case.
+    val exitCalOpt =
+      if (noiseIndex <= BenchCore.CanonicalNoiseGate) None
+      else Some((1 to 3).map(_ => calibrate()).min)
+    val exitRatioOpt = exitCalOpt.map(_ / math.max(cals.min, 1e-9))
     // Per-query throttle evidence counts only where relative spread is
     // meaningful: a 0.1 s query at ±0.1 s of scheduler jitter reads as
     // 100% spread on a perfectly quiet host (measured: ~90 sub-second
@@ -146,21 +152,59 @@ object Bench {
       q.ok && q.median >= BenchCore.DirtyMedianFloor &&
         q.passes >= 5 && q.spreadPct > BenchCore.UnstableSpread)
     val requestedPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS", "bench_details.json")
-    val detailsPath = BenchCore.detailsPathFor(requestedPath, noiseIndex, exitRatio, spreadDirty)
+    val detailsPath = BenchCore.detailsPathFor(requestedPath, noiseIndex, exitRatioOpt, spreadDirty)
+    val exitCalJson = exitCalOpt.map(fmt).getOrElse("null")
+    val exitRatioJson = exitRatioOpt.map(r => f"$r%.2f").getOrElse("null")
+    // Refused-window campaign telemetry (round-11 ask #7): refusals append
+    // to a sidecar that survives across bench JVMs, so the round's BENCH_r*
+    // stdout line carries how many windows were tried before one landed.
+    // An ACCEPTED canonical capture records the campaign in its details
+    // artifact and clears the sidecar — the campaign concluded.
+    val sidecarPath = requestedPath + ".refused.jsonl"
+    val sidecarFile = new java.io.File(sidecarPath)
+    val priorRefusals: Seq[BenchCore.Refusal] =
+      if (!sidecarFile.isFile) Seq.empty
+      else try {
+        val src = scala.io.Source.fromFile(sidecarFile, "UTF-8")
+        try src.getLines().flatMap(BenchCore.parseRefusal).toList finally src.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] refusal sidecar read failed: ${e.getMessage}"); Seq.empty
+      }
+    val refusals: Seq[BenchCore.Refusal] =
+      if (detailsPath == requestedPath) {
+        if (sidecarFile.isFile && !sidecarFile.delete())
+          System.err.println(s"[bench] could not clear refusal sidecar $sidecarPath")
+        priorRefusals
+      } else {
+        val ts = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter.ofPattern("MM-dd'T'HH:mm:ss"))
+        val cur = BenchCore.Refusal(ts, noiseIndex, exitRatioOpt.getOrElse(1.0), spreadDirty)
+        try {
+          val w = new java.io.FileWriter(sidecarFile, java.nio.charset.StandardCharsets.UTF_8, true)
+          try w.write(BenchCore.renderRefusal(cur) + "\n") finally w.close()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] refusal sidecar append failed: ${e.getMessage}")
+        }
+        priorRefusals :+ cur
+      }
     if (detailsPath != requestedPath)
-      System.err.println(f"[bench] noise_index $noiseIndex%.2f, exit_ratio $exitRatio%.2f, " +
-        s"spread_dirty $spreadDirty: canonical capture refused, details diverted to $detailsPath")
+      System.err.println(f"[bench] noise_index $noiseIndex%.2f, exit_ratio $exitRatioJson%s, " +
+        s"spread_dirty $spreadDirty: canonical capture refused (window ${refusals.size} of the " +
+        s"campaign), details diverted to $detailsPath")
     else if (noiseIndex > BenchCore.CanonicalNoiseGate)
       System.err.println(f"[bench] noise_index $noiseIndex%.2f accepted: exit calibration " +
-        f"$exitCal%.3f s recovered to ${exitRatio}%.2fx of the window's best and every query stabilized")
+        s"$exitCalJson s recovered to ${exitRatioJson}x of the window's best and every query stabilized")
     val detailsJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":3,"estimator":"median","n":${results.size},"noise_index":${f"$noiseIndex%.2f"},"calibration_sec":$calJson,"exit_calibration_sec":${fmt(exitCal)},"exit_ratio":${f"$exitRatio%.2f"},"failed":$failed,"rescued":$rescued,"rescue_ran":${core.rescueRan},"queries":$qs,"spread_pct":$spreads,"pass_count":$passCounts}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":3,"estimator":"median","n":${results.size},"noise_index":${f"$noiseIndex%.2f"},"calibration_sec":$calJson,"exit_calibration_sec":$exitCalJson,"exit_ratio":$exitRatioJson,"refused":${BenchCore.refusalsJson(refusals)},"failed":$failed,"rescued":$rescued,"rescue_ran":${core.rescueRan},"queries":$qs,"spread_pct":$spreads,"pass_count":$passCounts}"""
     try {
       val w = new java.io.PrintWriter(detailsPath, "UTF-8")
       try w.println(detailsJson) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] details write failed: ${e.getMessage}") }
     System.err.println(s"[bench] details=$detailsJson")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","passes":3,"estimator":"median","noise_index":${f"$noiseIndex%.2f"},"details":"$detailsPath"}""")
+    // refused[] capped at the 8 most recent on stdout (the driver tail-
+    // captures ~2.2 KB); refused_n carries the campaign's full count and
+    // the details artifact the full array.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","passes":3,"estimator":"median","noise_index":${f"$noiseIndex%.2f"},"refused_n":${refusals.size},"refused":${BenchCore.refusalsJson(refusals, cap = 8)},"details":"$detailsPath"}""")
     spark.stop()
   }
 }

@@ -64,6 +64,17 @@ object BenchCore {
     * through full escalation (the direct per-query throttle evidence). */
   val CanonicalNoiseGate = 1.5
   val NoisySuffix = ".noisy"
+
+  /** Hard ceiling on the exit-calibration clause (round 11, ADVICE): the
+    * clause exists to forgive SELF-inflicted GC/heap calibration drift,
+    * which has measured 1.7–2.4× on every full-surface window this host
+    * has ever produced. A window above [[NoiseThreshold]] — the level the
+    * rescue layer itself treats as "the host was throttled" — cannot be
+    * that drift, so it must not become the canonical baseline even when
+    * the throttle lifts before the exit calibration and the per-query
+    * dirty signal (which ignores sub-[[DirtyMedianFloor]] queries) missed
+    * it. Tied to NoiseThreshold by definition, not coincidence. */
+  val CanonicalNoiseCeiling: Double = NoiseThreshold
   /** Spread-based throttle evidence only counts for queries at least this
     * long: below it, absolute scheduler jitter (±~0.1 s) dominates the
     * relative spread — ~90 sub-second queries escalate with >50% spread in
@@ -72,17 +83,54 @@ object BenchCore {
 
   /** The canonical-capture acceptance rule — pure so it is spec-testable.
     * `exitRatio` = (min of 3 post-run calibrations) / (window's best
-    * calibration); `spreadDirty` = some query escalated to 5 passes and
-    * still spread >[[UnstableSpread]]%. */
-  def canonicalAcceptable(noiseIndex: Double, exitRatio: Double,
+    * calibration) — `None` when the exit calibration was skipped because
+    * the raw noise_index already accepts (round 11: the three exit passes
+    * cannot change a ≤[[CanonicalNoiseGate]] verdict, so they are not
+    * run); `spreadDirty` = some query escalated to 5 passes and still
+    * spread >[[UnstableSpread]]%. */
+  def canonicalAcceptable(noiseIndex: Double, exitRatio: Option[Double],
       spreadDirty: Boolean): Boolean =
     noiseIndex <= CanonicalNoiseGate ||
-      (exitRatio <= RecoveredFactor && !spreadDirty)
+      (noiseIndex <= CanonicalNoiseCeiling &&
+        exitRatio.exists(_ <= RecoveredFactor) && !spreadDirty)
 
   def detailsPathFor(requested: String, noiseIndex: Double,
-      exitRatio: Double, spreadDirty: Boolean): String =
+      exitRatio: Option[Double], spreadDirty: Boolean): String =
     if (canonicalAcceptable(noiseIndex, exitRatio, spreadDirty)) requested
     else requested + NoisySuffix
+
+  /** One refused canonical window, persisted across bench JVMs so the
+    * round artifact shows HOW MANY windows were tried before one landed —
+    * the machine-readable difference between "the code got slower" and
+    * "the host was loud" (round-11 ask #7). A refusal always carries an
+    * exit ratio: refusal implies noise_index > [[CanonicalNoiseGate]],
+    * which is exactly the condition under which the exit calibration
+    * runs. */
+  case class Refusal(ts: String, noiseIndex: Double, exitRatio: Double,
+      spreadDirty: Boolean)
+
+  /** One compact JSON object per refusal — doubles as the sidecar line
+    * format and the stdout/detail array element (~55 B/entry, so a long
+    * campaign stays inside the driver's ~2.2 KB stdout tail when capped
+    * with [[refusalsJson]]). */
+  def renderRefusal(r: Refusal): String =
+    f"""{"ts":"${r.ts}","ni":${r.noiseIndex}%.2f,"er":${r.exitRatio}%.2f,"sd":${r.spreadDirty}}"""
+
+  private val RefusalRe =
+    """\{"ts":"([^"]*)","ni":([0-9.eE+-]+),"er":([0-9.eE+-]+),"sd":(true|false)\}""".r
+
+  /** Strict inverse of [[renderRefusal]]; a corrupt sidecar line parses to
+    * None and is dropped rather than poisoning the artifact. */
+  def parseRefusal(line: String): Option[Refusal] = line.trim match {
+    case RefusalRe(ts, ni, er, sd) =>
+      try Some(Refusal(ts, ni.toDouble, er.toDouble, sd.toBoolean))
+      catch { case _: NumberFormatException => None }
+    case _ => None
+  }
+
+  /** JSON array of the LAST `cap` refusals (chronological order kept). */
+  def refusalsJson(rs: Seq[Refusal], cap: Int = Int.MaxValue): String =
+    rs.takeRight(cap).map(renderRefusal).mkString("[", ",", "]")
 
   case class Q(name: String, median: Double, spreadPct: Double, passes: Int,
       ok: Boolean, rescued: Boolean = false)

@@ -354,6 +354,11 @@ object Ranking {
     * comma-joined — re-deriving the index rows, not shortcutting to raw
     * positions), then the same shifted-slot intersection. */
   def phraseSearchSql(phrase: Seq[String] = PhraseTerms): String = {
+    // terms interpolate into SQL string literals: anything outside the
+    // tokenizer's own alphabet could never match a token AND could break
+    // (or inject into) the oracle text — reject it at the boundary
+    require(phrase.forall(_.matches("[a-z0-9]+")),
+      s"phrase terms must be [a-z0-9]+ tokens, got: ${phrase.mkString(", ")}")
     val inList = phrase.distinct.map(t => s"'$t'").mkString(", ")
     val slotCtes = phrase.zipWithIndex.map { case (t, i) =>
       s"""s$i AS (SELECT doc_id, CAST(p AS BIGINT) - $i AS match_pos

@@ -75,25 +75,63 @@ class BenchChaosSpec extends AnyFunSuite {
   }
 
   test("canonical noise gate: a throttled window cannot overwrite the canonical artifact") {
-    def path(ni: Double, exit: Double = 1.0, dirty: Boolean = false) =
+    def path(ni: Double, exit: Option[Double] = Some(1.0), dirty: Boolean = false) =
       BenchCore.detailsPathFor("bench_details.json", ni, exit, dirty)
-    // quiet window → canonical, regardless of the exit state
-    assert(path(1.0, exit = 9.9, dirty = true) === "bench_details.json")
-    assert(path(BenchCore.CanonicalNoiseGate, exit = 9.9) === "bench_details.json")
+    // quiet window → canonical, regardless of the exit state — including
+    // the round-11 shape where the exit calibration is SKIPPED (None)
+    // because the three passes cannot change a ≤gate verdict
+    assert(path(1.0, exit = Some(9.9), dirty = true) === "bench_details.json")
+    assert(path(1.0, exit = None, dirty = true) === "bench_details.json")
+    assert(path(BenchCore.CanonicalNoiseGate, exit = None) === "bench_details.json")
     // elevated mid-run calibrations + recovered exit + stable queries =
     // the self-inflicted GC/heap drift every full-surface window shows
     // (incl. the round-9 "cleaner" capture at noise 2.40) → canonical
-    assert(path(2.40, exit = 1.2) === "bench_details.json")
-    assert(path(2.40, exit = BenchCore.RecoveredFactor) === "bench_details.json")
+    assert(path(2.40, exit = Some(1.2)) === "bench_details.json")
+    assert(path(2.40, exit = Some(BenchCore.RecoveredFactor)) === "bench_details.json")
     // …but an exit calibration still elevated = genuine external load
-    assert(path(2.40, exit = 1.51) === "bench_details.json.noisy")
-    assert(path(18.44, exit = 3.0) === "bench_details.json.noisy") // the round-5 capture
+    assert(path(2.40, exit = Some(1.51)) === "bench_details.json.noisy")
+    assert(path(18.44, exit = Some(3.0)) === "bench_details.json.noisy") // the round-5 capture
     // …and a query that escalated to 5 passes and STILL spread >50% is
     // direct per-query throttle evidence: divert even if the exit is clean
-    assert(path(2.40, exit = 1.2, dirty = true) === "bench_details.json.noisy")
+    assert(path(2.40, exit = Some(1.2), dirty = true) === "bench_details.json.noisy")
+    // round-11 hard ceiling (ADVICE): a window the rescue layer itself
+    // calls throttled (> NoiseThreshold) cannot become canonical even if
+    // the throttle lifted before exit and only sub-floor queries took it
+    assert(path(4.19, exit = Some(1.0)) === "bench_details.json.noisy")
+    assert(path(BenchCore.CanonicalNoiseCeiling, exit = Some(1.0)) === "bench_details.json")
+    // above the gate, a missing exit ratio can never accept
+    assert(path(2.40, exit = None) === "bench_details.json.noisy")
     // the gate must be at least as strict as what the rescue layer calls
     // "recovered" — a window rescue would accept is one canonical accepts
     assert(BenchCore.CanonicalNoiseGate <= BenchCore.RecoveredFactor)
+  }
+
+  test("refusal telemetry: render/parse round-trip, corrupt-line drop, stdout cap") {
+    val rs = (1 to 12).map(i =>
+      BenchCore.Refusal(f"08-15T17:$i%02d:00", 1.5 + i * 0.1, 1.0 + i * 0.05,
+        spreadDirty = i % 3 == 0))
+    // sidecar round-trip: every rendered line parses back to itself
+    for (r <- rs) {
+      val line = BenchCore.renderRefusal(r)
+      val back = BenchCore.parseRefusal(line)
+      assert(back.nonEmpty, s"unparseable: $line")
+      assert(back.get.ts === r.ts && back.get.spreadDirty === r.spreadDirty)
+      assert(math.abs(back.get.noiseIndex - r.noiseIndex) < 0.005)
+      assert(math.abs(back.get.exitRatio - r.exitRatio) < 0.005)
+    }
+    // a corrupt sidecar line drops instead of poisoning the artifact
+    assert(BenchCore.parseRefusal("garbage").isEmpty)
+    assert(BenchCore.parseRefusal("""{"ts":"x","ni":abc,"er":1.0,"sd":true}""").isEmpty)
+    assert(BenchCore.parseRefusal("").isEmpty)
+    // the stdout array keeps the LAST cap entries in chronological order
+    val capped = BenchCore.refusalsJson(rs, cap = 8)
+    assert(!capped.contains("17:04:00") && capped.contains("17:05:00")
+      && capped.contains("17:12:00"))
+    assert(capped.indexOf("17:05:00") < capped.indexOf("17:12:00"))
+    // the full array is valid one-line JSON the details artifact embeds
+    val full = BenchCore.refusalsJson(rs)
+    assert(full.startsWith("[") && full.endsWith("]") && !full.contains("\n"))
+    assert(full.split("\\},\\{").length === 12)
   }
 
   test("a quiet host never pays the rescue phase") {

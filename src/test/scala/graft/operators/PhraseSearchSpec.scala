@@ -51,4 +51,17 @@ class PhraseSearchSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === want)
   }
+
+  test("oracle twin rejects terms outside the tokenizer alphabet (SQL-literal injection guard)") {
+    // a quoting term could break — or inject into — the interpolated oracle
+    // text; it also could never match a token, so rejection loses nothing
+    intercept[IllegalArgumentException] {
+      Ranking.phraseSearchSql(Seq("it's", "fine"))
+    }
+    intercept[IllegalArgumentException] {
+      Ranking.phraseSearchSql(Seq("ok", "o' -- )"))
+    }
+    // the real vocabulary passes
+    assert(Ranking.phraseSearchSql(Ranking.PhraseTerms).nonEmpty)
+  }
 }
