@@ -129,6 +129,100 @@ object Curation {
        |  CAST(sum(len) AS BIGINT) AS n_contaminated_pos
        |FROM runs GROUP BY doc_id""".stripMargin
 
+  /** Verdict thresholds for [[contaminationVerdict]]. Production recipes
+    * run stricter values (PaLM cuts on a 70% high-order-n-gram overlap;
+    * Lee et al. cut 50-token verbatim spans); these are scaled to the test
+    * corpus so each signal INDEPENDENTLY decides some documents at sf0.01
+    * (measured: frac ≥ 0.1 drops 2 docs the other signals miss, span ≥ 3
+    * drops 1, the semantic probe 30 — 33 of 494 candidates dropped). Both
+    * are parameters; the policy shape, not the constants, is the operator. */
+  val VerdictFracTau = 0.1
+  val VerdictSpanTau = 3L
+
+  /** COMPOSITE DECONTAMINATION VERDICT — the per-document keep/drop card a
+    * production decontamination pass acts on (the GPT-4 / Llama report
+    * recipe runs ALL the overlap probes, then drops once): joins the three
+    * contamination signals this engine computes —
+    *
+    *   - n-gram overlap fraction ([[contamination]] — scattered shared
+    *     shingles, the GPT-3/PaLM membership test),
+    *   - longest verbatim run ([[contaminationSpans]] — contiguous
+    *     excerpts, the Lee et al. policy key), and
+    *   - embedding cosine vs the eval set
+    *     ([[Similarity.contaminationSemantic]] — paraphrase leakage no
+    *     string probe can see) —
+    *
+    * into one row per training-candidate doc carrying each signal's value
+    * and the policy verdict: drop iff overlap ≥ `fracTau` OR a verbatim
+    * run ≥ `spanTau` OR any semantic hit. The two n-gram signals use the
+    * doc_id ≡ 0 (mod [[BenchmarkMod]]) benchmark convention; the semantic
+    * probe uses its fixed eval vec_id range — mirroring production, where
+    * string and embedding probes run against separately-prepared benchmark
+    * dumps. Docs outside the n-gram path's reach (under 3 tokens, zero
+    * shingles) still get a card: the semantic signal alone can drop them.
+    *
+    * Scale shape: each signal keeps its own optimal plan (one corpus scan
+    * each — [[contamination]]'s broadcast probe, [[contaminationSpans]]'
+    * shared-exchange islands, the semantic pass's broadcast-scored argmax);
+    * composition adds three LEFT joins keyed on doc_id over narrow per-doc
+    * frames — at 100 TB all three co-partition on the same key, and the
+    * semantic side is only the |flagged| rows. Not wired into
+    * [[Sampling.trainingMixFull]]: see the measured decision in PLANS.md —
+    * the flagship's gate chain is text-only by design (its contamination
+    * gate shares the checkpointed tokenize scan; the semantic signal needs
+    * the embeddings table, a different input surface), so the composite
+    * chains AFTER the mix as `anti-join on drop_doc` exactly like a
+    * production decontamination stage. */
+  def contaminationVerdict(spark: SparkSession, sfDir: String,
+      fracTau: Double = VerdictFracTau, spanTau: Long = VerdictSpanTau): DataFrame =
+    contaminationVerdictOf(
+      Tables.documents(spark, sfDir).select(col("doc_id")),
+      contamination(spark, sfDir),
+      contaminationSpans(spark, sfDir),
+      Similarity.contaminationSemantic(spark, sfDir),
+      fracTau, spanTau)
+
+  /** Core of [[contaminationVerdict]] over explicit signal frames — specs
+    * feed crafted signals to prove each one independently flips the
+    * verdict. `frac`/`spans` carry the registered queries' schemas keyed
+    * by doc_id; `semantic` is keyed by vec_id (≡ doc_id in this corpus). */
+  private[graft] def contaminationVerdictOf(docs: DataFrame, frac: DataFrame,
+      spans: DataFrame, semantic: DataFrame,
+      fracTau: Double, spanTau: Long): DataFrame =
+    docs.filter(col("doc_id") % BenchmarkMod =!= 0)
+      .join(frac.select(col("doc_id"), col("contamination_frac")), Seq("doc_id"), "left")
+      .join(spans.select(col("doc_id"), col("max_span")), Seq("doc_id"), "left")
+      .join(semantic.select(col("vec_id").as("doc_id"), col("cos_sim")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contamination_frac"), lit(0.0)).as("contamination_frac"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"),
+        coalesce(col("cos_sim"), lit(0.0)).as("semantic_cos"),
+        (coalesce(col("contamination_frac"), lit(0.0)) >= fracTau ||
+          coalesce(col("max_span"), lit(0L)) >= spanTau ||
+          col("cos_sim").isNotNull).as("drop_doc"))
+
+  /** DuckDB twin: composes the three signals' own oracle texts as derived
+    * tables (the [[Sampling.trainingMixFullSql]] lockstep discipline — a
+    * change to any signal's derivation reaches both engines' composites by
+    * construction), then the same LEFT joins and policy expression. */
+  def contaminationVerdictSql(fracTau: Double = VerdictFracTau,
+      spanTau: Long = VerdictSpanTau): String =
+    s"""WITH fr AS (SELECT doc_id, contamination_frac FROM ($contaminationSql)),
+       |sp AS (SELECT doc_id, max_span FROM ($contaminationSpansSql)),
+       |se AS (SELECT vec_id, cos_sim FROM (${Similarity.contaminationSemanticSql()}))
+       |SELECT d.doc_id,
+       |  coalesce(fr.contamination_frac, 0.0) AS contamination_frac,
+       |  CAST(coalesce(sp.max_span, 0) AS BIGINT) AS max_span,
+       |  coalesce(se.cos_sim, 0.0) AS semantic_cos,
+       |  (coalesce(fr.contamination_frac, 0.0) >= $fracTau
+       |    OR coalesce(sp.max_span, 0) >= $spanTau
+       |    OR se.vec_id IS NOT NULL) AS drop_doc
+       |FROM documents d
+       |LEFT JOIN fr ON fr.doc_id = d.doc_id
+       |LEFT JOIN sp ON sp.doc_id = d.doc_id
+       |LEFT JOIN se ON se.vec_id = d.doc_id
+       |WHERE d.doc_id % $BenchmarkMod <> 0""".stripMargin
+
   /** Corpus-INTERNAL duplicated spans — exact-substring dedup in the style
     * of "Deduplicating Training Data Makes Language Models Better" (Lee et
     * al., 2022): per document, the contiguous runs of word-3-gram positions

@@ -124,6 +124,86 @@ object Sampling {
        |FROM o, LATERAL (SELECT unnest(generate_series(
        |    off // $binTokens, (off + n_tokens - 1) // $binTokens)) AS b) g""".stripMargin
 
+  /** NON-SPLITTING bin packing — the SFT/instruction-tuning layout beside
+    * [[packChunks]]' concat-and-chunk: a tuning example must never be cut
+    * across training bins (a split example trains on half a conversation),
+    * so whole documents pack into `binTokens`-capacity bins and the layout
+    * pays PADDING instead of splits. Output is the per-bin card a loader
+    * budgets from: bin membership count, fill, padding, and an oversize
+    * flag for docs that exceed the capacity outright (the truncation
+    * queue).
+    *
+    * The classical sequential heuristics (first-/best-fit-decreasing,
+    * Johnson 1973) thread one mutable bin state through EVERY item — a
+    * driver-side loop that cannot distribute. The distributed spelling
+    * here is size-CLASS packing, the shelf scheme of the harmonic
+    * algorithms (Lee & Lee, JACM 1985) and of the length-bucketed batching
+    * SFT pipelines actually run: class k = ⌊binTokens / n_tokens⌋ is the
+    * number of whole docs of this size a bin holds, and within each
+    * (source, class) the docs — ranked size-descending — fill bins k at a
+    * time by rank: bin = ⌊(rank−1)/k⌋. Pure window arithmetic
+    * ([[compactionPlan]]'s offset-binning precedent, with the rank
+    * quotient replacing the offset quotient so capacity becomes HARD).
+    *
+    * Invariants (spec-proven): no doc splits (the assignment is one row
+    * per doc), and no non-oversize bin exceeds binTokens — k·n ≤ B holds
+    * for every member since n ≤ B/k in class k. Waste is bounded, not just
+    * measured: every full bin in class k carries > k·B/(k+1) ≥ B/2 tokens,
+    * so the layout uses < 2× the token-optimal bin count, plus ≤ 1 partial
+    * bin per (source, class).
+    *
+    * Scale shape: ONE shuffle on (source, size_class) for the rank window,
+    * then the same keys carry the bin rollup — partial aggregation, no
+    * second exchange. Nothing global, nothing driver-side, skew-free (the
+    * class key fans each source over ~log B classes). */
+  def packBestFit(spark: SparkSession, sfDir: String,
+      binTokens: Int = PackBinTokens): DataFrame =
+    packBestFitAssign(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+      binTokens)
+      .groupBy(col("source"), col("size_class"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("fill_tokens"))
+      .select(col("source"), col("size_class"), col("bin_id"), col("n_docs"),
+        col("fill_tokens"),
+        greatest(lit(0L), lit(binTokens.toLong) - col("fill_tokens")).as("pad_tokens"),
+        (col("fill_tokens") > binTokens).as("oversize"))
+
+  /** Doc-level assignment under [[packBestFit]]'s scheme — the frame the
+    * invariants are provable on (one row per doc ⇒ no splits; per-bin
+    * sums ⇒ hard capacity). `docs` = (doc_id, source, n_tokens); zero-token
+    * docs drop (nothing to pack), docs over the capacity land alone in
+    * class-1 bins with the oversize flag raised downstream. */
+  private[graft] def packBestFitAssign(docs: DataFrame, binTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col("source"), col("size_class"))
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    docs.filter(col("n_tokens") > 0)
+      .withColumn("size_class",
+        greatest(lit(1L), expr(s"CAST($binTokens AS BIGINT) div n_tokens")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("bin_id", expr("(rn - 1) div size_class"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("size_class"), col("bin_id"))
+  }
+
+  def packBestFitSql(binTokens: Int = PackBinTokens): String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len(${graft.operators.TextOps.tokensSql}) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |a AS (SELECT doc_id, source, n_tokens,
+       |    greatest(1, $binTokens // n_tokens) AS size_class
+       |  FROM t WHERE n_tokens > 0),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY source, size_class
+       |    ORDER BY n_tokens DESC, doc_id ASC) AS rn FROM a)
+       |SELECT source, CAST(size_class AS BIGINT) AS size_class,
+       |  CAST((rn - 1) // size_class AS BIGINT) AS bin_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS fill_tokens,
+       |  CAST(greatest(0, $binTokens - sum(n_tokens)) AS BIGINT) AS pad_tokens,
+       |  (sum(n_tokens) > $binTokens) AS oversize
+       |FROM r GROUP BY 1, 2, 3""".stripMargin
+
   /** Per-image token budget for [[packMultimodal]] — the fixed sequence
     * cost a vision encoder charges per image/frame (the MMC4/OBELICS
     * layout constant; production values are 64–576 patch tokens, scaled

@@ -34,4 +34,51 @@ class CoverageDocSpec extends AnyFunSuite {
     assert(noOracle.isEmpty,
       s"registered without a DuckDB oracle: ${noOracle.toSeq.sorted.mkString(", ")}")
   }
+
+  /** The doc's test-count line drifted one round after being written (said
+    * 510+10 while the suite ran 525+10 — round-10 verdict item #3), because
+    * unlike the query count nothing pinned it. Pin it the same way: count
+    * the REGISTERED tests by instantiating every compiled suite (testNames
+    * covers dynamically-generated tests a source grep would miss, e.g.
+    * SchemaDriftSpec's per-variant loop and OperatorSmokeSpec's per-query
+    * loop) and fail when the documented numbers diverge. */
+  test("COVERAGE.md's test-count line matches the enumerated suite") {
+    val root = new java.io.File(
+      classOf[CoverageDocSpec].getProtectionDomain.getCodeSource.getLocation.toURI)
+    assert(root.isDirectory, s"expected a test-classes dir, got $root")
+    // top-level classes (suites) and top-level module classes (ScalaCheck
+    // `object X extends Properties` compiles to X$ with a MODULE$ field);
+    // inner/anonymous classes are skipped
+    def classFiles(d: java.io.File): Seq[java.io.File] =
+      d.listFiles.toSeq.flatMap(f => if (f.isDirectory) classFiles(f) else Seq(f))
+        .filter(f => f.getName.matches("[^$]+\\$?\\.class"))
+    val names = classFiles(root).map { f =>
+      root.toPath.relativize(f.toPath).toString
+        .stripSuffix(".class").replace(java.io.File.separatorChar, '.')
+    }
+    val loader = getClass.getClassLoader
+    def instance(c: Class[_]): Any =
+      if (c.getName.endsWith("$")) c.getField("MODULE$").get(null)
+      else c.getDeclaredConstructor().newInstance()
+    var scalatest = 0
+    var scalacheck = 0
+    for (n <- names) {
+      val c = Class.forName(n, false, loader)
+      val concrete = !java.lang.reflect.Modifier.isAbstract(c.getModifiers)
+      if (concrete && classOf[org.scalatest.Suite].isAssignableFrom(c))
+        scalatest += instance(c).asInstanceOf[org.scalatest.Suite].testNames.size
+      else if (concrete && classOf[org.scalacheck.Properties].isAssignableFrom(c))
+        scalacheck += instance(c).asInstanceOf[org.scalacheck.Properties].properties.size
+    }
+    val st = """(\d+) ScalaTest cases""".r.findFirstMatchIn(doc)
+    val sc = """(\d+) ScalaCheck properties""".r.findFirstMatchIn(doc)
+    assert(st.nonEmpty && sc.nonEmpty,
+      "COVERAGE.md must state 'N ScalaTest cases' and 'M ScalaCheck properties'")
+    assert(st.get.group(1).toInt === scalatest,
+      s"COVERAGE.md says '${st.get.group(1)} ScalaTest cases' but the compiled suite " +
+        s"registers $scalatest - update the doc")
+    assert(sc.get.group(1).toInt === scalacheck,
+      s"COVERAGE.md says '${sc.get.group(1)} ScalaCheck properties' but the compiled " +
+        s"suite registers $scalacheck - update the doc")
+  }
 }

@@ -717,4 +717,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the media join must stay doc_id-equi:\n$p")
     assert(nodes(p, "Generate") >= 1, s"the fragment explode must be a Generate:\n$p")
   }
+
+  test("contamination_verdict: one window (spans islands), one BNLJ (semantic scorer), equi composition") {
+    val p = plan("contamination_verdict")
+    // the spans signal's gaps-and-islands window is the only window; the
+    // semantic signal's broadcast-NLJ eval scorer is the only non-equi join;
+    // the three signal joins themselves must stay doc_id-equi
+    assert(nodes(p, "Window") === 1, s"exactly the islands window:\n$p")
+    assert(nodes(p, "BroadcastNestedLoopJoin") === 1,
+      s"exactly the semantic eval scorer:\n$p")
+    assert(!p.contains("CartesianProduct"), s"never a physical cartesian:\n$p")
+  }
+
+  test("pack_best_fit: ONE exchange — the rank window's (source,class) shuffle also carries the rollup") {
+    val p = plan("pack_best_fit")
+    assert(nodes(p, "Window") === 1, s"one rank window:\n$p")
+    assert(nodes(p, "Exchange") === 1,
+      s"the bin rollup groups on a superset of the window keys — no second shuffle:\n$p")
+    assert(!p.contains("Join"), s"packing is join-free:\n$p")
+  }
 }
