@@ -138,16 +138,24 @@ def main() -> None:
         print(f"{name}: {t.num_rows} rows (as-is)")
     for name, shifts in KEY_SHIFTS.items():
         t = pq.read_table(f"{SRC}/{name}.parquet")
-        if name == "documents":
-            parts = [gen_documents(t, c) for c in range(COPIES)]
-        elif name == "embeddings":
-            parts = [gen_embeddings(t, c) for c in range(COPIES)]
-        else:
-            parts = [shifted_copy(t, name, shifts, c) for c in range(COPIES)]
-        out = pa.concat_tables(parts).combine_chunks()
-        # keep the source's physical types (events.ts stays timestamp[ns])
-        pq.write_table(out.cast(t.schema), f"{DST}/{name}.parquet")
-        print(f"{name}: {t.num_rows} -> {out.num_rows} rows")
+        # STREAM one copy per row group instead of concatenating COPIES
+        # tables in memory: at the sf100 decade (COPIES=1000) the in-memory
+        # concat of lineitem would need tens of GB; streaming needs one
+        # copy's worth. Physical types keep the source schema (events.ts
+        # stays timestamp[ns]).
+        writer = pq.ParquetWriter(f"{DST}/{name}.parquet", t.schema)
+        n_out = 0
+        for c in range(COPIES):
+            if name == "documents":
+                part = gen_documents(t, c)
+            elif name == "embeddings":
+                part = gen_embeddings(t, c)
+            else:
+                part = shifted_copy(t, name, shifts, c)
+            writer.write_table(part.cast(t.schema))
+            n_out += part.num_rows
+        writer.close()
+        print(f"{name}: {t.num_rows} -> {n_out} rows")
 
 
 if __name__ == "__main__":
