@@ -105,8 +105,13 @@ object Bench {
     }
     val ordered = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // Dev-only single-pass probe mode for very large tiered decades
+    // (sf100); the driver's per-round bench never sets it, so every
+    // canonical capture stays median-of-3-to-5.
+    val basePasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .map(_.toInt).filter(p => p >= 1 && p <= 5).getOrElse(3)
     val core = BenchCore.measure(ordered, onePass, () => calibrate(),
-      log = System.err.println(_))
+      log = System.err.println(_), basePasses = basePasses)
     val results = core.queries
     val cals = core.calibrations
     val noiseIndex = core.noiseIndex
@@ -195,7 +200,7 @@ object Bench {
       System.err.println(f"[bench] noise_index $noiseIndex%.2f accepted: exit calibration " +
         s"$exitCalJson s recovered to ${exitRatioJson}x of the window's best and every query stabilized")
     val detailsJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":3,"estimator":"median","n":${results.size},"noise_index":${f"$noiseIndex%.2f"},"calibration_sec":$calJson,"exit_calibration_sec":$exitCalJson,"exit_ratio":$exitRatioJson,"refused":${BenchCore.refusalsJson(refusals)},"failed":$failed,"rescued":$rescued,"rescue_ran":${core.rescueRan},"queries":$qs,"spread_pct":$spreads,"pass_count":$passCounts}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":$basePasses,"estimator":"median","n":${results.size},"noise_index":${f"$noiseIndex%.2f"},"calibration_sec":$calJson,"exit_calibration_sec":$exitCalJson,"exit_ratio":$exitRatioJson,"refused":${BenchCore.refusalsJson(refusals)},"failed":$failed,"rescued":$rescued,"rescue_ran":${core.rescueRan},"queries":$qs,"spread_pct":$spreads,"pass_count":$passCounts}"""
     try {
       val w = new java.io.PrintWriter(detailsPath, "UTF-8")
       try w.println(detailsJson) finally w.close()
@@ -204,7 +209,7 @@ object Bench {
     // refused[] capped at the 8 most recent on stdout (the driver tail-
     // captures ~2.2 KB); refused_n carries the campaign's full count and
     // the details artifact the full array.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","passes":3,"estimator":"median","noise_index":${f"$noiseIndex%.2f"},"refused_n":${refusals.size},"refused":${BenchCore.refusalsJson(refusals, cap = 8)},"details":"$detailsPath"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","passes":$basePasses,"estimator":"median","noise_index":${f"$noiseIndex%.2f"},"refused_n":${refusals.size},"refused":${BenchCore.refusalsJson(refusals, cap = 8)},"details":"$detailsPath"}""")
     spark.stop()
   }
 }

@@ -150,11 +150,18 @@ object BenchCore {
     (med, spread)
   }
 
-  /** Layers 1+2 for one query: 3 passes, adaptively up to 5. */
-  private def measureOne(name: String, onePass: String => (Double, Boolean)): Q = {
-    var passes = (1 to 3).map(_ => onePass(name))
+  /** Layers 1+2 for one query: `basePasses` passes (3 in every driver /
+    * canonical run), adaptively up to 5. basePasses = 1 is the dev-only
+    * single-pass probe mode for very large tiered decades (sf100), where
+    * three passes of a 10-minute query buy little: a single sample cannot
+    * spread-escalate, so such probes rely on the calibration bracketing
+    * alone and are recorded with passes = 1 in the artifact — never the
+    * cross-round baseline. */
+  private def measureOne(name: String, onePass: String => (Double, Boolean),
+      basePasses: Int): Q = {
+    var passes = (1 to basePasses).map(_ => onePass(name))
     var good = passes.filter(_._2).map(_._1)
-    while (good.nonEmpty && passes.size < 5 && stats(good)._2 > 50.0) {
+    while (good.nonEmpty && passes.size < 5 && basePasses > 1 && stats(good)._2 > 50.0) {
       passes = passes :+ onePass(name)
       good = passes.filter(_._2).map(_._1)
     }
@@ -167,13 +174,14 @@ object BenchCore {
 
   def measure(names: Seq[String], onePass: String => (Double, Boolean),
       calibrate: () => Double,
-      log: String => Unit = _ => ()): Result = {
+      log: String => Unit = _ => (),
+      basePasses: Int = 3): Result = {
     val calStart = calibrate()
     val midpoint = names.size / 2
     var calMiddle = calStart // overwritten at the midpoint query
     val firstRound = names.zipWithIndex.map { case (name, i) =>
       if (i == midpoint) calMiddle = calibrate()
-      measureOne(name, onePass)
+      measureOne(name, onePass, basePasses)
     }
     val calEnd = calibrate()
     val cals = Seq(calStart, calMiddle, calEnd)
@@ -216,7 +224,7 @@ object BenchCore {
         val (screen, screenOk) = onePass(q.name)
         if (!screenOk || screen >= q.median * ScreenSlack) q
         else {
-          val re = measureOne(q.name, onePass)
+          val re = measureOne(q.name, onePass, basePasses)
           // Throttling only inflates; the re-run happened after observed
           // recovery, so the smaller median is the honest one.
           if (re.ok && re.median < q.median) { rescuedCount += 1; re.copy(rescued = true) }
