@@ -23,6 +23,8 @@ object Verify {
       // tmpfs-by-default shuffle dirs (GRAFT_LOCAL_DIR overrides; see LocalDirs)
       .config("spark.local.dir", LocalDirs.sparkLocalDir)
       .config("spark.sql.adaptive.enabled", "true")
+      // shuffles scale with data, AQE coalesces back (see Bench.scala)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
