@@ -899,4 +899,102 @@ object Curation {
        |  CAST(sum(c1) AS BIGINT) AS chars_old, CAST(sum(c2) AS BIGINT) AS chars_new,
        |  CAST(sum(c2) - sum(c1) AS BIGINT) AS chars_delta
        |FROM j GROUP BY 1, 2""".stripMargin
+
+  /** THE ATTRITION FUNNEL — the per-gate drop accounting every published
+    * curation pipeline reports (RefinedWeb Table 2, Gopher A1.1, the C4
+    * paper's filter cascade): one row per stage of the
+    * [[graft.operators.Sampling.trainingMixFull]] gate chain (raw →
+    * quality → repetition → contamination → near-dup), carrying survivors,
+    * docs dropped AT that stage, surviving token volume, and the ppm
+    * survival rate. Each document is attributed to its FIRST failing gate
+    * — the number a pipeline owner needs to know which gate to retune —
+    * and the gate ORDER and semantics are exactly the flagship's
+    * (including its edge rule: a doc too short to produce bigrams or
+    * shingles has no repetition/contamination row and drops AT that gate).
+    *
+    * Plan: the flagship's ONE checkpointed tokenize pass feeds all gates;
+    * per-doc flags compose as doc_id LEFT joins; the funnel itself is ONE
+    * aggregation row (conditional partials collapse map-side) unpivoted by
+    * `stack` into 5 rows — adding the card to a pipeline costs no new
+    * shuffle class at any corpus size. */
+  def curationFunnel(spark: SparkSession, sfDir: String, minQuality: Double = 0.5,
+      maxRep: Double = 0.1, maxContam: Double = 0.1): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("t", TextOps.tokens(col("text")))
+      .localCheckpoint()
+    val q = TextAnalysis.qualityOfTokenized(base)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val rep = repetitionOfTokenized(base).select(col("doc_id"), col("top_bigram_frac"))
+    val sh = Dedup.shinglesOfTokenized(base).localCheckpoint()
+    val contam = contaminationOfShingles(sh).select(col("doc_id"), col("contamination_frac"))
+    val nonCanonical = Dedup.clustersOfPairs(Dedup.minhashLshOfShingles(sh))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(1L).as("dup"))
+    val flags = q
+      .join(rep, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .join(nonCanonical, Seq("doc_id"), "left")
+      // first failing stage; missing gate rows fail that gate (the
+      // flagship's inner joins drop those docs at the same point)
+      .withColumn("s",
+        when(!coalesce(col("quality_score") >= minQuality, lit(false)), lit(1))
+          .when(!coalesce(col("top_bigram_frac") <= maxRep, lit(false)), lit(2))
+          .when(!coalesce(col("contamination_frac") <= maxContam, lit(false)), lit(3))
+          .when(col("dup").isNotNull, lit(4))
+          .otherwise(lit(5)))
+    def cAt(k: Int) = sum(when(col("s") > k, 1L).otherwise(0L)).as(s"c$k")
+    def tAt(k: Int) = sum(when(col("s") > k, col("n_tokens")).otherwise(0L)).as(s"t$k")
+    flags
+      .agg(count(lit(1)).as("c0"), sum(col("n_tokens")).as("t0"),
+        cAt(1), tAt(1), cAt(2), tAt(2), cAt(3), tAt(3), cAt(4), tAt(4))
+      .selectExpr(
+        s"""stack(5,
+           |  'raw',           0L, c0, t0, 0L,      1000000L,
+           |  'quality',       1L, c1, t1, c0 - c1, (1000000 * c1) div greatest(c0, 1),
+           |  'repetition',    2L, c2, t2, c1 - c2, (1000000 * c2) div greatest(c0, 1),
+           |  'contamination', 3L, c3, t3, c2 - c3, (1000000 * c3) div greatest(c0, 1),
+           |  'dedup',         4L, c4, t4, c3 - c4, (1000000 * c4) div greatest(c0, 1)
+           |) AS (stage, stage_id, n_docs, n_tokens, dropped, survived_ppm)""".stripMargin)
+  }
+
+  /** DuckDB twin — the same first-failing-gate CASE over the gate CTEs'
+    * own SQL texts (the [[contaminationVerdictSql]] lockstep discipline),
+    * one aggregate row, unpivoted by UNION ALL. */
+  def curationFunnelSql(minQuality: Double = 0.5, maxRep: Double = 0.1,
+      maxContam: Double = 0.1): String =
+    s"""WITH RECURSIVE ${Dedup.clusterCtes},
+       |q AS (${TextAnalysis.qualitySql}),
+       |rep AS (${repetitionSql}),
+       |con AS (${contaminationSql}),
+       |flags AS (
+       |  SELECT q.doc_id, q.n_tokens,
+       |    CASE WHEN NOT coalesce(q.quality_score >= $minQuality, FALSE) THEN 1
+       |         WHEN NOT coalesce(rep.top_bigram_frac <= $maxRep, FALSE) THEN 2
+       |         WHEN NOT coalesce(con.contamination_frac <= $maxContam, FALSE) THEN 3
+       |         WHEN EXISTS (SELECT 1 FROM comp c
+       |                      WHERE c.doc_id = q.doc_id AND c.doc_id <> c.cluster_id) THEN 4
+       |         ELSE 5 END AS s
+       |  FROM q LEFT JOIN rep ON q.doc_id = rep.doc_id
+       |         LEFT JOIN con ON q.doc_id = con.doc_id),
+       |f AS (SELECT CAST(count(*) AS BIGINT) AS c0, CAST(sum(n_tokens) AS BIGINT) AS t0,
+       |    CAST(count(*) FILTER (WHERE s > 1) AS BIGINT) AS c1,
+       |    CAST(coalesce(sum(n_tokens) FILTER (WHERE s > 1), 0) AS BIGINT) AS t1,
+       |    CAST(count(*) FILTER (WHERE s > 2) AS BIGINT) AS c2,
+       |    CAST(coalesce(sum(n_tokens) FILTER (WHERE s > 2), 0) AS BIGINT) AS t2,
+       |    CAST(count(*) FILTER (WHERE s > 3) AS BIGINT) AS c3,
+       |    CAST(coalesce(sum(n_tokens) FILTER (WHERE s > 3), 0) AS BIGINT) AS t3,
+       |    CAST(count(*) FILTER (WHERE s > 4) AS BIGINT) AS c4,
+       |    CAST(coalesce(sum(n_tokens) FILTER (WHERE s > 4), 0) AS BIGINT) AS t4
+       |  FROM flags)
+       |SELECT 'raw' AS stage, CAST(0 AS BIGINT) AS stage_id, c0 AS n_docs, t0 AS n_tokens,
+       |  CAST(0 AS BIGINT) AS dropped, CAST(1000000 AS BIGINT) AS survived_ppm FROM f
+       |UNION ALL SELECT 'quality', 1, c1, t1, c0 - c1,
+       |  (1000000 * c1) // greatest(c0, 1) FROM f
+       |UNION ALL SELECT 'repetition', 2, c2, t2, c1 - c2,
+       |  (1000000 * c2) // greatest(c0, 1) FROM f
+       |UNION ALL SELECT 'contamination', 3, c3, t3, c2 - c3,
+       |  (1000000 * c3) // greatest(c0, 1) FROM f
+       |UNION ALL SELECT 'dedup', 4, c4, t4, c3 - c4,
+       |  (1000000 * c4) // greatest(c0, 1) FROM f""".stripMargin
 }

@@ -601,6 +601,91 @@ object Sampling {
        |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn, CAST(quota AS BIGINT) AS quota
        |FROM r WHERE rn <= quota""".stripMargin
 
+  /** [[mixEpochsPlan]] knobs. Budget = [[MixBudgetMult]]× the corpus's
+    * unique tokens; the repeat cap [[MixEpochCap]] = 4 epochs is the
+    * published bound (Muennighoff et al., NeurIPS 2023: repeating data up
+    * to ~4 epochs is nearly as good as fresh data; returns decay rapidly
+    * beyond). [[EpochScale]] = 6-digit fixed point for the epochs ratio. */
+  val MixBudgetMult = 3L
+  val MixEpochCap = 4L
+  val EpochScale = 1000000L
+
+  /** DATA-CONSTRAINED training-mix plan (the Muennighoff et al. 2023
+    * regime): the token budget exceeds the corpus, so sources must repeat
+    * — but no language may repeat past [[MixEpochCap]] epochs. Each
+    * language requests an EQUAL share of the budget (the α→0 limit of
+    * temperature sampling — maximal low-resource upweighting, the
+    * [[trainingMixTemperature]] family's other endpoint); languages whose
+    * share exceeds cap·unique_tokens are clipped to the cap, and the
+    * clipped surplus waterfalls to the languages with headroom,
+    * proportionally to that headroom. On the test corpus every arm is
+    * live: low-resource languages hit the cap, the surplus flows to
+    * high-resource ones, and a ≤|langs|-token floor residual remains.
+    *
+    * All-integer arithmetic end to end (the [[graft.operators.Curation]]
+    * fixed-point discipline): equal shares and the waterfall are floor
+    * divisions over BIGINT token counts, the deficit×headroom product runs
+    * in DECIMAL(38,0) (DuckDB HUGEINT) because at 100 TB it reaches
+    * ~(3·Σu)² ≈ 10²⁷, and the epochs ratio ships as [[EpochScale]]-scaled
+    * fixed point. Trunc-div ≡ floor-div throughout: every operand is
+    * non-negative (granted1 ≤ requested and Σrequested ≤ budget force
+    * deficit ≥ 0).
+    *
+    * Plan: ONE corpus scan into a |langs|-row aggregate, localCheckpointed
+    * (the [[graft.operators.Curation.lmScore]] multi-consumer pattern),
+    * then pure broadcast arithmetic on the tiny frame — the 100 TB cost is
+    * the scan, the plan is free. */
+  def mixEpochsPlan(spark: SparkSession, sfDir: String): DataFrame =
+    mixEpochsPlanOfTokens(
+      Tables.documents(spark, sfDir)
+        .select(col("lang"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("toks"))
+        .groupBy(col("lang")).agg(sum(col("toks")).as("u_tokens"))
+        .localCheckpoint())
+
+  /** Waterfall core of [[mixEpochsPlan]] over any (lang, u_tokens) frame —
+    * separated so specs can drive crafted regimes the real corpus cannot
+    * reach (an INFEASIBLE budget where every language caps, single-language
+    * corpora, zero-headroom redistribution). */
+  private[operators] def mixEpochsPlanOfTokens(u: DataFrame,
+      budgetMult: Long = MixBudgetMult, cap: Long = MixEpochCap): DataFrame = {
+    val t = u.agg(sum(col("u_tokens")).as("usum"), count(lit(1)).as("nlang"))
+    val p1 = u.crossJoin(broadcast(t))
+      .withColumn("budget", expr(s"$budgetMult * usum"))
+      .withColumn("requested", expr("budget div nlang"))
+      .withColumn("granted1", least(col("requested"), expr(s"$cap * u_tokens")))
+      .withColumn("headroom", expr(s"$cap * u_tokens - granted1"))
+    val t2 = p1.agg(sum(col("granted1")).as("g1sum"), sum(col("headroom")).as("hsum"))
+    p1.crossJoin(broadcast(t2))
+      .withColumn("deficit", col("budget") - col("g1sum"))
+      .withColumn("bonus", least(col("headroom"),
+        expr("(CAST(deficit AS DECIMAL(38,0)) * headroom) div greatest(hsum, 1)")))
+      .withColumn("granted", col("granted1") + col("bonus"))
+      .select(col("lang"), col("u_tokens"), col("requested"), col("granted"),
+        expr(s"(CAST($EpochScale AS DECIMAL(38,0)) * granted) div u_tokens").as("epochs_fp"))
+  }
+
+  def mixEpochsPlanSql(): String =
+    s"""WITH u AS (SELECT lang,
+       |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS u_tokens
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(sum(u_tokens) AS BIGINT) AS usum, count(*) AS nlang FROM u),
+       |p1 AS (SELECT lang, u_tokens, $MixBudgetMult * usum AS budget,
+       |    ($MixBudgetMult * usum) // nlang AS requested,
+       |    least(($MixBudgetMult * usum) // nlang, $MixEpochCap * u_tokens) AS granted1,
+       |    $MixEpochCap * u_tokens
+       |      - least(($MixBudgetMult * usum) // nlang, $MixEpochCap * u_tokens) AS headroom
+       |  FROM u, t),
+       |t2 AS (SELECT sum(granted1) AS g1sum, sum(headroom) AS hsum FROM p1),
+       |g AS (SELECT lang, u_tokens, requested,
+       |    granted1 + least(headroom,
+       |      (CAST(budget - g1sum AS HUGEINT) * headroom) // greatest(hsum, 1)) AS granted
+       |  FROM p1, t2)
+       |SELECT lang, u_tokens, CAST(requested AS BIGINT) AS requested,
+       |  CAST(granted AS BIGINT) AS granted,
+       |  CAST((CAST($EpochScale AS HUGEINT) * granted) // u_tokens AS BIGINT) AS epochs_fp
+       |FROM g""".stripMargin
+
   /** Z-order (Morton-curve) geometry: each clustering column quantizes to
     * [[ZBits]] bits, the bit-interleaved key spans 2^(2·ZBits), and rows
     * land in [[ZBuckets]] equal z-ranges (= files, in a real OPTIMIZE

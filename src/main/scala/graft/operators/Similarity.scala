@@ -441,6 +441,62 @@ object Similarity {
        |  FROM cand)
        |WHERE rn = 1""".stripMargin
 
+  /** Negatives returned per eval query by [[hardNegatives]]. */
+  val HardNegK = 10
+
+  /** HARD-NEGATIVE MINING for contrastive retrieval training (the DPR /
+    * ANCE recipe — Karpukhin et al., EMNLP 2020; Xiong et al., ICLR 2021):
+    * for each benchmark/eval query embedding, the most-similar corpus
+    * vectors that are NOT semantic matches of the query make the best
+    * training negatives — random negatives are too easy to teach a useful
+    * decision boundary, and near-duplicates of the positive are FALSE
+    * negatives that poison the contrastive loss. The positive bar reuses
+    * [[ContamSemTau]] deliberately: exactly the vectors the
+    * decontamination pass ([[contaminationSemantic]]) flags as eval
+    * matches are the ones excluded here — one threshold, two sides of the
+    * same eval-vs-corpus decision.
+    *
+    * Plan — the [[knnBrute]] / [[contaminationSemantic]] shape: the eval
+    * set is O(1) in corpus size and broadcasts; ONE corpus scan scores
+    * n·|eval| pairs map-side; the cos < τ positive filter runs BEFORE the
+    * rank window, and the per-query top-k rank is a WindowGroupLimit
+    * (each map task forwards at most k rows per query before the
+    * exchange), so the only shuffle is O(|eval|·k·tasks) candidate rows —
+    * never the corpus. */
+  def hardNegatives(spark: SparkSession, sfDir: String, k: Int = HardNegK,
+      posTau: Double = ContamSemTau): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", graft.functions.VectorExpressions.vec_norm(col("v")))
+    val ev = e.filter(col("vec_id") >= EvalLo && col("vec_id") < EvalHi)
+      .select(col("vec_id").as("eval_id"), col("v").as("evv"), col("nrm").as("evnrm"))
+    val w = Window.partitionBy(col("eval_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    rebalance(spark, e.filter(col("vec_id") < EvalLo || col("vec_id") >= EvalHi))
+      .join(broadcast(ev))
+      .withColumn("cos", cosinePre(col("v"), col("evv"), col("nrm"), col("evnrm")))
+      .filter(col("cos") < posTau)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("eval_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** DuckDB twin: same fold-order cosine, same raw-double τ filter, same
+    * (cos DESC, vec_id ASC) rank tie-break. */
+  def hardNegativesSql(k: Int = HardNegK, posTau: Double = ContamSemTau): String =
+    s"""WITH ev AS (SELECT vec_id AS eval_id, embedding FROM embeddings
+       |  WHERE vec_id >= $EvalLo AND vec_id < $EvalHi),
+       |cand AS (SELECT e.vec_id, ev.eval_id, ${cosineSql("e", "ev")} AS cos
+       |  FROM embeddings e CROSS JOIN ev
+       |  WHERE (e.vec_id < $EvalLo OR e.vec_id >= $EvalHi)
+       |    AND ${cosineSql("e", "ev")} < $posTau)
+       |SELECT eval_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |  round(cos, 6) AS cos_sim FROM (
+       |  SELECT vec_id, eval_id, cos, row_number() OVER (PARTITION BY eval_id
+       |      ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM cand)
+       |WHERE rank <= $k""".stripMargin
+
   // ---- sign-random-projection LSH (centroid-free scale path) --------------
 
   /** SRP-LSH geometry: 32 hyperplanes = 4 bands × 8 bits. Bit j of a vector

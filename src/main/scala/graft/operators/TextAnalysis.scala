@@ -269,6 +269,73 @@ object TextAnalysis {
       |  CAST(sum(length(text)) AS BIGINT) AS n_chars
       |FROM documents GROUP BY source""".stripMargin
 
+  /** Fixed-point scale for [[tokenDiversity]] (9 decimal digits, the
+    * [[graft.operators.Curation.LmScale]] discipline). */
+  val DivScale = 1000000000L
+
+  /** Per-document LEXICAL-DIVERSITY card: type-token ratio, the Simpson /
+    * collision index Σ(c/n)², its inverse (the EFFECTIVE vocabulary size —
+    * how many equally-frequent types would produce the same repetition),
+    * and the top-token mass. Low diversity flags templated/boilerplate/
+    * keyword-stuffed text the way Gopher's repetition gates do, but over
+    * the WHOLE unigram distribution instead of the single top n-gram
+    * ([[graft.operators.Curation.repetition]]'s complement).
+    *
+    * Deliberate variant: Rényi-2 (collision) diversity replaces Shannon
+    * entropy — Shannon needs transcendental `log` floats that never
+    * hash-match across engines (the [[graft.operators.Curation.lmScore]]
+    * rationale), while Σc², n² and their ratios are exact integer
+    * arithmetic at any scale, and −log2 is monotone so the ORDERING of
+    * documents is the one entropy would induce on the collision index.
+    * Wide intermediates (Σc²·10⁹, n²·10⁹) run in DECIMAL(38,0) with a
+    * DuckDB HUGEINT twin (the `events_ewma` overflow discipline): int64
+    * would wrap for documents past ~3·10⁹ tokens of one type.
+    *
+    * Plan: explode → one (doc_id, token) aggregation with map-side
+    * partials → one doc_id aggregation; shuffle bounded by distinct
+    * doc-term pairs, then by docs — never token volume after the partial
+    * agg. All expressions codegen'd; zero-token docs carry no rows in
+    * either engine (explode and unnest both drop them). */
+  def tokenDiversity(spark: SparkSession, sfDir: String): DataFrame =
+    tokenDiversityOfDocs(Tables.documents(spark, sfDir))
+
+  /** Core of [[tokenDiversity]] over any (doc_id, text) frame — separated
+    * so specs can drive crafted distributions (all-identical tokens,
+    * all-distinct tokens) the corpus may not contain. */
+  private[operators] def tokenDiversityOfDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sumsq"),
+        max(col("c")).as("cmax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        expr(s"(CAST($DivScale AS DECIMAL(38,0)) * n_types) div n_tokens").as("ttr_fp"),
+        expr(s"(CAST($DivScale AS DECIMAL(38,0)) * sumsq) div (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)")
+          .as("simpson_fp"),
+        expr(s"(CAST($DivScale AS DECIMAL(38,0)) * n_tokens * n_tokens) div sumsq")
+          .as("eff_types_fp"),
+        expr(s"(CAST($DivScale AS DECIMAL(38,0)) * cmax) div n_tokens").as("top_frac_fp"))
+
+  val tokenDiversitySql: String =
+    s"""WITH occ AS (SELECT doc_id, tok, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(${TextOps.tokensSql}) AS tok FROM documents)
+       |  GROUP BY 1, 2),
+       |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    count(*) AS n_types, sum(CAST(c AS HUGEINT) * c) AS sumsq,
+       |    max(c) AS cmax
+       |  FROM occ GROUP BY 1)
+       |SELECT doc_id, n_tokens, CAST(n_types AS BIGINT) AS n_types,
+       |  CAST((CAST($DivScale AS HUGEINT) * n_types) // n_tokens AS BIGINT) AS ttr_fp,
+       |  CAST((CAST($DivScale AS HUGEINT) * sumsq)
+       |    // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT) AS simpson_fp,
+       |  CAST((CAST($DivScale AS HUGEINT) * n_tokens * n_tokens) // sumsq AS BIGINT) AS eff_types_fp,
+       |  CAST((CAST($DivScale AS HUGEINT) * cmax) // n_tokens AS BIGINT) AS top_frac_fp
+       |FROM d""".stripMargin
+
   /** Corpus vocabulary statistics: top-k terms by DOCUMENT frequency (the
     * IDF denominator a tokenizer/filtering pipeline needs), with collection
     * frequency alongside. Plan: explode → one (term) aggregation with

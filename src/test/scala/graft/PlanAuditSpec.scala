@@ -736,4 +736,50 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the bin rollup groups on a superset of the window keys — no second shuffle:\n$p")
     assert(!p.contains("Join"), s"packing is join-free:\n$p")
   }
+
+  test("hard_negatives: eval broadcast scoring scan, top-k rank group-limited before the exchange") {
+    val p = plan("hard_negatives")
+    assert(nodes(p, "BroadcastExchange") === 1,
+      s"the fixed eval slice must ride ONE broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"corpus x eval scoring is the broadcast NLJ scan (the knnBrute shape):\n$p")
+    assert(!p.contains("CartesianProduct"), s"never a physical cartesian:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the rank<=k filter must push into a WindowGroupLimit so tasks forward <=k rows per query:\n$p")
+  }
+
+  test("token_diversity: one scan, join-free, the doc-term partial agg precedes any exchange") {
+    val p = plan("token_diversity")
+    assert(nodes(p, "Scan parquet") === 1, s"one corpus scan:\n$p")
+    assert(!p.contains("Join"), s"diversity is two stacked aggregations, never a join:\n$p")
+    assert(nodes(p, "Window") === 0, s"no window:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string"),
+      s"documents scan must prune to (doc_id, text):\n$p")
+    // partial HashAggregate on (doc_id, tok) must appear before the first
+    // exchange so the shuffle carries distinct doc-term pairs, not tokens
+    val firstAgg = p.indexOf("HashAggregate")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && firstExchange >= 0,
+      s"expected hash aggregation and an exchange:\n$p")
+  }
+
+  test("curation_funnel: gate flags compose as equi-joins; the card is ONE aggregation row unpivoted") {
+    val p = plan("curation_funnel")
+    assert(!p.contains("CartesianProduct"), s"never a physical cartesian:\n$p")
+    assert(nodes(p, "Scan parquet") === 0,
+      s"all gates must read the checkpointed tokenize pass, never re-scan:\n$p")
+    assert(nodes(p, "Generate") >= 1, s"the stack unpivot must be a Generate:\n$p")
+    assert(nodes(p, "SortMergeJoin") + nodes(p, "BroadcastHashJoin") +
+      nodes(p, "ShuffledHashJoin") >= 3,
+      s"the three gate signals + dedup flag must compose as doc_id equi-joins:\n$p")
+  }
+
+  test("mix_epochs_plan: corpus collapsed to a checkpointed |langs|-row frame; downstream is broadcast-only") {
+    val p = plan("mix_epochs_plan")
+    assert(nodes(p, "Scan parquet") === 0,
+      s"the one corpus scan ran at localCheckpoint time; the plan must start from the RDD:\n$p")
+    assert(!p.contains("CartesianProduct"), s"never a physical cartesian:\n$p")
+    assert(nodes(p, "SortMergeJoin") === 0 && nodes(p, "ShuffledHashJoin") === 0,
+      s"the totals must reach the tiny frame as broadcasts, not shuffled joins:\n$p")
+  }
 }
