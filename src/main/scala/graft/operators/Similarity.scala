@@ -1403,6 +1403,117 @@ object Similarity {
       |  CAST(sum_fp // n_vecs AS BIGINT) AS centroid_fp
       |FROM agg""".stripMargin
 
+  /** Power iterations for [[embeddingTopDirection]]. Three suffice for a
+    * stable leading direction on any spectrum with a gap (each iteration
+    * multiplies the second-eigenvalue contamination by λ2/λ1); the oracle
+    * unrolls exactly this many. */
+  val PowerIters = 3
+
+  /** DOMINANT-DIRECTION / ANISOTROPY card — the "all-but-the-top" common
+    * direction (Mu & Viswanath, ICLR 2018) and the anisotropy diagnosis of
+    * Ethayarajh (2019): contextual/embedding spaces concentrate in a
+    * narrow cone, and the cone's axis is the top eigenvector of the
+    * second-moment matrix Σ x xᵀ. Pipelines subtract this direction (or at
+    * least measure its energy share) before trusting cosine contrast —
+    * [[embeddingHealth]] flags the SYMPTOM (concentration); this computes
+    * the AXIS and its variance share, the numbers the correction needs.
+    *
+    * Power iteration, distributed exactly like [[kmeansTrain]]'s Lloyd
+    * loop: each step is ONE map-side-combined (dim) aggregation of the
+    * per-row contribution x·(x·v) — quantized to `floor(c·10⁶)` int64 so
+    * the cross-row sum is exact and order-free (the
+    * [[embeddingCentroids]] discipline; |x_d·p| ≤ ‖x‖² keeps the sum
+    * inside int64 to ~10¹² rows) — and only the d-long sum vector returns
+    * to the driver, O(d) traffic per iteration. The driver normalizes in
+    * a FIXED dim-order fold over exact integer-derived doubles (sqrt and
+    * divide are correctly-rounded IEEE), so every iterate is bit-identical
+    * to the oracle's unrolled-CTE replay of the same arithmetic. The final
+    * pass scores λ = mean p² and trace = mean ‖x‖² in the same fixed
+    * point; `ratio_ppm` = λ/trace is the top direction's energy share
+    * (10⁶ = the whole corpus lies on one line). */
+  def embeddingTopDirection(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingTopDirectionOfVecs(spark,
+      Tables.embeddings(spark, sfDir)
+        .select(toDoubleVec(col("embedding")).as("v"))
+        .localCheckpoint())
+
+  /** Core of [[embeddingTopDirection]] over any single-column frame of
+    * double vectors — separated so specs can drive crafted spectra (a
+    * one-line corpus, an isotropic pair). */
+  private[operators] def embeddingTopDirectionOfVecs(spark: SparkSession,
+      e: DataFrame): DataFrame = {
+    import spark.implicits._
+    val dim = EmbeddingDim
+    // v0 = (1/8, …, 1/8): exactly representable (d = 64), nonzero against
+    // any direction unless the corpus is orthogonal to the all-ones line
+    var v = Array.fill(dim)(0.125)
+    for (_ <- 1 to PowerIters) {
+      val vCol = array(v.map(lit).toIndexedSeq: _*)
+      val w = e.withColumn("p", dot(col("v"), vCol))
+        .select(col("p"), posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("dim"), floor(col("x") * col("p") * 1000000d).cast("long").as("fp"))
+        .groupBy(col("dim")).agg(sum(col("fp")).as("w"))
+        .orderBy(col("dim"))
+        .as[(Int, Long)].collect()
+      val wd = new Array[Double](dim)
+      w.foreach { case (d, s) => wd(d) = s.toDouble }
+      var ss = 0.0
+      var i = 0
+      while (i < dim) { ss += wd(i) * wd(i); i += 1 }
+      val nrm = math.sqrt(ss)
+      require(nrm > 0, "power iteration collapsed: corpus orthogonal to the iterate")
+      v = wd.map(_ / nrm)
+    }
+    val vCol = array(v.map(lit).toIndexedSeq: _*)
+    val dirs = v.zipWithIndex
+      .map { case (x, i) => (i.toLong, math.floor(x * 1000000d).toLong) }
+      .toSeq.toDF("dim", "v_ppm")
+    val scal = e
+      .select(dot(col("v"), vCol).as("p"), dot(col("v"), col("v")).as("xx"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("p") * col("p") * 1000000d).cast("long")).as("lsum"),
+        sum(floor(col("xx") * 1000000d).cast("long")).as("tsum"))
+      .select(expr("lsum div n").as("lambda_fp"), expr("tsum div n").as("trace_fp"))
+      .withColumn("ratio_ppm", expr("(1000000 * lambda_fp) div greatest(trace_fp, 1)"))
+    dirs.crossJoin(broadcast(scal))
+  }
+
+  /** DuckDB twin: the three iterations unrolled as CTE layers (the
+    * [[kmeansTrainSql]] precedent) — each layer re-derives p with the
+    * previous layer's direction list, sums the same floored fixed-point
+    * contributions, and normalizes with the same dim-order fold. */
+  def embeddingTopDirectionSql(): String = {
+    val d = EmbeddingDim
+    // p against a constant v0 for layer 1; against layer t-1's list after
+    def pOf(vRef: String): String =
+      s"list_sum(list_transform(generate_series(1, $d), j -> CAST(e.embedding[j] AS DOUBLE) * $vRef))"
+    def layer(t: Int, pExpr: String, extraFrom: String): String =
+      s"""i$t AS (SELECT i - 1 AS dim,
+         |    CAST(sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * p * 1000000.0) AS BIGINT)) AS BIGINT) AS w
+         |  FROM (SELECT e.embedding, $pExpr AS p FROM embeddings e$extraFrom) e,
+         |       LATERAL (SELECT unnest(generate_series(1, $d)) AS i) s
+         |  GROUP BY 1),
+         |v$t AS (SELECT list_transform(vl, x -> x / nrm) AS vl FROM (
+         |  SELECT vl, sqrt(list_sum(list_transform(vl, x -> x * x))) AS nrm
+         |  FROM (SELECT list(CAST(w AS DOUBLE) ORDER BY dim) AS vl FROM i$t)))""".stripMargin
+    s"""WITH ${layer(1, pOf("0.125"), "")},
+       |${layer(2, pOf("v1.vl[j]"), ", v1")},
+       |${layer(3, pOf("v2.vl[j]"), ", v2")},
+       |dirs AS (SELECT i - 1 AS dim, CAST(floor(vl[i] * 1000000.0) AS BIGINT) AS v_ppm
+       |  FROM v3, LATERAL (SELECT unnest(generate_series(1, $d)) AS i) s),
+       |scal AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(floor(p * p * 1000000.0) AS BIGINT)) AS BIGINT) AS lsum,
+       |    CAST(sum(CAST(floor(xx * 1000000.0) AS BIGINT)) AS BIGINT) AS tsum
+       |  FROM (SELECT ${pOf("v3.vl[j]")} AS p,
+       |      list_sum(list_transform(generate_series(1, $d),
+       |        j -> CAST(e.embedding[j] AS DOUBLE) * CAST(e.embedding[j] AS DOUBLE))) AS xx
+       |    FROM embeddings e, v3) e)
+       |SELECT CAST(dim AS BIGINT) AS dim, v_ppm,
+       |  CAST(lsum // n AS BIGINT) AS lambda_fp, CAST(tsum // n AS BIGINT) AS trace_fp,
+       |  CAST((1000000 * (lsum // n)) // greatest(tsum // n, 1) AS BIGINT) AS ratio_ppm
+       |FROM dirs, scal""".stripMargin
+  }
+
   /** Unit-direction quantization scale for [[embeddingHealth]]: 2^10.
     * |floor(u·1024)| ≤ 1024 per component, so a per-(label, dim) direction
     * sum stays ≤ n·2^10 — far inside int64 even at 10^12 vectors — and the

@@ -774,6 +774,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the three gate signals + dedup flag must compose as doc_id equi-joins:\n$p")
   }
 
+  test("embedding_top_direction: iterations already ran at O(d) driver traffic; the plan is one scoring agg x a 64-row literal") {
+    val p = plan("embedding_top_direction")
+    assert(nodes(p, "Scan parquet") === 0,
+      s"vectors must come from the checkpointed blocks, not a re-scan per iteration:\n$p")
+    assert(nodes(p, "BroadcastNestedLoopJoin") === 1,
+      s"the 1-row scalar card rides ONE broadcast against the literal direction rows:\n$p")
+    assert(nodes(p, "SortMergeJoin") === 0 && !p.contains("CartesianProduct"),
+      s"never a shuffled or physical-cartesian join:\n$p")
+  }
+
   test("mix_epochs_plan: corpus collapsed to a checkpointed |langs|-row frame; downstream is broadcast-only") {
     val p = plan("mix_epochs_plan")
     assert(nodes(p, "Scan parquet") === 0,
