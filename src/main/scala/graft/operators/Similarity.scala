@@ -164,6 +164,57 @@ object Similarity {
       .localCheckpoint()
   }
 
+  /** IVF INDEX-BALANCE AUDIT — the serving-health card a vector store
+    * reads before shipping an IVF index (FAISS's imbalance_factor /
+    * Milvus' segment-balance check): per cluster, the vector count, its
+    * load vs the uniform share in ppm (10⁶ = perfectly balanced; a hot
+    * bucket serves proportionally more of every probe and sets p99
+    * latency), and the min/mean/max assignment cosine (a cluster whose
+    * MAX assignment cosine is low is a junk drawer of far-from-centroid
+    * vectors — recall loss lives there; [[embeddingOutliers]] names the
+    * individual vectors, this scores the buckets). Reuses the ONE
+    * checkpointed [[ivfAssigned]] pass every IVF consumer shares; the
+    * audit itself is a |C|-row aggregation with map-side partials and the
+    * corpus total riding a broadcast 1-row aggregate — free at any scale.
+    * The load product runs in DECIMAL(38,0) (10⁶·n·C passes int64 near
+    * 10¹² vectors — the ewma discipline). */
+  def ivfBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = ivfAssigned(spark, sfDir)
+      .select(col("cluster"), floor(col("simc") * 1000000d).cast("long").as("cfp"))
+    val per = a.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("cfp")).as("min_cos_fp"),
+        max(col("cfp")).as("max_cos_fp"), sum(col("cfp")).as("csum"))
+    val tot = per.agg(sum(col("n_vecs")).as("n_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cluster"), col("n_vecs"),
+        expr(s"(CAST(1000000 AS DECIMAL(38,0)) * n_vecs * $NumCentroids) div n_total")
+          .as("load_ppm"),
+        col("min_cos_fp"), expr("csum div n_vecs").as("mean_cos_fp"),
+        col("max_cos_fp"))
+  }
+
+  /** DuckDB twin: the knnIvf assignment CTE carrying its winning cosine
+    * (arn = 1 row — the same raw double max_by keeps), floored to the
+    * same fixed point. */
+  def ivfBalanceSql(): String =
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings
+       |  WHERE vec_id < $NumCentroids),
+       |a AS (SELECT vec_id, cluster, CAST(floor(cos * 1000000.0) AS BIGINT) AS cfp FROM (
+       |    SELECT e.vec_id, c.cent_id AS cluster, ${cosineSql("e", "c")} AS cos,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("e", "c")} DESC, c.cent_id ASC) AS arn
+       |    FROM embeddings e CROSS JOIN cent c) WHERE arn = 1),
+       |per AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+       |    min(cfp) AS mn, max(cfp) AS mx, sum(cfp) AS cs
+       |  FROM a GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total FROM per)
+       |SELECT cluster, n_vecs,
+       |  CAST((CAST(1000000 AS HUGEINT) * n_vecs * $NumCentroids) // n_total AS BIGINT) AS load_ppm,
+       |  CAST(mn AS BIGINT) AS min_cos_fp,
+       |  CAST(cs // n_vecs AS BIGINT) AS mean_cos_fp,
+       |  CAST(mx AS BIGINT) AS max_cos_fp
+       |FROM per, t""".stripMargin
+
   /** IVF-bucketed near-duplicate pairs: cosine ≥ threshold among
     * SORTED-NEIGHBORHOOD candidates within a cluster. The approximate
     * scale path for embedding dedup; recall is bounded by cluster

@@ -784,6 +784,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"never a shuffled or physical-cartesian join:\n$p")
   }
 
+  test("ivf_balance: a |C|-row aggregation over the checkpointed assignment; total rides one broadcast") {
+    val p = plan("ivf_balance")
+    assert(nodes(p, "Scan parquet") === 0,
+      s"the audit must read the shared checkpointed ivfAssigned blocks:\n$p")
+    assert(nodes(p, "BroadcastNestedLoopJoin") === 1,
+      s"the corpus total reaches the |C|-row frame as ONE broadcast:\n$p")
+    assert(nodes(p, "SortMergeJoin") === 0 && !p.contains("CartesianProduct"),
+      s"never a shuffled or physical-cartesian join:\n$p")
+  }
+
   test("mix_epochs_plan: corpus collapsed to a checkpointed |langs|-row frame; downstream is broadcast-only") {
     val p = plan("mix_epochs_plan")
     assert(nodes(p, "Scan parquet") === 0,
