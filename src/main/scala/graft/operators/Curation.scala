@@ -928,7 +928,7 @@ object Curation {
     val rep = repetitionOfTokenized(base).select(col("doc_id"), col("top_bigram_frac"))
     val sh = Dedup.shinglesOfTokenized(base).localCheckpoint()
     val contam = contaminationOfShingles(sh).select(col("doc_id"), col("contamination_frac"))
-    val nonCanonical = Dedup.clustersOfPairs(Dedup.minhashLshOfShingles(sh))
+    val nonCanonical = Dedup.clustersOfPairs(Dedup.minhashLshStarOfShingles(sh))
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"), lit(1L).as("dup"))
     val flags = q

@@ -660,6 +660,34 @@ object Dedup {
       "doc_a", "doc_b")
       .distinct()
 
+  /** STAR-pairing variant of [[minhashLshOfShingles]] for CONNECTIVITY
+    * consumers ([[clusters]] and the composites built on it): each bucket
+    * member pairs with the bucket MINIMUM instead of with every other
+    * member. The connected components are PROVABLY identical — star edges
+    * are a subset of the all-pairs set (every (min, x) is an in-bucket
+    * pair), and every all-pairs edge (x, y) stays reachable through the
+    * bucket head x — min — y — so [[clustersOfPairs]] converges to the
+    * same min-label map (StarPairsSpec asserts the equivalence on real
+    * data and a crafted bucket). Cost is the difference between
+    * Σ|B|·(|B|−1)/2 and Σ(|B|−1) pair rows: on a corpus whose duplicate
+    * clusters hold k copies the all-pairs graph grows k² while the data
+    * grows k — the round-11 sf100 audit measured curation_funnel at
+    * 1881 s on 1000-replica data with the quadratic form, where every
+    * LSH bucket held ~1000 ids (2.5·10⁹ distinct pairs from a 5M-doc
+    * corpus). Consumers whose OUTPUT is the pair list itself
+    * ([[minhashLsh]] the registered query, [[graphPagerank]]'s edge
+    * weights, splitLeakage's cross-split pair count) keep the all-pairs
+    * form — pair multiplicity is their semantics; connectivity is not. */
+  def minhashLshStarOfShingles(sh0: DataFrame): DataFrame =
+    minhashBands(sh0).groupBy(col("band"), col("bk"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "transform(slice(ids, 2, size(ids) - 1), y -> struct(ids[0] AS doc_a, y AS doc_b))"))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+
   /** (doc_id, band, bk) LSH band keys — the signature half of the MinHash
     * pipeline, shared by the self-dedup pair expansion and the
     * cross-corpus [[incremental]] probe. */
@@ -786,7 +814,9 @@ object Dedup {
     * runs the loop and a per-round 1-row convergence probe; all data stays
     * distributed. This is the standard Pregel-style CC at 100 TB scale. */
   def clusters(spark: SparkSession, sfDir: String, maxIters: Int = 20): DataFrame =
-    clustersOfPairs(minhashLsh(spark, sfDir), maxIters)
+    // star pairs: identical components at bucket-LINEAR pair volume (see
+    // minhashLshStarOfShingles — the round-11 sf100 audit's fix)
+    clustersOfPairs(minhashLshStarOfShingles(shingles(spark, sfDir)), maxIters)
 
   /** Connected components over ANY (doc_a, doc_b) pair DataFrame —
     * [[clusters]] wires it to the LSH candidates; the property spec feeds

@@ -494,7 +494,7 @@ object Sampling {
     val sh = Dedup.shinglesOfTokenized(base).localCheckpoint()
     val contam = Curation.contaminationOfShingles(sh)
       .select(col("doc_id"), col("contamination_frac"))
-    val nonCanonical = Dedup.clustersOfPairs(Dedup.minhashLshOfShingles(sh))
+    val nonCanonical = Dedup.clustersOfPairs(Dedup.minhashLshStarOfShingles(sh))
       .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
     val wQuota = Window.partitionBy(col("lang"))
       .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
