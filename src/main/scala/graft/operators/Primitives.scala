@@ -17,6 +17,13 @@ object Hashing {
   def md5LongSql(e: String): String =
     s"('0x' || substr(md5($e), 1, 14))::BIGINT"
 
+  /** Spark-SQL-text twin of [[md5Long]] — for the operators that need the
+    * hash INSIDE a lambda of an `expr(...)` string (higher-order array
+    * functions take SQL text, not Columns). Must stay expression-identical
+    * to the Column form; HashingSpec pins the equivalence. */
+  def md5LongSparkSql(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 14), 16, 10) AS LONG)"
+
   /** Driver-side JVM twin of [[md5Long]] — for the handful of constant
     * probe keys an operator needs hashed OUTSIDE a Catalyst expression
     * (e.g. the streaming CMS probe cells). Must stay bit-identical to the

@@ -917,4 +917,151 @@ object TextAnalysis {
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
       |  CAST(sum(n_chars) // count(*) AS BIGINT) AS avg_chars
       |FROM documents GROUP BY lang""".stripMargin
+
+  /** Feature-hash bucket count for [[classifierGate]] — the fastText /
+    * DCLM "hashing trick" dimension (Weinberger et al. ICML 2009; Joulin
+    * et al. 2017 §2.1). */
+  val ClsBuckets = 4096L
+
+  /** Fixed-point half-width of the classifier weights: each bucket's
+    * weight is an integer in [-1000, 1000] (scale 1e-3). */
+  val ClsWRange = 1000L
+
+  /** MODEL-BASED quality gate: the hashed linear text classifier every
+    * frontier curation pipeline runs after the rule gates (GPT-3's
+    * WebText LR filter, CCNet's fastText step, DCLM-Baseline's fastText
+    * classifier — the single highest-leverage intervention in the DCLM
+    * ablations). Per document: token → md5-hash bucket (the hashing
+    * trick, [[ClsBuckets]] dims — vocabulary-free, so the model is a
+    * fixed-size array at ANY corpus scale), score = Σ per-token bucket
+    * weights, verdict = score > 0. The weights here are a FIXED
+    * pseudo-random projection (weight(b) = md5("w:"+b) mod 2001 − 1000)
+    * standing in for trained coefficients — training is out of scope, but
+    * the serving plumbing (hash → lookup-free weight, per-doc linear
+    * score, corpus gate card) is the real thing and is what dominates
+    * cost at 100 TB; swapping trained weights in changes one lambda.
+    *
+    * Plan: the per-doc score is computed ENTIRELY inside one row-level
+    * expression — `aggregate(transform(tokens, w∘bucket), 0, +)` — so
+    * there is NO token explode and NO per-token shuffle: one codegen'd
+    * document scan, then a single (lang, source)-bounded aggregation.
+    * This is the shape that wins at 100 TB: token volume never crosses an
+    * exchange.
+    *
+    * Exactness: weights and scores are integers; the card's mean rides
+    * the SHIFTED numerator 1000·(Σw + 1000·Σtokens) ≥ 0 (each weight
+    * ≥ −1000), so the floor division is over non-negative operands and
+    * Spark's `div` (truncate) agrees with DuckDB's `//` (floor) — the
+    * sign discipline that keeps every division in the repo cross-engine
+    * exact. Wide terms run in DECIMAL(38,0)/HUGEINT (1000·Σtokens passes
+    * int64 at ~10^16 tokens — the events_ewma overflow discipline). */
+  def classifierGate(spark: SparkSession, sfDir: String): DataFrame =
+    classifierGateOfDocs(Tables.documents(spark, sfDir))
+
+  /** Core of [[classifierGate]] over any (lang, source, text) frame —
+    * separated so specs can drive crafted token streams. */
+  private[operators] def classifierGateOfDocs(docs: DataFrame): DataFrame = {
+    val tokW = s"(${Hashing.md5LongSparkSql(
+      s"concat('w:', CAST((${Hashing.md5LongSparkSql("t")} % $ClsBuckets) AS STRING))")} " +
+      s"% ${2 * ClsWRange + 1}) - $ClsWRange"
+    docs
+      .select(col("lang"), col("source"),
+        expr(s"aggregate(transform(${TextOps.tokensSparkSql}, t -> $tokW), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)").as("sw"),
+        size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("sw") > 0, 1L).otherwise(0L)).as("kept_docs"),
+        sum(col("sw")).as("sum_w"),
+        sum(col("nt")).as("sum_tokens"))
+      .select(col("lang"), col("source"), col("n_docs"), col("kept_docs"),
+        col("sum_w"), col("sum_tokens"),
+        expr(s"(CAST(1000 AS DECIMAL(38,0)) * (sum_w + $ClsWRange * sum_tokens))" +
+          " div sum_tokens").as("score_milli_shifted"))
+  }
+
+  val classifierGateSql: String = {
+    val tokW = s"((${Hashing.md5LongSql(
+      s"'w:' || CAST((${Hashing.md5LongSql("t")} % $ClsBuckets) AS VARCHAR)")} " +
+      s"% ${2 * ClsWRange + 1}) - $ClsWRange)"
+    s"""WITH d AS (SELECT lang, source,
+       |    CAST(coalesce(list_sum(list_transform(${TextOps.tokensSql},
+       |      t -> $tokW)), 0) AS BIGINT) AS sw,
+       |    len(${TextOps.tokensSql}) AS nt
+       |  FROM documents)
+       |SELECT lang, source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN sw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       |  CAST(sum(sw) AS BIGINT) AS sum_w,
+       |  CAST(sum(nt) AS BIGINT) AS sum_tokens,
+       |  CAST((1000 * (CAST(sum(sw) AS HUGEINT) + $ClsWRange * sum(nt)))
+       |    // sum(nt) AS BIGINT) AS score_milli_shifted
+       |FROM d GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Fixed-point scale for [[sourceDivergence]]: parts-per-million. */
+  val TvScale = 1000000L
+
+  /** DOMAIN-SHIFT audit card: per-source total-variation distance between
+    * the source's unigram distribution and the whole corpus's — the
+    * distribution-distance health check a mixture designer reads before
+    * setting sampling weights (the DoReMi/DSIR framing: a source whose
+    * token distribution sits far from the corpus mean needs an explicit
+    * up/down-weight decision, not silence). TV is used instead of KL
+    * because it is a finite [0,1] metric with NO transcendental terms:
+    * TV(s) = ½·Σ_t |tf_s(t)/N_s − ct(t)/N_c| evaluated division-free as
+    * (Σ_{t∈s} |tf_s·N_c − ct·N_s| + (N_c − Σ_{t∈s} ct)·N_s) / (2·N_s·N_c)
+    * — the second term folds in every vocabulary term ABSENT from the
+    * source algebraically, so zero rows are never materialized. Products
+    * reach N_c² (10^27 at 100 TB) → DECIMAL(38,0)/HUGEINT throughout (the
+    * phrase_detect cross-multiplication discipline), and every division
+    * numerator is non-negative so truncate-vs-floor agrees.
+    *
+    * Plan: one tokenize scan → (source, tok) counts with map-side
+    * partials (the ONLY token-volume exchange) → corpus-per-token and
+    * per-source totals as window sums over the vocab×|sources|-bounded
+    * aggregate (two cheap exchanges on collapsed data) → the 1-row corpus
+    * total rides a broadcast crossJoin (the phrase_detect shape) → one
+    * final |sources|-row aggregation. Nothing after the first aggregation
+    * scales with token volume. */
+  def sourceDivergence(spark: SparkSession, sfDir: String): DataFrame =
+    sourceDivergenceOfDocs(Tables.documents(spark, sfDir))
+
+  /** Core of [[sourceDivergence]] over any (source, text) frame. */
+  private[operators] def sourceDivergenceOfDocs(docs: DataFrame): DataFrame = {
+    val t1 = docs
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val t2 = t1
+      .withColumn("ct", sum(col("c")).over(Window.partitionBy(col("tok"))))
+      .withColumn("ns", sum(col("c")).over(Window.partitionBy(col("source"))))
+    val nTot = t1.agg(sum(col("c")).as("nc"))
+    t2.crossJoin(broadcast(nTot))
+      .groupBy(col("source"))
+      .agg(
+        max(col("ns")).as("n_tokens"),
+        count(lit(1)).as("vocab_terms"),
+        max(col("nc")).as("nc0"),
+        sum(expr("abs(CAST(c AS DECIMAL(38,0)) * nc - CAST(ct AS DECIMAL(38,0)) * ns)")).as("a"),
+        sum(col("ct")).as("b"))
+      .select(col("source"), col("n_tokens"), col("vocab_terms"),
+        expr(s"(CAST($TvScale AS DECIMAL(38,0)) * (a + (CAST(nc0 AS DECIMAL(38,0)) - b) * n_tokens))" +
+          " div (2 * CAST(n_tokens AS DECIMAL(38,0)) * nc0)").as("tv_ppm"))
+  }
+
+  val sourceDivergenceSql: String =
+    s"""WITH t1 AS (SELECT source, tok, count(*) AS c FROM (
+       |    SELECT source, unnest(${TextOps.tokensSql}) AS tok FROM documents)
+       |  GROUP BY 1, 2),
+       |t2 AS (SELECT source, tok, c,
+       |    sum(c) OVER (PARTITION BY tok) AS ct,
+       |    sum(c) OVER (PARTITION BY source) AS ns
+       |  FROM t1),
+       |n AS (SELECT sum(c) AS nc FROM t1)
+       |SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+       |  count(*) AS vocab_terms,
+       |  CAST(($TvScale * (sum(abs(CAST(c AS HUGEINT) * nc - CAST(ct AS HUGEINT) * ns))
+       |      + (CAST(max(nc) AS HUGEINT) - sum(ct)) * max(ns)))
+       |    // (2 * CAST(max(ns) AS HUGEINT) * max(nc)) AS BIGINT) AS tv_ppm
+       |FROM t2, n GROUP BY source""".stripMargin
 }

@@ -29,6 +29,12 @@ object TextOps {
 
   val tokensSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+  /** Spark-SQL-text twin of [[tokens]] — for `expr(...)` call sites that
+    * need the token array inside a higher-order-function lambda (those
+    * take SQL text, not Columns). Spark's regexp_extract_all requires the
+    * explicit group index DuckDB defaults. */
+  val tokensSparkSql = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+
   /** Q1+Q2: word count over all document text. */
   def wordcount(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)

@@ -794,6 +794,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"never a shuffled or physical-cartesian join:\n$p")
   }
 
+  test("quality_classifier: token work fused into the scan row — no explode, no join, ONE exchange") {
+    val p = plan("quality_classifier")
+    assert(nodes(p, "Scan parquet") === 1, s"one corpus scan:\n$p")
+    assert(nodes(p, "Generate") === 0,
+      s"the per-doc score is a row-level aggregate(transform(...)) — token volume must NEVER explode:\n$p")
+    assert(!p.contains("Join"), s"scoring is join-free (hash-trick weights need no weight table):\n$p")
+    assert(nodes(p, "Exchange") === 1,
+      s"only the (lang, source) card aggregation may shuffle:\n$p")
+    assert(nodes(p, "Window") === 0, s"no window:\n$p")
+  }
+
+  test("source_divergence: one token-volume exchange; the corpus-total branch reuses it at runtime") {
+    val p = plan("source_divergence")
+    assert(nodes(p, "Generate") <= 2, s"tokenize explodes only (main + total branches pre-reuse):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row total must ride a broadcast NLJ, never a physical cartesian:\n$p")
+    assert(nodes(p, "BroadcastExchange") === 1, s"one broadcast — the corpus total:\n$p")
+    assert(nodes(p, "Window") === 2, s"the per-token and per-source totals are the two windows:\n$p")
+    // The static plan shows the total branch re-deriving the (source, tok)
+    // aggregation; at runtime AQE's exchange reuse must collapse it so the
+    // corpus pays ONE tokenize scan, not two.
+    val df = SparkEntry.queries("source_divergence")(spark, Sf)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      s"the corpus-total branch must reuse the (source, tok) exchange at runtime:\n$executed")
+  }
+
   test("mix_epochs_plan: corpus collapsed to a checkpointed |langs|-row frame; downstream is broadcast-only") {
     val p = plan("mix_epochs_plan")
     assert(nodes(p, "Scan parquet") === 0,
