@@ -92,7 +92,7 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
         .foreach { case (name, fn) =>
-          try fn(spark, warmDir).count(): Unit
+          try fn(spark, warmDir).queryExecution.toRdd.count(): Unit
           catch { case e: Throwable => System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
         }
     }
@@ -107,9 +107,27 @@ object Bench {
     // total look better.
     val byName = SparkEntry.queries
     def onePass(name: String): (Double, Boolean) = {
+      // Decade-scale heap hygiene, OUTSIDE the timed region: checkpoint
+      // blocks from a finished query are freed by the ContextCleaner only
+      // after their weak refs are GC-enqueued, and under sf100-sized
+      // allocation bursts the next query's tasks can OOM before that
+      // happens (measured: training_mix_full OOM'd at 64 g following
+      // three completed queries, but passed solo). Trigger only under
+      // real pressure so sf0.1 canonical windows never pay a full GC.
+      val rt = Runtime.getRuntime
+      if (rt.totalMemory - rt.freeMemory > rt.maxMemory / 2) System.gc()
       val t0 = System.nanoTime()
+      // FULL-ROW materialization, not Dataset.count(): count-star lets the
+      // optimizer PRUNE every aggregate expression the count doesn't need,
+      // so card-shaped queries timed a hollowed plan (measured at sf1:
+      // quality_classifier 0.78 s counted vs 5.3 s materialized, token_count
+      // 0.34 vs 2.5, q1_agg 0.51 vs 2.0). toRdd.count() walks the optimized
+      // plan's own UnsafeRow output — every column computed, nothing
+      // collected — which is the work a consumer of the result actually
+      // pays. Round 11 forward: benches are NOT comparable to the
+      // count()-era canonicals; the campaign re-baselines.
       val ok =
-        try { byName(name)(spark, sfDir).count(): Unit; true }
+        try { byName(name)(spark, sfDir).queryExecution.toRdd.count(): Unit; true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
@@ -212,7 +230,7 @@ object Bench {
       System.err.println(f"[bench] noise_index $noiseIndex%.2f accepted: exit calibration " +
         s"$exitCalJson s recovered to ${exitRatioJson}x of the window's best and every query stabilized")
     val detailsJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":$basePasses,"estimator":"median","n":${results.size},"noise_index":${f"$noiseIndex%.2f"},"calibration_sec":$calJson,"exit_calibration_sec":$exitCalJson,"exit_ratio":$exitRatioJson,"refused":${BenchCore.refusalsJson(refusals)},"failed":$failed,"rescued":$rescued,"rescue_ran":${core.rescueRan},"queries":$qs,"spread_pct":$spreads,"pass_count":$passCounts}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":$basePasses,"estimator":"median","work":"full_rows","n":${results.size},"noise_index":${f"$noiseIndex%.2f"},"calibration_sec":$calJson,"exit_calibration_sec":$exitCalJson,"exit_ratio":$exitRatioJson,"refused":${BenchCore.refusalsJson(refusals)},"failed":$failed,"rescued":$rescued,"rescue_ran":${core.rescueRan},"queries":$qs,"spread_pct":$spreads,"pass_count":$passCounts}"""
     try {
       val w = new java.io.PrintWriter(detailsPath, "UTF-8")
       try w.println(detailsJson) finally w.close()
@@ -221,7 +239,7 @@ object Bench {
     // refused[] capped at the 8 most recent on stdout (the driver tail-
     // captures ~2.2 KB); refused_n carries the campaign's full count and
     // the details artifact the full array.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","passes":$basePasses,"estimator":"median","noise_index":${f"$noiseIndex%.2f"},"refused_n":${refusals.size},"refused":${BenchCore.refusalsJson(refusals, cap = 8)},"details":"$detailsPath"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","passes":$basePasses,"estimator":"median","work":"full_rows","noise_index":${f"$noiseIndex%.2f"},"refused_n":${refusals.size},"refused":${BenchCore.refusalsJson(refusals, cap = 8)},"details":"$detailsPath"}""")
     spark.stop()
   }
 }

@@ -30,7 +30,9 @@ object Explain {
     fn(spark, sfDir).explain("formatted")
     for (r <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      // full-row materialization — same estimator as Bench (count-star
+      // would prune the aggregate expressions out of card-shaped plans)
+      val n = fn(spark, sfDir).queryExecution.toRdd.count()
       println(f"[explain] $name rep$r: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()

@@ -919,14 +919,13 @@ object Curation {
     * shuffle class at any corpus size. */
   def curationFunnel(spark: SparkSession, sfDir: String, minQuality: Double = 0.5,
       maxRep: Double = 0.1, maxContam: Double = 0.1): DataFrame = {
-    val base = Tables.documents(spark, sfDir)
+    val base = Checkpoints.ser(Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("text"))
-      .withColumn("t", TextOps.tokens(col("text")))
-      .localCheckpoint()
+      .withColumn("t", TextOps.tokens(col("text"))))
     val q = TextAnalysis.qualityOfTokenized(base)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
     val rep = repetitionOfTokenized(base).select(col("doc_id"), col("top_bigram_frac"))
-    val sh = Dedup.shinglesOfTokenized(base).localCheckpoint()
+    val sh = Checkpoints.ser(Dedup.shinglesOfTokenized(base))
     val contam = contaminationOfShingles(sh).select(col("doc_id"), col("contamination_frac"))
     val nonCanonical = Dedup.clustersOfPairs(Dedup.minhashLshStarOfShingles(sh))
       .filter(col("doc_id") =!= col("cluster_id"))

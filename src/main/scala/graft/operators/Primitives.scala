@@ -35,6 +35,24 @@ object Hashing {
   }
 }
 
+/** Checkpoint policy for CORPUS-SCALE shared artifacts (the tokenized
+  * document frame, the shingle stream): SERIALIZED storage instead of
+  * localCheckpoint's deserialized-object default. Java object form costs
+  * 2–5× the serialized bytes AND keeps every row in the GC-scanned graph —
+  * at the sf100 decade the flagship's two checkpoints held tens of GB of
+  * live objects and task allocation raced the ContextCleaner to OOM (the
+  * round-11 audit's finding). Serialized blocks are byte arrays the GC
+  * walks in O(1), spill to local dirs under pressure, and deserialize
+  * streaming on iteration — the standard Spark posture for large cached
+  * working sets. Row-bounded frames (a |langs| rollup, a probe set) keep
+  * the plain deserialized default; only corpus-scale frames pay the
+  * per-iteration deserialization. */
+object Checkpoints {
+  def ser(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+}
+
 /** In-bucket pair expansion shared by every LSH-family operator (MinHash
   * bands, SRP codes, winnowing fingerprints): a bucket's sorted member
   * array expands to its (i < j) pairs INSIDE the bucket — the shape whose

@@ -483,15 +483,14 @@ object Sampling {
     // the checkpoint trades scratch storage for those repeat scans,
     // exactly what a production pipeline does by materializing its gate
     // columns.
-    val base = Tables.documents(spark, sfDir)
+    val base = Checkpoints.ser(Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("text"))
-      .withColumn("t", TextOps.tokens(col("text")))
-      .localCheckpoint()
+      .withColumn("t", TextOps.tokens(col("text"))))
     val docs = base.select(col("doc_id"), col("lang"))
     val quality = TextAnalysis.qualityOfTokenized(base)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
     val rep = Curation.repetitionOfTokenized(base).select(col("doc_id"), col("top_bigram_frac"))
-    val sh = Dedup.shinglesOfTokenized(base).localCheckpoint()
+    val sh = Checkpoints.ser(Dedup.shinglesOfTokenized(base))
     val contam = Curation.contaminationOfShingles(sh)
       .select(col("doc_id"), col("contamination_frac"))
     val nonCanonical = Dedup.clustersOfPairs(Dedup.minhashLshStarOfShingles(sh))
