@@ -135,6 +135,177 @@ object BenchCore {
   case class Q(name: String, median: Double, spreadPct: Double, passes: Int,
       ok: Boolean, rescued: Boolean = false)
 
+  // --------------------------------------------------------------------
+  // Per-query quiet-window ASSEMBLY (round 12). The acceptance gate judges
+  // a WINDOW: one calibration excursion anywhere in ~26 minutes refuses
+  // the whole capture, and as the surface grows a uniformly-quiet window
+  // gets rarer (round 11: four refusals, zero acceptances — the gate was
+  // refusing evidence, not hiding regressions). The acceptance UNIT
+  // therefore generalizes from window to QUERY: every window (refused or
+  // not) persists its per-query medians to a sidecar, and once at least
+  // [[MinAssemblyWindows]] same-code windows exist, the canonical is
+  // assembled per query as the MINIMUM median over the windows where that
+  // query was STABLE ([[stableIn]]). min is the same monotonicity
+  // argument the rescue sweep's min(old, re-run) already trusts: external
+  // interference only ever INFLATES a timing, and each candidate is
+  // itself a median of 3–5 passes, so the min over window-medians is the
+  // least-interfered honest estimate, not a lucky single pass. Windows
+  // mixing code versions must never assemble together — eligibility
+  // requires an exact codeId (git HEAD) + sf + work + query-set match.
+  // --------------------------------------------------------------------
+
+  /** Minimum same-code windows before an assembled canonical may land:
+    * with one window, "assembly" would just bypass the window gate. */
+  val MinAssemblyWindows = 2
+
+  /** Was this query's measurement quiet IN ITS OWN WINDOW? A multi-second
+    * query that escalated to 5 passes and STILL spread >50% is direct
+    * evidence a throttle landed on it and outlasted escalation — its
+    * median is corrupted and must not feed the assembly. Sub-second
+    * queries carry no relative-spread signal (scheduler jitter dominates)
+    * and rely on the cross-window min instead. */
+  def stableIn(q: Q): Boolean =
+    q.ok && !(q.median >= DirtyMedianFloor && q.passes >= 5 && q.spreadPct > UnstableSpread)
+
+  /** One full bench window as persisted to the windows sidecar. */
+  case class WindowRecord(ts: String, codeId: String, sf: String, work: String,
+      noiseIndex: Double, exitRatio: Option[Double], spreadDirty: Boolean,
+      queries: Seq[Q])
+
+  def renderWindow(w: WindowRecord): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val qs = org.json4s.JArray(w.queries.toList.map(q =>
+      ("n" -> q.name) ~ ("m" -> q.median) ~ ("s" -> q.spreadPct) ~
+        ("p" -> q.passes) ~ ("ok" -> q.ok)))
+    JsonMethods.compact(JsonMethods.render(
+      ("ts" -> w.ts) ~ ("code" -> w.codeId) ~ ("sf" -> w.sf) ~
+        ("work" -> w.work) ~ ("ni" -> w.noiseIndex) ~
+        ("er" -> w.exitRatio) ~ ("sd" -> w.spreadDirty) ~ ("q" -> qs)))
+  }
+
+  /** Strict inverse of [[renderWindow]]; a corrupt line parses to None
+    * and is dropped rather than poisoning the assembly. */
+  def parseWindow(line: String): Option[WindowRecord] = {
+    import org.json4s._
+    try {
+      val j = jackson.JsonMethods.parse(line)
+      def str(f: String) = j \ f match { case JString(s) => s; case _ => throw new MatchError(f) }
+      def dbl(v: JValue) = v match {
+        case JDouble(d) => d; case JInt(i) => i.toDouble
+        case JDecimal(d) => d.toDouble; case JLong(l) => l.toDouble
+        case other => throw new MatchError(other)
+      }
+      val er = j \ "er" match { case JNothing | JNull => None; case v => Some(dbl(v)) }
+      val sd = j \ "sd" match { case JBool(b) => b; case _ => throw new MatchError("sd") }
+      val qs = j \ "q" match {
+        case JArray(items) => items.map { it =>
+          Q(
+            name = it \ "n" match { case JString(s) => s; case _ => throw new MatchError("n") },
+            median = dbl(it \ "m"), spreadPct = dbl(it \ "s"),
+            passes = dbl(it \ "p").toInt,
+            ok = it \ "ok" match { case JBool(b) => b; case _ => throw new MatchError("ok") })
+        }
+        case _ => throw new MatchError("q")
+      }
+      Some(WindowRecord(str("ts"), str("code"), str("sf"), str("work"),
+        dbl(j \ "ni"), er, sd, qs))
+    } catch { case _: Throwable => None }
+  }
+
+  /** Windows that may assemble with a capture identified by (codeId, sf,
+    * work, names): same commit, same data, same estimator, same query
+    * set. codeId "unknown" never matches anything (including itself) —
+    * an unidentifiable build must not cross-assemble. */
+  def eligibleWindows(windows: Seq[WindowRecord], codeId: String, sf: String,
+      work: String, names: Seq[String]): Seq[WindowRecord] = {
+    val nameSet = names.toSet
+    if (codeId == "unknown") Seq.empty
+    else windows.filter(w => w.codeId == codeId && w.sf == sf && w.work == work &&
+      w.queries.map(_.name).toSet == nameSet)
+  }
+
+  /** One assembled per-query result: the chosen window-median, which
+    * window it came from (index into the eligible-window list), how many
+    * windows offered a stable candidate, and the cross-window agreement
+    * spread over those candidates ((max-min)/min %, 0 when single). */
+  case class AssembledQ(name: String, median: Double, spreadPct: Double,
+      passes: Int, fromWindow: Int, candidates: Int, xwSpreadPct: Double)
+
+  case class Assembled(queries: Seq[AssembledQ], windows: Int)
+
+  /** Assemble a canonical from per-query quiet windows, or None when the
+    * evidence is insufficient: fewer than [[MinAssemblyWindows]] windows,
+    * or some query has no stable candidate in any of them. */
+  def assemble(windows: Seq[WindowRecord], names: Seq[String]): Option[Assembled] = {
+    if (windows.size < MinAssemblyWindows) return None
+    val perQuery = names.map { name =>
+      val cands = windows.zipWithIndex.flatMap { case (w, i) =>
+        w.queries.find(_.name == name).filter(stableIn).map(q => (q, i))
+      }
+      if (cands.isEmpty) return None
+      val (best, from) = cands.minBy(_._1.median)
+      val meds = cands.map(_._1.median)
+      val xw = if (meds.min > 0) (meds.max - meds.min) / meds.min * 100 else 0.0
+      AssembledQ(name, best.median, best.spreadPct, best.passes, from,
+        cands.size, xw)
+    }
+    Some(Assembled(perQuery, windows.size))
+  }
+
+  /** Untimed data-warm pass (round 12, from the round-11 ladder finding:
+    * dedup_lsh_tune's 22–48% sf10 spreads collapsed to 3.3% once the
+    * parquet bytes were page-cache-warm — first-pass cold reads were
+    * masquerading as plan noise). Reads every byte of every file under
+    * `dir` so the OS page cache holds the corpus before the first timed
+    * pass; returns total bytes so callers can log what was warmed. The
+    * JIT warmup at sf0.001 cannot do this job — it never touches the
+    * measured directory's files. */
+  def warmData(dir: java.io.File, log: String => Unit = _ => ()): Long = {
+    def filesUnder(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(filesUnder)
+      else if (f.isFile) Seq(f) else Seq.empty
+    val buf = new Array[Byte](8 * 1024 * 1024)
+    var total = 0L
+    filesUnder(dir).foreach { f =>
+      val in = new java.io.FileInputStream(f)
+      try {
+        var n = in.read(buf)
+        while (n >= 0) { total += n; n = in.read(buf) }
+      } catch { case e: Throwable =>
+        log(s"[bench] data-warm ${f.getPath}: ${e.getMessage}")
+      } finally in.close()
+    }
+    total
+  }
+
+  /** Current commit id for window-assembly eligibility: resolves
+    * .git/HEAD (following one symbolic ref, incl. packed-refs), truncated
+    * to 12 hex chars. "unknown" when unreadable or the ref is unborn —
+    * which [[eligibleWindows]] treats as never-matching. */
+  def gitHeadId(repoDir: java.io.File): String = {
+    def readFile(f: java.io.File): Option[String] =
+      if (!f.isFile) None
+      else try {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try Some(src.mkString.trim) finally src.close()
+      } catch { case _: Throwable => None }
+    val head = readFile(new java.io.File(repoDir, ".git/HEAD"))
+    val resolved = head.flatMap { h =>
+      if (!h.startsWith("ref: ")) Some(h)
+      else {
+        val ref = h.stripPrefix("ref: ").trim
+        readFile(new java.io.File(repoDir, s".git/$ref")).orElse(
+          readFile(new java.io.File(repoDir, ".git/packed-refs")).flatMap { pr =>
+            pr.linesIterator.map(_.trim)
+              .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
+              .map(_.split(" ", 2)(0))
+          })
+      }
+    }
+    resolved.filter(_.matches("[0-9a-f]{12,40}")).map(_.take(12)).getOrElse("unknown")
+  }
+
   case class Result(queries: Seq[Q], calibrations: Seq[Double], noiseIndex: Double,
       rescueRan: Boolean, recoveryProbes: Int)
 

@@ -965,10 +965,17 @@ object TextAnalysis {
       s"concat('w:', CAST((${Hashing.md5LongSparkSql("t")} % $ClsBuckets) AS STRING))")} " +
       s"% ${2 * ClsWRange + 1}) - $ClsWRange"
     docs
+      // Tokenize ONCE in a prior projection and derive both the weighted
+      // sum and the token count from the same array: the regex extraction
+      // is the dominant scan cost, and deriving nt from a second
+      // tokens(text) call would make the single-regex-pass property
+      // depend on codegen common-subexpression elimination instead of the
+      // plan's structure.
+      .select(col("lang"), col("source"), TextOps.tokens(col("text")).as("toks"))
       .select(col("lang"), col("source"),
-        expr(s"aggregate(transform(${TextOps.tokensSparkSql}, t -> $tokW), " +
+        expr(s"aggregate(transform(toks, t -> $tokW), " +
           "CAST(0 AS BIGINT), (a, x) -> a + x)").as("sw"),
-        size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+        size(col("toks")).cast("long").as("nt"))
       .groupBy(col("lang"), col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -977,8 +984,12 @@ object TextAnalysis {
         sum(col("nt")).as("sum_tokens"))
       .select(col("lang"), col("source"), col("n_docs"), col("kept_docs"),
         col("sum_w"), col("sum_tokens"),
-        expr(s"(CAST(1000 AS DECIMAL(38,0)) * (sum_w + $ClsWRange * sum_tokens))" +
-          " div sum_tokens").as("score_milli_shifted"))
+        // sum_w widens to DECIMAL(38,0) INSIDE the parens so the whole
+        // shifted numerator runs wide — matching the oracle twin's HUGEINT
+        // discipline; evaluating (sum_w + 1000·sum_tokens) in BIGINT first
+        // would wrap silently past ~9.2e15 tokens per (lang, source).
+        expr(s"(CAST(1000 AS DECIMAL(38,0)) * (CAST(sum_w AS DECIMAL(38,0))" +
+          s" + $ClsWRange * sum_tokens)) div sum_tokens").as("score_milli_shifted"))
   }
 
   val classifierGateSql: String = {

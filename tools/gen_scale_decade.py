@@ -108,19 +108,31 @@ def gen_documents(t: pa.Table, c: int) -> pa.Table:
     return pa.table([cols[n] for n in t.column_names], names=t.column_names)
 
 
+def copy_transform(dim: int, c: int):
+    """The per-copy orthogonal transform: a SEEDED signed permutation of the
+    dimensions. Signed permutations are orthogonal (each output coordinate
+    is ±1 times exactly one input coordinate), so within-copy pairwise
+    cosines are preserved EXACTLY; distinct copies draw independent
+    permutations+signs from a per-copy-seeded RNG, so no two copies share a
+    transform at any replica count. The previous cyclic-roll scheme
+    repeated every `dim` copies (roll 7c mod 128 with gcd(7,128)=1), which
+    gave every vector ~COPIES/dim exact(-or-negated) twins at the sf100
+    decade — meaningless data for embedding dedup, the very family the
+    decade exists to audit. Collision probability for two seeded draws is
+    1/(2^dim * dim!) ~ 0; the --selfcheck mode asserts distinctness
+    outright for any COPIES."""
+    rng = np.random.default_rng(10_000_019 + c)
+    perm = rng.permutation(dim)
+    signs = rng.choice(np.array([-1.0, 1.0], dtype=np.float32), size=dim)
+    return perm, signs
+
+
 def gen_embeddings(t: pa.Table, c: int) -> pa.Table:
     if c == 0:
         return t
     mat = np.stack(t.column("embedding").to_pylist()).astype(np.float32)
-    rolled = np.roll(mat, 7 * c, axis=1)  # orthogonal: within-copy geometry intact
-    # Rolls repeat mod the vector dim: copies dim apart would otherwise get
-    # IDENTICAL vectors (spurious cross-copy exact dups once COPIES > dim).
-    # A global sign flip per roll cycle is also orthogonal, preserves
-    # within-copy pairwise cosines, and puts repeat-cycle copies at
-    # cosine -1 from their twins — decorrelated, like every other pair.
-    dim = mat.shape[1]
-    if ((7 * c) // dim) % 2 == 1:
-        rolled = -rolled
+    perm, signs = copy_transform(mat.shape[1], c)
+    rolled = mat[:, perm] * signs
     emb = pa.array([row for row in rolled], type=t.schema.field("embedding").type)
     vec = pa.array(t.column("vec_id").combine_chunks().to_numpy() + V_OFF * c,
                    type=pa.int64())
@@ -128,9 +140,47 @@ def gen_embeddings(t: pa.Table, c: int) -> pa.Table:
     return pa.table([cols[n] for n in t.column_names], names=t.column_names)
 
 
+def selfcheck(copies: int, dim: int = 128, n: int = 50) -> None:
+    """Generator spec (runs with --selfcheck COPIES [DIM]): asserts the
+    embedding-transform properties the scaling audit depends on —
+    (a) every per-copy transform is DISTINCT (no copy shares a signed
+    permutation with any other, so no cross-copy exact-or-negated twins),
+    (b) each transform is orthogonal in effect: within-copy pairwise dot
+    products match the original to float tolerance,
+    (c) cross-copy correlation is near zero for generic vectors."""
+    seen = set()
+    for c in range(copies):
+        perm, signs = copy_transform(dim, c)
+        key = (tuple(perm.tolist()), tuple(signs.tolist()))
+        assert key not in seen, f"copy {c} repeats an earlier transform"
+        seen.add(key)
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    g0 = mat @ mat.T
+    worst_xcopy = 0.0
+    for c in [1, 2, copies // 2, copies - 1]:
+        if c < 1:
+            continue
+        perm, signs = copy_transform(dim, c)
+        tc = mat[:, perm] * signs
+        gc = tc @ tc.T
+        assert np.allclose(g0, gc, atol=1e-5), f"copy {c} broke within-copy geometry"
+        worst_xcopy = max(worst_xcopy, float(np.abs(tc @ mat.T).max()))
+    # random-normal unit vectors under independent signed permutations:
+    # cosines concentrate near 0 at O(1/sqrt(dim)); 6 sigma is a loose bound
+    assert worst_xcopy < 6.0 / np.sqrt(dim), f"cross-copy cosine too high: {worst_xcopy}"
+    print(f"selfcheck OK: {copies} distinct transforms, within-copy geometry exact, "
+          f"max cross-copy |cos| {worst_xcopy:.4f}")
+
+
 def main() -> None:
     import os
 
+    if len(sys.argv) > 1 and sys.argv[1] == "--selfcheck":
+        selfcheck(int(sys.argv[2]) if len(sys.argv) > 2 else 1000,
+                  int(sys.argv[3]) if len(sys.argv) > 3 else 128)
+        return
     os.makedirs(DST, exist_ok=True)
     for name in AS_IS:
         t = pq.read_table(f"{SRC}/{name}.parquet")
