@@ -202,8 +202,17 @@ object Bench {
       q.ok && q.median >= BenchCore.DirtyMedianFloor &&
         q.passes >= 5 && q.spreadPct > BenchCore.UnstableSpread)
     val requestedPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS", "bench_details.json")
-    val detailsPath = BenchCore.detailsPathFor(requestedPath, noiseIndex, exitRatioOpt, spreadDirty)
-    val accepted = detailsPath == requestedPath
+    // A BENCH_ONLY subset run must NEVER write the canonical details path:
+    // a quiet 2-query window would otherwise clobber the full-surface
+    // canonical with an n=2 artifact. Subset details always divert to
+    // .subset; their evidence reaches the canonical only through the
+    // windows sidecar + offline assembly.
+    val isSubset = only.nonEmpty
+    val gateAccepted = BenchCore.canonicalAcceptable(noiseIndex, exitRatioOpt, spreadDirty)
+    val detailsPath =
+      if (isSubset) requestedPath + ".subset"
+      else BenchCore.detailsPathFor(requestedPath, noiseIndex, exitRatioOpt, spreadDirty)
+    val accepted = !isSubset && gateAccepted
     val exitCalJson = exitCalOpt.map(fmt).getOrElse("null")
     val exitRatioJson = exitRatioOpt.map(r => f"$r%.2f").getOrElse("null")
     // Refused-window campaign telemetry (round-11 ask #7): refusals append
@@ -222,7 +231,8 @@ object Bench {
         System.err.println(s"[bench] refusal sidecar read failed: ${e.getMessage}"); Seq.empty
       }
     val refusals: Seq[BenchCore.Refusal] =
-      if (accepted) {
+      if (isSubset) priorRefusals // subset runs are not campaign windows
+      else if (accepted) {
         if (sidecarFile.isFile && !sidecarFile.delete())
           System.err.println(s"[bench] could not clear refusal sidecar $sidecarPath")
         priorRefusals
@@ -238,7 +248,7 @@ object Bench {
         }
         priorRefusals :+ cur
       }
-    if (!accepted)
+    if (!accepted && !isSubset)
       System.err.println(f"[bench] noise_index $noiseIndex%.2f, exit_ratio $exitRatioJson%s, " +
         s"spread_dirty $spreadDirty: canonical capture refused (window ${refusals.size} of the " +
         s"campaign), details diverted to $detailsPath")
@@ -254,19 +264,38 @@ object Bench {
     System.err.println(s"[bench] details=$detailsJson")
 
     // ---- Per-query quiet-window assembly (round 12, BenchCore scaladoc).
-    // Every FULL-surface, full-pass window (accepted or refused) appends
-    // its per-query medians to a windows sidecar keyed by git HEAD; when a
-    // window is refused but >=2 same-code windows exist and every query
-    // has at least one stable candidate, the canonical is ASSEMBLED from
+    // Every full-pass window (accepted or refused, full-surface or a
+    // TARGETED BENCH_ONLY re-measure of specific unadjudicated queries)
+    // appends its per-query medians to a windows sidecar keyed by git
+    // HEAD; when a FULL-surface window is refused but >=2 same-code
+    // windows exist and every query has at least one stable (or
+    // cross-window-agreeing) candidate, the canonical is ASSEMBLED from
     // the per-query minima and lands at the requested path, explicitly
-    // marked. Single-pass probes (basePasses 1) and BENCH_ONLY subsets
-    // never feed the sidecar.
+    // marked. Single-pass probes (basePasses 1) never feed the sidecar,
+    // and subset windows never trigger in-process assembly themselves
+    // (graft.BenchAssemble is the offline path that can conclude a
+    // campaign after a targeted re-measure).
     val codeId = sys.env.getOrElse("SPARK_GRAFT_CODE_ID",
       BenchCore.gitHeadId(new java.io.File(".")))
     val windowsPath = requestedPath + ".windows.jsonl"
     val windowsFile = new java.io.File(windowsPath)
-    val fullSurfaceWindow = only.isEmpty && basePasses >= 3
+    val sidecarEligible = basePasses >= 3
+    val fullSurfaceWindow = only.isEmpty && sidecarEligible
     var assembled: Option[BenchCore.Assembled] = None
+    if (sidecarEligible && isSubset) {
+      // Targeted subset window: persist the evidence; assembly is offline.
+      val ts = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("MM-dd'T'HH:mm:ss"))
+      val rec = BenchCore.WindowRecord(ts, codeId, sfDir, "full_rows",
+        noiseIndex, exitRatioOpt, spreadDirty, results)
+      try {
+        val w = new java.io.FileWriter(windowsFile, java.nio.charset.StandardCharsets.UTF_8, true)
+        try w.write(BenchCore.renderWindow(rec) + "\n") finally w.close()
+        System.err.println(s"[bench] subset window (${results.size} queries) appended to $windowsPath")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] windows sidecar append failed: ${e.getMessage}")
+      }
+    }
     if (fullSurfaceWindow) {
       val ts = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
         .format(java.time.format.DateTimeFormatter.ofPattern("MM-dd'T'HH:mm:ss"))
@@ -298,15 +327,8 @@ object Bench {
               s"window(s) for code $codeId (need >=${BenchCore.MinAssemblyWindows} with every query stable somewhere)")
           case Some(asm) =>
             val aTotal = asm.queries.map(_.median).sum
-            val aQs = asm.queries.map(q => "\"" + q.name + "\":" + fmt(q.median)).mkString("{", ",", "}")
-            val aSpreads = asm.queries.map(q => "\"" + q.name + "\":" + f"${q.spreadPct}%.1f").mkString("{", ",", "}")
-            val aPasses = asm.queries.map(q => "\"" + q.name + "\":" + q.passes).mkString("{", ",", "}")
-            val aFrom = asm.queries.map(q => "\"" + q.name + "\":" + q.fromWindow).mkString("{", ",", "}")
-            val aCands = asm.queries.map(q => "\"" + q.name + "\":" + q.candidates).mkString("{", ",", "}")
-            val aXw = asm.queries.map(q => "\"" + q.name + "\":" + f"${q.xwSpreadPct}%.1f").mkString("{", ",", "}")
-            val wNoise = eligible.map(w => f"${w.noiseIndex}%.2f").mkString("[", ",", "]")
-            val asmJson =
-              s"""{"metric":"total","value":${fmt(aTotal)},"unit":"sec","sf":"$sfDir","passes":$basePasses,"estimator":"assembled_min_median","work":"full_rows","n":${asm.queries.size},"assembled_from":${asm.windows},"code_id":"$codeId","window_noise":$wNoise,"refused":${BenchCore.refusalsJson(refusals)},"failed":[],"queries":$aQs,"spread_pct":$aSpreads,"pass_count":$aPasses,"from_window":$aFrom,"candidates":$aCands,"xw_spread_pct":$aXw}"""
+            val asmJson = BenchCore.assembledJson(asm, sfDir, basePasses, codeId,
+              eligible.map(_.noiseIndex), refusals)
             try {
               val w = new java.io.PrintWriter(requestedPath, "UTF-8")
               try w.println(asmJson) finally w.close()

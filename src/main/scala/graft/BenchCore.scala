@@ -214,43 +214,99 @@ object BenchCore {
   }
 
   /** Windows that may assemble with a capture identified by (codeId, sf,
-    * work, names): same commit, same data, same estimator, same query
-    * set. codeId "unknown" never matches anything (including itself) —
-    * an unidentifiable build must not cross-assemble. */
+    * work, names): same commit, same data, same estimator, and a query
+    * set CONTAINED in the registry being assembled — full-surface windows
+    * carry all names; a TARGETED subset window (a BENCH_ONLY re-measure of
+    * the specific queries a campaign could not adjudicate) carries fewer.
+    * Per-query acceptance makes the subset window valid evidence: it
+    * measures the identical plan with the identical warmup/calibration
+    * machinery, and the cross-window min can only move a median DOWN to a
+    * quieter measurement. codeId "unknown" never matches anything
+    * (including itself) — an unidentifiable build must not
+    * cross-assemble. */
   def eligibleWindows(windows: Seq[WindowRecord], codeId: String, sf: String,
       work: String, names: Seq[String]): Seq[WindowRecord] = {
     val nameSet = names.toSet
     if (codeId == "unknown") Seq.empty
     else windows.filter(w => w.codeId == codeId && w.sf == sf && w.work == work &&
-      w.queries.map(_.name).toSet == nameSet)
+      w.queries.nonEmpty && w.queries.map(_.name).toSet.subsetOf(nameSet))
   }
 
   /** One assembled per-query result: the chosen window-median, which
     * window it came from (index into the eligible-window list), how many
-    * windows offered a stable candidate, and the cross-window agreement
-    * spread over those candidates ((max-min)/min %, 0 when single). */
+    * windows offered a candidate, the cross-window agreement spread over
+    * those candidates ((max-min)/min %, 0 when single), and whether the
+    * evidence was a QUIET window ([[stableIn]]) or the cross-window
+    * agreement fallback. */
   case class AssembledQ(name: String, median: Double, spreadPct: Double,
-      passes: Int, fromWindow: Int, candidates: Int, xwSpreadPct: Double)
+      passes: Int, fromWindow: Int, candidates: Int, xwSpreadPct: Double,
+      quiet: Boolean = true)
 
   case class Assembled(queries: Seq[AssembledQ], windows: Int)
 
+  /** Cross-window AGREEMENT fallback bound: a query whose every window
+    * shows >[[UnstableSpread]]% pass spread (an occasional throttled pass
+    * in each window — measured on this host for a dozen GC-heavy
+    * multi-second queries in EVERY window of the round-12 campaign) can
+    * still assemble when its window-MEDIANS agree within this bound
+    * across >= 2 windows: the median of 5 passes is robust to minority
+    * corruption, and two windows measured hours apart agreeing within a
+    * quarter while their raw passes spread 60–200% is evidence the
+    * medians themselves are honest — independent throttles would have to
+    * corrupt both windows by the same factor to fake it. min is then the
+    * same inflation-only choice as everywhere else. Queries that fail
+    * BOTH rules (no quiet window AND medians in real disagreement, e.g.
+    * 1.4 vs 2.7 s) block assembly — that disagreement is precisely an
+    * unadjudicated measurement, and inventing a number for it would
+    * defeat the gate. */
+  val AgreementSpreadPct = 25.0
+
   /** Assemble a canonical from per-query quiet windows, or None when the
     * evidence is insufficient: fewer than [[MinAssemblyWindows]] windows,
-    * or some query has no stable candidate in any of them. */
+    * or some query has neither a stable candidate ([[stableIn]]) nor
+    * cross-window median agreement ([[AgreementSpreadPct]]). */
   def assemble(windows: Seq[WindowRecord], names: Seq[String]): Option[Assembled] = {
     if (windows.size < MinAssemblyWindows) return None
     val perQuery = names.map { name =>
-      val cands = windows.zipWithIndex.flatMap { case (w, i) =>
-        w.queries.find(_.name == name).filter(stableIn).map(q => (q, i))
+      val okCands = windows.zipWithIndex.flatMap { case (w, i) =>
+        w.queries.find(_.name == name).filter(_.ok).map(q => (q, i))
       }
-      if (cands.isEmpty) return None
-      val (best, from) = cands.minBy(_._1.median)
-      val meds = cands.map(_._1.median)
-      val xw = if (meds.min > 0) (meds.max - meds.min) / meds.min * 100 else 0.0
-      AssembledQ(name, best.median, best.spreadPct, best.passes, from,
-        cands.size, xw)
+      val stableCands = okCands.filter(c => stableIn(c._1))
+      def pick(cands: Seq[(Q, Int)], quiet: Boolean) = {
+        val (best, from) = cands.minBy(_._1.median)
+        val meds = cands.map(_._1.median)
+        val xw = if (meds.min > 0) (meds.max - meds.min) / meds.min * 100 else 0.0
+        AssembledQ(name, best.median, best.spreadPct, best.passes, from,
+          cands.size, xw, quiet)
+      }
+      if (stableCands.nonEmpty) pick(stableCands, quiet = true)
+      else if (okCands.size >= 2) {
+        val cand = pick(okCands, quiet = false)
+        if (cand.xwSpreadPct <= AgreementSpreadPct) cand else return None
+      } else return None
     }
     Some(Assembled(perQuery, windows.size))
+  }
+
+  /** The assembled-canonical details artifact, shared by the in-process
+    * path (Bench, at window end) and the offline assembler
+    * ([[graft.BenchAssemble]]) so the two can never drift in format. */
+  def assembledJson(asm: Assembled, sf: String, basePasses: Int,
+      codeId: String, windowNoise: Seq[Double], refusals: Seq[Refusal]): String = {
+    def fmt(d: Double) = f"$d%.4f"
+    val aTotal = asm.queries.map(_.median).sum
+    def obj(f: AssembledQ => String) =
+      asm.queries.map(q => "\"" + q.name + "\":" + f(q)).mkString("{", ",", "}")
+    val fallback = asm.queries.filterNot(_.quiet)
+      .map("\"" + _.name + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${fmt(aTotal)},"unit":"sec","sf":"$sf","passes":$basePasses,""" +
+      s""""estimator":"assembled_min_median","work":"full_rows","n":${asm.queries.size},""" +
+      s""""assembled_from":${asm.windows},"code_id":"$codeId",""" +
+      s""""window_noise":${windowNoise.map(n => f"$n%.2f").mkString("[", ",", "]")},""" +
+      s""""refused":${refusalsJson(refusals)},"failed":[],"agreed_fallback":$fallback,""" +
+      s""""queries":${obj(q => fmt(q.median))},"spread_pct":${obj(q => f"${q.spreadPct}%.1f")},""" +
+      s""""pass_count":${obj(_.passes.toString)},"from_window":${obj(_.fromWindow.toString)},""" +
+      s""""candidates":${obj(_.candidates.toString)},"xw_spread_pct":${obj(q => f"${q.xwSpreadPct}%.1f")}}"""
   }
 
   /** Untimed data-warm pass (round 12, from the round-11 ladder finding:

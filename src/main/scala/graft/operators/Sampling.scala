@@ -352,6 +352,52 @@ object Sampling {
        |FROM documents""".stripMargin
   }
 
+  /** Epoch count for [[epochReshuffle]] — matches the multi-epoch regime
+    * [[mixEpochsPlan]] budgets for; production sets it from the token
+    * budget, the shape is epoch-count-independent. */
+  val ReshuffleEpochs = 3
+
+  /** PER-EPOCH deterministic reshuffle: every epoch reads the corpus in a
+    * DIFFERENT reproducible order. [[shardAssign]] materializes ONE hash
+    * permutation; multi-epoch training (the data-constrained regime
+    * [[mixEpochsPlan]] budgets for) must not replay the same order each
+    * pass — repeated order correlates gradient noise across epochs — and
+    * at 100 TB nobody re-shuffles by rewriting the corpus. The standard
+    * answer is salting the shard/rank hash with the epoch number: E
+    * independent permutations from the SAME stored bytes, each epoch's
+    * read plan derivable on demand, any engine, any day (seed-stable).
+    *
+    * Shape: one explode to E rows per doc (E is a small constant), one
+    * shuffle on (epoch, shard), within-shard ranks from the sort that
+    * shuffle already pays — identical cost profile to [[shardAssign]]
+    * times E, no global sort, no driver state. */
+  def epochReshuffle(spark: SparkSession, sfDir: String,
+      epochs: Int = ReshuffleEpochs, nShards: Int = NumShards): DataFrame = {
+    val salted = concat(lit("e"), col("epoch").cast("string"), lit(":"),
+      col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(md5(salted).asc, col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, ${epochs - 1})")).as("epoch"))
+      .select(col("doc_id"), col("epoch").cast("long").as("epoch"),
+        (Hashing.md5Long(salted) % nShards).as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
+  def epochReshuffleSql(epochs: Int = ReshuffleEpochs,
+      nShards: Int = NumShards): String = {
+    val sk = "('e' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))"
+    val h = Hashing.md5LongSql(sk)
+    s"""WITH d AS (SELECT doc_id, epoch
+       |  FROM documents CROSS JOIN generate_series(0, ${epochs - 1}) AS g(epoch))
+       |SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+       |  CAST($h % $nShards AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY epoch, $h % $nShards
+       |    ORDER BY md5($sk), doc_id) AS BIGINT) AS pos
+       |FROM d""".stripMargin
+  }
+
   /** SHARD MANIFEST — the reproducibility "data card" a training run pins
     * its input to: per [[shardAssign]] shard, row count, total characters,
     * doc-id range, and an ORDER-INDEPENDENT content fingerprint

@@ -215,6 +215,50 @@ object Similarity {
        |  CAST(mx AS BIGINT) AS max_cos_fp
        |FROM per, t""".stripMargin
 
+  /** Per-cluster keep count for [[samplePerCluster]]. */
+  val CoresetK = 4
+
+  /** CLUSTER-BALANCED CORESET SAMPLING — the "keep k per cluster" step of
+    * SemDeDup/DataComp-style pruning (Sorscher et al. 2022 "Beyond neural
+    * scaling laws" select by prototypicality within k-means clusters; the
+    * SSL-prototype rule): after assigning every vector to its nearest
+    * centroid, keep only the K most PROTOTYPICAL members per cluster
+    * (highest assignment cosine), producing a diversity-preserving subset
+    * whose size is |C|·K regardless of corpus size. Reuses the ONE
+    * checkpointed [[ivfAssigned]] pass every IVF consumer shares; the keep
+    * rule is rank ≤ K over (cluster, simc desc) — compiled to
+    * WindowGroupLimit, so each cluster retains a K-row heap per partition
+    * and no cluster is ever fully sorted. Ordering ties are broken on the
+    * FIXED-POINT cosine (floor ×10⁶, the ivf_balance spelling) then
+    * vec_id, so Spark and the DuckDB twin rank identically without
+    * trusting cross-engine double ordering. */
+  def samplePerCluster(spark: SparkSession, sfDir: String, k: Int = CoresetK): DataFrame = {
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("cos_fp").desc, col("vec_id").asc)
+    ivfAssigned(spark, sfDir)
+      .select(col("vec_id"), col("cluster"),
+        floor(col("simc") * 1000000d).cast("long").as("cos_fp"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("cluster"), col("rank"), col("vec_id"), col("cos_fp"))
+  }
+
+  /** DuckDB twin: the same assignment CTE as [[ivfBalanceSql]], then the
+    * per-cluster prototypicality rank over the identical fixed point. */
+  def samplePerClusterSql(k: Int = CoresetK): String =
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings
+       |  WHERE vec_id < $NumCentroids),
+       |a AS (SELECT vec_id, cluster, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_fp FROM (
+       |    SELECT e.vec_id, c.cent_id AS cluster, ${cosineSql("e", "c")} AS cos,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("e", "c")} DESC, c.cent_id ASC) AS arn
+       |    FROM embeddings e CROSS JOIN cent c) WHERE arn = 1)
+       |SELECT cluster, rank, vec_id, cos_fp FROM (
+       |  SELECT cluster, vec_id, cos_fp,
+       |    CAST(row_number() OVER (PARTITION BY cluster
+       |      ORDER BY cos_fp DESC, vec_id ASC) AS BIGINT) AS rank
+       |  FROM a) WHERE rank <= $k""".stripMargin
+
   /** IVF-bucketed near-duplicate pairs: cosine ≥ threshold among
     * SORTED-NEIGHBORHOOD candidates within a cluster. The approximate
     * scale path for embedding dedup; recall is bounded by cluster

@@ -57,17 +57,30 @@ class BenchAssemblySpec extends AnyFunSuite {
     assert(stableIn(q("a", 2.0, 12.0, 3)))
   }
 
-  test("eligibility: exact code/sf/work/query-set match; unknown never matches") {
+  test("eligibility: exact code/sf/work match, query set contained; unknown never matches") {
     val names = Seq("a", "b")
     val good = win("c1", Seq(q("a", 1.0), q("b", 1.0)))
     val otherCode = good.copy(codeId = "c2")
     val otherSf = good.copy(sf = "/d/sf1")
     val otherWork = good.copy(work = "count")
-    val otherSet = win("c1", Seq(q("a", 1.0)))
-    val ws = Seq(good, otherCode, otherSf, otherWork, otherSet)
-    assert(eligibleWindows(ws, "c1", "/d/sf0.1", "full_rows", names) == Seq(good))
+    val subset = win("c1", Seq(q("a", 1.0)))                  // targeted re-measure: eligible
+    val superset = win("c1", Seq(q("a", 1.0), q("b", 1.0), q("z", 1.0))) // stale registry: not
+    val ws = Seq(good, otherCode, otherSf, otherWork, subset, superset)
+    assert(eligibleWindows(ws, "c1", "/d/sf0.1", "full_rows", names) == Seq(good, subset))
     val unknown = good.copy(codeId = "unknown")
     assert(eligibleWindows(Seq(unknown), "unknown", "/d/sf0.1", "full_rows", names).isEmpty)
+  }
+
+  test("a targeted subset window supplies the quiet evidence a full campaign lacked") {
+    // b is dirty in both full windows AND their medians disagree (>25%):
+    // blocked. A quiet 2-query re-measure window resolves exactly b.
+    val w0 = win("c1", Seq(q("a", 1.0), q("b", 1.4, 120.0, 5)))
+    val w1 = win("c1", Seq(q("a", 1.1), q("b", 2.7, 90.0, 5)))
+    assert(assemble(Seq(w0, w1), Seq("a", "b")).isEmpty)
+    val rescue = win("c1", Seq(q("b", 1.35, 8.0, 3)))
+    val asm = assemble(Seq(w0, w1, rescue), Seq("a", "b")).get
+    val b = asm.queries.find(_.name == "b").get
+    assert(b.median == 1.35 && b.quiet && b.fromWindow == 2 && b.candidates == 1)
   }
 
   test("assembly needs at least MinAssemblyWindows windows") {
@@ -95,6 +108,36 @@ class BenchAssemblySpec extends AnyFunSuite {
     val w0 = win("c1", Seq(q("a", 1.0), q("b", 4.0, 120.0, 5)))
     val w1 = win("c1", Seq(q("a", 1.1), Q("b", 0.0, 0.0, 3, ok = false)))
     assert(assemble(Seq(w0, w1), Seq("a", "b")).isEmpty)
+  }
+
+  test("agreement fallback: never-quiet query assembles when window-medians agree") {
+    // b is dirty-escalated in BOTH windows, but its medians agree within
+    // AgreementSpreadPct — the min is taken and the query is flagged.
+    val w0 = win("c1", Seq(q("a", 1.0), q("b", 2.8, 120.0, 5)))
+    val w1 = win("c1", Seq(q("a", 1.1), q("b", 2.6, 90.0, 5)))
+    val asm = assemble(Seq(w0, w1), Seq("a", "b")).get
+    val b = asm.queries.find(_.name == "b").get
+    assert(b.median == 2.6 && !b.quiet && b.fromWindow == 1 && b.candidates == 2)
+    assert(asm.queries.find(_.name == "a").get.quiet)
+  }
+
+  test("agreement fallback refuses real cross-window disagreement") {
+    // 1.4 vs 2.7 s with both windows dirty: an unadjudicated measurement —
+    // no number may be invented for it.
+    val w0 = win("c1", Seq(q("a", 1.0), q("b", 1.4, 120.0, 5)))
+    val w1 = win("c1", Seq(q("a", 1.1), q("b", 2.7, 90.0, 5)))
+    assert(assemble(Seq(w0, w1), Seq("a", "b")).isEmpty)
+  }
+
+  test("assembledJson lists agreement-fallback queries and sums the total") {
+    val w0 = win("c1", Seq(q("a", 1.0), q("b", 2.8, 120.0, 5)))
+    val w1 = win("c1", Seq(q("a", 1.1), q("b", 2.6, 90.0, 5)))
+    val asm = assemble(Seq(w0, w1), Seq("a", "b")).get
+    val json = assembledJson(asm, "/d/sf0.1", 3, "c1", Seq(2.0, 2.1), Seq.empty)
+    assert(json.contains(""""agreed_fallback":["b"]"""))
+    assert(json.contains(""""value":3.6000"""))
+    assert(json.contains(""""assembled_from":2"""))
+    assert(json.contains(""""estimator":"assembled_min_median""""))
   }
 
   test("warmData reads every byte under the directory") {

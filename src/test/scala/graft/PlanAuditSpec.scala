@@ -794,6 +794,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"never a shuffled or physical-cartesian join:\n$p")
   }
 
+  test("sample_per_cluster: top-K per cluster pre-reduced via WindowGroupLimit over the checkpointed assignment") {
+    val p = plan("sample_per_cluster")
+    assert(nodes(p, "Scan parquet") === 0,
+      s"the coreset must read the shared checkpointed ivfAssigned blocks:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank <= K must pre-reduce each cluster to a K-row heap before (and after) its exchange — never a full per-cluster sort:\n$p")
+    assert(nodes(p, "Exchange") === 1, s"one cluster-keyed exchange:\n$p")
+    assert(nodes(p, "SortMergeJoin") === 0 && !p.contains("CartesianProduct"),
+      s"never a shuffled or physical-cartesian join:\n$p")
+  }
+
+  test("epoch_reshuffle: one (epoch, shard) exchange, explode bounded by the epoch constant, scan pruned to doc_id") {
+    val p = plan("epoch_reshuffle")
+    assert(nodes(p, "Exchange") === 1, s"resharding must be one shuffle:\n$p")
+    assert(nodes(p, "Generate") === 1,
+      s"the only explode is doc × E epochs (E a small constant):\n$p")
+    assert(!p.contains("text") && !p.contains("lang"),
+      "documents scan must prune to doc_id")
+  }
+
   test("quality_classifier: token work fused into the scan row — no explode, no join, ONE exchange") {
     val p = plan("quality_classifier")
     assert(nodes(p, "Scan parquet") === 1, s"one corpus scan:\n$p")
