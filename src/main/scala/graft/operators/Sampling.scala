@@ -968,10 +968,20 @@ object Sampling {
     val bi = toks.filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.ShinglesExpression.word_shingles(col("t"), 2)).as("g"))
-    val db = uni.unionAll(bi)
+    // The per-doc bucket-count frame feeds FOUR consumers (raw model q,
+    // target model p, the totals row, and the final scoring join), so it
+    // is checkpointed — serialized, the corpus-scale discipline
+    // (Checkpoints.ser) — or Spark re-executes the tokenize + two-explode
+    // + hash lineage once per consumer: measured at sf0.1 as both ~2× the
+    // work AND the repo's most run-to-run-unstable timing (5-pass spreads
+    // of 63–118% in every round-12 campaign window while checkpointed
+    // neighbors held 5–15% — the re-executed branches race each other's
+    // broadcast jobs). The frame is gram-bounded: ≤ min(Σ grams, docs·B)
+    // rows of four scalars.
+    val db = graft.operators.Checkpoints.ser(uni.unionAll(bi)
       .select(col("doc_id"), col("lang"), (Hashing.md5Long(col("g")) % B).as("b"))
       .groupBy(col("doc_id"), col("lang"), col("b"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
     val q = db.groupBy(col("b")).agg(sum(col("c")).as("qc"))
     val p = db.filter(col("lang") === targetLang)
       .groupBy(col("b")).agg(sum(col("c")).as("pc"))

@@ -557,6 +557,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("dsir_select")
     assert(p.contains("TakeOrderedAndProject"),
       s"selection must be top-k, never a global sort:\n$p")
+    assert(nodes(p, "Scan parquet") === 0 && p.contains("ExistingRDD"),
+      s"all four consumers (q, p, totals, scoring) must read the ONE checkpointed gram frame — re-executing the tokenize+explode lineage per consumer was both ~2x the work and the repo's most unstable timing:\n$p")
     // the per-doc scoring join against the 4096-row model must ride a
     // broadcast — a SortMergeJoin here re-shuffles the corpus-sized
     // bucket-count frame on the bucket key for no reason
