@@ -625,10 +625,24 @@ object Similarity {
     * Candidates share at least one (band, 8-bit code) bucket; survivors are
     * verified with the exact cosine, so precision is 1 against the
     * exhaustive baseline ([[Dedup.embeddingNearDup]]) and only recall is
-    * approximate. Plan shape mirrors the MinHash path exactly: per-row code
-    * computation (map-only, 32 constant-vector dots), one shuffle on the
-    * bucket key, in-bucket pair expansion, then a hash-join verify against
-    * the checkpointed vectors — no corpus² term anywhere. */
+    * approximate.
+    *
+    * Scale shape — round 12: the original all-pairs-in-bucket expansion is
+    * Σ|B|(|B|−1)/2 with |B| averaging n/2^bits — RANDOM collisions give a
+    * structural n²/256-per-band term that the fixed 8-bit band turns
+    * quadratic past ~10⁴ vectors (caught by the first HONEST sf100 decade:
+    * at n = 2M the expansion is ~3·10¹⁰ candidate pairs and OOMs a 64 g
+    * JVM; the pre-fix generator's twin-degenerate embeddings had masked
+    * it). Candidates now use the [[embeddingNearDupIvf]] Hernández–Stolfo
+    * window: within each (band, code) bucket, members order by the
+    * band-ROTATED full code — this band's 8 bits most significant, the
+    * other bands' bits following, so true near-dups (which agree on most
+    * of the remaining 24 bits, the same Charikar bit-agreement argument
+    * that justifies the bucketing) sort adjacent — and only pairs within
+    * rank distance ≤ [[SemWindow]] compare. Work is Σ|B|·W: linear at any
+    * corpus size. Buckets with ≤ W+1 members (every bucket at the oracle
+    * scales) are covered completely, so the output there is IDENTICAL to
+    * all-pairs. */
   def embeddingNearDupSrp(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame =
     embeddingNearDupSrpOf(Tables.embeddings(spark, sfDir), threshold)
 
@@ -644,15 +658,33 @@ object Similarity {
         when(dot(col("v"), typedLit(srpSignVec(j))) > 0.0, lit(1L << k)).otherwise(lit(0L))
       }.reduce(_ + _).as(s"c$b")
     }
-    val bands = e.select((col("vec_id") +: codeCols): _*)
-      .select(col("vec_id"), explode(array((0 until SrpBands).map(b =>
-        struct(lit(b).as("band"), col(s"c$b").as("code"))): _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.code").as("code"))
-    val pairs = BucketPairs.expand(
-      bands.groupBy(col("band"), col("code"))
-        .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
-        .filter(size(col("ids")) > 1),
-      "vec_a", "vec_b")
+    // One struct per band carrying the bucket code AND the band-rotated
+    // full code as the in-bucket sort key.
+    val bandStructs = (0 until SrpBands).map { b =>
+      val skey = (0 until SrpBands).map { i =>
+        col(s"c${(b + i) % SrpBands}") * lit(1L << (rows * (SrpBands - 1 - i)))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), col(s"c$b").as("code"), skey.as("skey"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("code")).orderBy(col("skey").asc, col("vec_id").asc)
+    // 4n small rows feeding probe AND build sides: serialized checkpoint
+    // (the corpus-scale discipline) so the code computation runs once.
+    val ranked = Checkpoints.ser(
+      e.select((col("vec_id") +: codeCols): _*)
+        .select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"), col("bb.code").as("code"),
+          col("bb.skey").as("skey"))
+        .withColumn("rnk", row_number().over(w)))
+    val probes = ranked
+      .select(col("band"), col("code"), col("rnk"), col("vec_id").as("a_id"),
+        explode(expr(s"sequence(1, $SemWindow)")).as("j"))
+      .select(col("band"), col("code"), (col("rnk") + col("j")).as("rnk"), col("a_id"))
+    val pairs = probes
+      .join(ranked.select(col("band"), col("code"), col("rnk"), col("vec_id").as("b_id")),
+        Seq("band", "code", "rnk"))
+      .select(least(col("a_id"), col("b_id")).as("vec_a"),
+        greatest(col("a_id"), col("b_id")).as("vec_b"))
       .distinct()
     pairs
       .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), Seq("vec_a"))
@@ -664,6 +696,15 @@ object Similarity {
 
   def embeddingNearDupSrpSql(threshold: Double = 0.4): String = {
     val rows = SrpBits / SrpBands
+    // Per-band rotated sort key, replayed verbatim from the Spark side:
+    // band b's code shifted most-significant, the others following.
+    val skeyCase = (0 until SrpBands).map { b =>
+      val sum = (0 until SrpBands).map { i =>
+        s"c${(b + i) % SrpBands} * ${1L << (rows * (SrpBands - 1 - i))}"
+      }.mkString(" + ")
+      s"WHEN $b THEN $sum"
+    }.mkString(" ")
+    val codeCase = (0 until SrpBands).map(b => s"WHEN $b THEN c$b").mkString(" ")
     s"""WITH proj AS (
        |  SELECT vec_id, j,
        |    list_sum(list_transform(generate_series(1, len(embedding)),
@@ -674,9 +715,24 @@ object Similarity {
        |  SELECT vec_id, j // $rows AS band,
        |    CAST(sum(CASE WHEN p > 0 THEN (1 << (j % $rows)) ELSE 0 END) AS BIGINT) AS code
        |  FROM proj GROUP BY vec_id, band),
-       |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |          FROM codes a JOIN codes b
-       |            ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id)
+       |allc AS (
+       |  SELECT vec_id,
+       |    ${(0 until SrpBands).map(b =>
+             s"CAST(sum(CASE WHEN band = $b THEN code ELSE 0 END) AS BIGINT) AS c$b")
+             .mkString(",\n    ")}
+       |  FROM codes GROUP BY vec_id),
+       |ranked AS (
+       |  SELECT vec_id, band,
+       |    CASE band $codeCase END AS code,
+       |    CASE band $skeyCase END AS skey,
+       |    row_number() OVER (PARTITION BY band, CASE band $codeCase END
+       |      ORDER BY CASE band $skeyCase END ASC, vec_id ASC) AS rnk
+       |  FROM allc CROSS JOIN generate_series(0, ${SrpBands - 1}) AS g(band)),
+       |pairs AS (SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
+       |            greatest(a.vec_id, b.vec_id) AS vec_b
+       |          FROM ranked a JOIN ranked b
+       |            ON a.band = b.band AND a.code = b.code
+       |            AND b.rnk > a.rnk AND b.rnk <= a.rnk + $SemWindow)
        |SELECT vec_a, vec_b, round(cos, 6) AS cos_sim FROM (
        |  SELECT vec_a, vec_b, ${cosineSql("ea", "eb")} AS cos
        |  FROM pairs JOIN embeddings ea ON ea.vec_id = vec_a
