@@ -279,7 +279,15 @@ object Bench {
       BenchCore.gitHeadId(new java.io.File(".")))
     val windowsPath = requestedPath + ".windows.jsonl"
     val windowsFile = new java.io.File(windowsPath)
-    val sidecarEligible = basePasses >= 3
+    // An unidentifiable build (CWD outside the repo, unborn HEAD) must not
+    // feed the sidecar: eligibleWindows rejects "unknown" so every such
+    // append would silently grow the sidecar while stalling assembly
+    // forever (ADVICE, round 13). Warn loudly and skip instead.
+    if (codeId == "unknown")
+      System.err.println("[bench] WARNING: code id is 'unknown' (not launched from the repo " +
+        "root and SPARK_GRAFT_CODE_ID unset) — window evidence will NOT be persisted; " +
+        "this window cannot join any assembly campaign")
+    val sidecarEligible = basePasses >= 3 && codeId != "unknown"
     val fullSurfaceWindow = only.isEmpty && sidecarEligible
     var assembled: Option[BenchCore.Assembled] = None
     if (sidecarEligible && isSubset) {

@@ -33,18 +33,31 @@ object BenchAssemble {
     require(keys.size == 1,
       s"sidecar mixes ${keys.size} distinct (code, sf, work) identities; refusing to assemble")
     require(windows.head.codeId != "unknown", "windows carry codeId 'unknown'; refusing")
-    // Full-surface windows carry the whole registry; targeted subset
-    // windows carry fewer. The assembled canonical covers the UNION —
-    // i.e. the registry, as long as at least one full window is present.
-    val names = windows.flatMap(_.queries.map(_.name)).distinct.sorted
+    // The assembled canonical covers the QUERY REGISTRY, validated against
+    // SparkEntry.queries (a map of closures — no SparkSession needed), not
+    // the union of whatever names the sidecar happens to hold: a sidecar of
+    // targeted subset windows must not assemble a partial canonical onto
+    // the full-surface details path (round 13, ADVICE). assemble() itself
+    // additionally requires >= MinAssemblyWindows registry-covering
+    // windows, so a subset-only sidecar fails there too.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val sidecarNames = windows.flatMap(_.queries.map(_.name)).toSet
+    require(sidecarNames.subsetOf(names.toSet),
+      s"sidecar names outside the current registry (stale windows?): ${(sidecarNames -- names).mkString(", ")}")
     BenchCore.assemble(windows, names) match {
       case None =>
         System.err.println(s"[assemble] insufficient evidence across ${windows.size} windows " +
-          "(some query has neither a quiet window nor cross-window median agreement)")
+          s"(need >=${BenchCore.MinAssemblyWindows} full-surface windows and every query " +
+          "quiet somewhere or in cross-window agreement)")
         sys.exit(1)
       case Some(asm) =>
         val refusals = lines(refusedFile).flatMap(BenchCore.parseRefusal)
-        val json = BenchCore.assembledJson(asm, windows.head.sf, basePasses = 3,
+        // basePasses: the pass regime the windows actually ran, derived as
+        // the min per-query pass count across all windows (the base —
+        // escalated queries only ever carry MORE passes), instead of the
+        // hardcoded 3 that could misreport a 4/5-pass campaign (ADVICE).
+        val basePasses = windows.flatMap(_.queries.map(_.passes)).min
+        val json = BenchCore.assembledJson(asm, windows.head.sf, basePasses,
           windows.head.codeId, windows.map(_.noiseIndex), refusals)
         val w = new java.io.PrintWriter(detailsPath, "UTF-8")
         try w.println(json) finally w.close()

@@ -154,8 +154,14 @@ object BenchCore {
   // requires an exact codeId (git HEAD) + sf + work + query-set match.
   // --------------------------------------------------------------------
 
-  /** Minimum same-code windows before an assembled canonical may land:
-    * with one window, "assembly" would just bypass the window gate. */
+  /** Minimum same-code FULL-SURFACE windows before an assembled canonical
+    * may land: with one, "assembly" would just bypass the window gate.
+    * Round 13 (ADVICE): the count is over windows covering the WHOLE
+    * registry being assembled — a single refused full window plus a stale
+    * 1–2-query targeted subset window must not satisfy it, because then
+    * nearly every query would be sourced solely from the one refused
+    * window, defeating the rationale. Subset windows remain supplemental
+    * per-query evidence only. */
   val MinAssemblyWindows = 2
 
   /** Was this query's measurement quiet IN ITS OWN WINDOW? A multi-second
@@ -262,11 +268,15 @@ object BenchCore {
   val AgreementSpreadPct = 25.0
 
   /** Assemble a canonical from per-query quiet windows, or None when the
-    * evidence is insufficient: fewer than [[MinAssemblyWindows]] windows,
+    * evidence is insufficient: fewer than [[MinAssemblyWindows]] windows
+    * COVERING the full `names` registry (targeted subset windows count
+    * only as supplemental per-query evidence, never toward the minimum),
     * or some query has neither a stable candidate ([[stableIn]]) nor
     * cross-window median agreement ([[AgreementSpreadPct]]). */
   def assemble(windows: Seq[WindowRecord], names: Seq[String]): Option[Assembled] = {
-    if (windows.size < MinAssemblyWindows) return None
+    val nameSet = names.toSet
+    val fullSurface = windows.count(_.queries.map(_.name).toSet == nameSet)
+    if (fullSurface < MinAssemblyWindows) return None
     val perQuery = names.map { name =>
       val okCands = windows.zipWithIndex.flatMap { case (w, i) =>
         w.queries.find(_.name == name).filter(_.ok).map(q => (q, i))

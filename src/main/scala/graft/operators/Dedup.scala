@@ -1094,8 +1094,15 @@ object Dedup {
     * fails loudly if someone points it at a corpus where all-pairs would
     * blow up, rather than silently planning a quadratic join. */
   def embeddingNearDup(spark: SparkSession, sfDir: String, threshold: Double = 0.4,
+      maxRows: Long = 20000L): DataFrame =
+    embeddingNearDupOf(Tables.embeddings(spark, sfDir), threshold, maxRows)
+
+  /** Core of [[embeddingNearDup]] over any (vec_id, embedding) frame —
+    * separated so the SRP sorted-neighborhood spec can drive a crafted
+    * oversized-bucket corpus through the SAME baseline code path. */
+  def embeddingNearDupOf(embeddings: DataFrame, threshold: Double = 0.4,
       maxRows: Long = 20000L): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
+    val e = embeddings
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", graft.functions.VectorExpressions.vec_norm(col("v")))
     val n = e.count()

@@ -646,12 +646,14 @@ object Similarity {
   def embeddingNearDupSrp(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame =
     embeddingNearDupSrpOf(Tables.embeddings(spark, sfDir), threshold)
 
-  def embeddingNearDupSrpOf(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+  /** The pre-checkpoint SRP ranking lineage: band codes → per-band
+    * (band, code, rotated sort key) explode → in-bucket row_number. Factored
+    * out (round 13) so the plan audit can pin the WINDOW shape directly —
+    * in [[embeddingNearDupSrpOf]] this frame is eagerly checkpointed, so
+    * the registered query's final plan only shows the probe side reading
+    * an ExistingRDD and the rank window would otherwise be unauditable. */
+  private[graft] def srpRanked(e: DataFrame): DataFrame = {
     val rows = SrpBits / SrpBands
-    val e = embeddings
-      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-      .withColumn("nrm", graft.functions.VectorExpressions.vec_norm(col("v")))
-      .localCheckpoint() // feeds code computation AND both verify sides
     val codeCols = (0 until SrpBands).map { b =>
       (0 until rows).map { k =>
         val j = b * rows + k
@@ -668,29 +670,73 @@ object Similarity {
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("code")).orderBy(col("skey").asc, col("vec_id").asc)
-    // 4n small rows feeding probe AND build sides: serialized checkpoint
-    // (the corpus-scale discipline) so the code computation runs once.
-    val ranked = Checkpoints.ser(
-      e.select((col("vec_id") +: codeCols): _*)
-        .select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
-        .select(col("vec_id"), col("bb.band").as("band"), col("bb.code").as("code"),
-          col("bb.skey").as("skey"))
-        .withColumn("rnk", row_number().over(w)))
-    val probes = ranked
-      .select(col("band"), col("code"), col("rnk"), col("vec_id").as("a_id"),
-        explode(expr(s"sequence(1, $SemWindow)")).as("j"))
-      .select(col("band"), col("code"), (col("rnk") + col("j")).as("rnk"), col("a_id"))
-    val pairs = probes
-      .join(ranked.select(col("band"), col("code"), col("rnk"), col("vec_id").as("b_id")),
-        Seq("band", "code", "rnk"))
-      .select(least(col("a_id"), col("b_id")).as("vec_a"),
-        greatest(col("a_id"), col("b_id")).as("vec_b"))
-      .distinct()
-    pairs
-      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vec_b"))
-      .withColumn("cos", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
-      .filter(col("cos") >= threshold)
+    e.select((col("vec_id") +: codeCols): _*)
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.code").as("code"),
+        col("bb.skey").as("skey"))
+      .withColumn("rnk", row_number().over(w))
+  }
+
+  /** Chunk core size for the in-bucket LOCAL verify (round 13): bucket
+    * members group into rank-contiguous chunks of [[SrpChunk]] members
+    * (plus the next chunk's first [[SemWindow]] ranks as a read-only tail,
+    * so every rank-window pair lives in exactly one chunk), bounding any
+    * grouped row at (SrpChunk+W)·~0.6 KB ≈ 2.3 MB no matter how large a
+    * bucket grows. */
+  val SrpChunk = 4096
+
+  def embeddingNearDupSrpOf(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", graft.functions.VectorExpressions.vec_norm(col("v")))
+      .localCheckpoint() // feeds code computation AND the vector re-attach
+    // 4n small rows (no vectors — the rank window sorts 32 B rows):
+    // serialized checkpoint so the code computation runs once.
+    val ranked = Checkpoints.ser(srpRanked(e))
+    // VERIFY IN PLACE, not by joining vectors onto pairs (round 13): with
+    // |B| >> W nearly every probe matches, so candidates are 4·W·n ≈ 128n
+    // pairs, and materializing BOTH 64-double vectors per candidate for a
+    // pair-level join costs O(pairs·d) exchange bytes — ~140 GB at the
+    // sf100 decade (2M vectors), which no shuffle tier here survives. The
+    // exchange-optimal shape moves each vector ONCE, O(n·d): re-attach
+    // (v, nrm) to the ranked rows by vec_id, group each (band, code)
+    // bucket into rank-contiguous CHUNKS ([[SrpChunk]] cores + W tail —
+    // every rank-window pair falls in exactly one chunk, and chunk rows
+    // stay ~2 MB regardless of bucket size), and compute each window
+    // pair's cosine locally inside the chunk with the same codegen'd
+    // left-to-right [[dot]] as every other path (bit-identical to the
+    // join form: per-element products and the fold order are unchanged).
+    // Only verified pairs (cos ≥ threshold) ever leave the chunk.
+    val member = struct(col("rnk"), col("vec_id"), col("v"), col("nrm"), col("core"))
+    val chunked = ranked
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .select(col("band"), col("code"), col("rnk"), col("vec_id"), col("v"), col("nrm"),
+        explode(expr(
+          s"""CASE WHEN rnk > $SrpChunk AND (rnk - 1) % $SrpChunk < $SemWindow
+             |THEN array(named_struct('chunk', (rnk - 1) DIV $SrpChunk, 'core', true),
+             |           named_struct('chunk', (rnk - 1) DIV $SrpChunk - 1, 'core', false))
+             |ELSE array(named_struct('chunk', (rnk - 1) DIV $SrpChunk, 'core', true))
+             |END""".stripMargin)).as("m"))
+      .select(col("band"), col("code"), col("m.chunk").as("chunk"), col("m.core").as("core"),
+        col("rnk"), col("vec_id"), col("v"), col("nrm"))
+      .groupBy(col("band"), col("code"), col("chunk"))
+      .agg(sort_array(collect_list(member)).as("ms")) // rnk-sorted: ranks are contiguous
+    def pairStruct(xm: Column, ym: Column): Column = struct(
+      least(xm.getField("vec_id"), ym.getField("vec_id")).as("vec_a"),
+      greatest(xm.getField("vec_id"), ym.getField("vec_id")).as("vec_b"),
+      (dot(xm.getField("v"), ym.getField("v")) /
+        (xm.getField("nrm") * ym.getField("nrm"))).as("cos"))
+    val emptyPairs = array().cast("array<struct<vec_a:bigint,vec_b:bigint,cos:double>>")
+    chunked
+      .select(explode(flatten(transform(col("ms"), (xm, i) =>
+        when(xm.getField("core"),
+          filter(
+            transform(slice(col("ms"), i + lit(2), lit(SemWindow)), ym => pairStruct(xm, ym)),
+            p => p.getField("cos") >= threshold))
+          .otherwise(emptyPairs)))).as("pr"))
+      .select(col("pr.vec_a").as("vec_a"), col("pr.vec_b").as("vec_b"),
+        col("pr.cos").as("cos"))
+      .distinct() // a true near-dup pair can collide in up to 4 bands
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
   }
 

@@ -984,12 +984,15 @@ object TextAnalysis {
         sum(col("nt")).as("sum_tokens"))
       .select(col("lang"), col("source"), col("n_docs"), col("kept_docs"),
         col("sum_w"), col("sum_tokens"),
-        // sum_w widens to DECIMAL(38,0) INSIDE the parens so the whole
-        // shifted numerator runs wide — matching the oracle twin's HUGEINT
-        // discipline; evaluating (sum_w + 1000·sum_tokens) in BIGINT first
-        // would wrap silently past ~9.2e15 tokens per (lang, source).
+        // BOTH terms of the shifted numerator widen to DECIMAL(38,0)
+        // INSIDE the parens so the whole expression runs wide — matching
+        // the oracle twin's HUGEINT discipline. Widening only sum_w is not
+        // enough: 1000·sum_tokens would still multiply in BIGINT and wrap
+        // silently past ~9.2e15 tokens per (lang, source) — exactly the
+        // threshold the widen exists to clear.
         expr(s"(CAST(1000 AS DECIMAL(38,0)) * (CAST(sum_w AS DECIMAL(38,0))" +
-          s" + $ClsWRange * sum_tokens)) div sum_tokens").as("score_milli_shifted"))
+          s" + CAST($ClsWRange AS DECIMAL(38,0)) * sum_tokens)) div sum_tokens")
+          .as("score_milli_shifted"))
   }
 
   val classifierGateSql: String = {

@@ -88,6 +88,20 @@ class BenchAssemblySpec extends AnyFunSuite {
     assert(assemble(Seq(w), Seq("a")).isEmpty)
   }
 
+  test("one full window plus a subset window does not satisfy the minimum (round 13)") {
+    // The window-gate bypass ADVICE flagged: a single refused full-surface
+    // window plus a stale 1-query targeted window would otherwise source
+    // nearly every query from the one refused window. Subset windows are
+    // supplemental evidence only — they never count toward the minimum.
+    val full = win("c1", Seq(q("a", 1.0), q("b", 2.0)))
+    val subset = win("c1", Seq(q("b", 1.9)))
+    assert(assemble(Seq(full, subset), Seq("a", "b")).isEmpty)
+    // a second FULL window unblocks, and the subset still supplies its min
+    val full2 = win("c1", Seq(q("a", 1.1), q("b", 2.1)))
+    val asm = assemble(Seq(full, subset, full2), Seq("a", "b")).get
+    assert(asm.queries.find(_.name == "b").get.median == 1.9)
+  }
+
   test("assembly picks the per-query min over stable candidates and records provenance") {
     // a: quiet in w0 (1.0) and inflated in w1 (3.0)  -> 1.0 from window 0
     // b: dirty-escalated in w0, quiet in w1          -> from window 1 only

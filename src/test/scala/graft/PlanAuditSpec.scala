@@ -266,11 +266,44 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nodes(p, "SortMergeJoin") === 0, s"membership must not sort-merge the corpus:\n$p")
   }
 
-  test("dedup_embedding_srp: no cartesian, checkpointed vectors reused (single parquet lineage)") {
+  test("dedup_embedding_srp: windowed sorted-neighborhood shape, no cartesian, checkpoint reuse") {
     val p = plan("dedup_embedding_srp")
     assert(!p.contains("CartesianProduct"), s"SRP path must stay bucket-bounded:\n$p")
     assert(p.contains("ExistingRDD"), "verify joins must read the checkpointed vectors")
     assert(!p.contains("embeddings.parquet"), s"scan+project must not re-run per join side:\n$p")
+    // Round 13: pin the round-12 rewrite's SHAPE, not just the absence of a
+    // cartesian — candidates must come from a rank WINDOW (row_number over
+    // (band, code)) probed through a BOUNDED explode-join whose equi-keys
+    // include the rank, never an in-bucket all-pairs self-join on
+    // (band, code) alone (the n²/256-per-band expansion that OOM'd the
+    // sf100 decade).
+    assert(nodes(p, "Generate") >= 1, s"chunk-membership explode missing:\n$p")
+    // Round 13: the verify must run IN PLACE inside rank-chunked buckets
+    // (vectors exchanged once, O(n·d)) — never as a pair-level join that
+    // materializes both 64-double vectors per candidate (O(pairs·d) ≈
+    // 140 GB at the sf100 decade). Pin: the chunk aggregation + in-chunk
+    // codegen'd dot product are present, and NO join is keyed on the pair
+    // columns (the fatal shape's signature).
+    assert(p.contains("collect_list"), s"chunked bucket aggregation missing:\n$p")
+    assert(p.contains("vec_dot"), s"in-place codegen'd cosine missing:\n$p")
+    val pairJoinKeyLines = p.linesIterator
+      .filter(l => l.contains("keys") && (l.contains("vec_a") || l.contains("vec_b"))).toSeq
+    assert(pairJoinKeyLines.isEmpty,
+      s"pair-level vector join detected (O(pairs*d) exchange):\n${pairJoinKeyLines.mkString("\n")}\n$p")
+    // The rank itself lives BEHIND the eager checkpoint (the final plan
+    // reads it as ExistingRDD), so audit the pre-checkpoint ranking
+    // lineage separately: one row_number window over (band, code) fed by
+    // the band-struct explode.
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = graft.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"),
+        graft.operators.Similarity.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", lit(1.0))
+    val rp = graft.operators.Similarity.srpRanked(e).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(nodes(rp, "Window") === 1, s"in-bucket rank must be ONE row_number window:\n$rp")
+    assert(rp.contains("row_number"), s"in-bucket rank must be row_number:\n$rp")
+    assert(nodes(rp, "Generate") === 1, s"band-struct explode missing:\n$rp")
   }
 
   test("doc_winnow_pairs and quality_repetition: shuffle bounded by keys, no cartesian") {

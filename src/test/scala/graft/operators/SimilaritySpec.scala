@@ -144,6 +144,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L), "unrelated vector paired")
   }
 
+  test("SRP window binds on an oversized bucket: missing pairs are EXACTLY rank distance > W") {
+    // Round-13 differential spec for the sorted-neighborhood rewrite: every
+    // other SRP spec (and the oracle corpus) exercises buckets <= W+1
+    // members, where the window is equivalent to all-pairs — this one
+    // builds ONE bucket of SemWindow+8 members so the rank window actually
+    // binds, and pins recall against the exhaustive baseline's own code
+    // path (Dedup.embeddingNearDupOf).
+    import spark.implicits._
+    val n = Similarity.SemWindow + 8 // 40 > W+1 = 33
+    val base = Array.tabulate(Similarity.EmbeddingDim)(i => math.sin(i + 1.0).toFloat)
+    // POSITIVE per-vector scaling: flips no projection sign, so all n
+    // vectors share every (band, code) bucket AND every rotated sort key —
+    // the in-bucket order degrades to vec_id, making the windowed pair set
+    // exactly {(a,b): b-a <= W}. Cosine stays ~1 (>= any threshold), so the
+    // exhaustive truth is all C(n,2) pairs and recall is a pure function
+    // of the window geometry.
+    val e = (0 until n).map(k => (k.toLong, base.map(x => x * (1.0f + 0.001f * k))))
+      .toDF("vec_id", "embedding")
+    val got = pairSet(Similarity.embeddingNearDupSrpOf(e, 0.9)).map(t => (t._1, t._2))
+    val exhaustive = pairSet(Dedup.embeddingNearDupOf(e, 0.9)).map(t => (t._1, t._2))
+    assert(exhaustive.size === n * (n - 1) / 2, "crafted corpus must be all near-dups")
+    // precision 1: the window can only MISS pairs, never invent them
+    assert(got.subsetOf(exhaustive), s"false positives: ${got -- exhaustive}")
+    // the window binds exactly at rank distance W: nothing inside missed,
+    // nothing outside kept
+    val expected = exhaustive.filter { case (a, b) => b - a <= Similarity.SemWindow }
+    assert(got === expected,
+      s"missed inside window: ${expected -- got}; kept outside: ${got -- expected}")
+    val recall = got.size.toDouble / exhaustive.size
+    assert(recall >= 0.9 && recall < 1.0,
+      f"recall $recall%.4f — must show the window binding (<1) but stay high (>=0.9)")
+  }
+
   test("sign matrix is md5-derived and ±1 only") {
     val v = Similarity.srpSignVec(7)
     assert(v.length === Similarity.EmbeddingDim)
