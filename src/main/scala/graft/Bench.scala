@@ -41,6 +41,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // Scale-derived AQE start parallelism (see BenchCore.scaleInitialPartitions):
+    // replaces the constant 512, which was right at the sf100 decade and pure
+    // per-exchange overhead at bench scale (optimization round 13).
+    val initialParts = sys.env.get("SPARK_GRAFT_INITIAL_PARTS").map(_.toInt).getOrElse(
+      BenchCore.scaleInitialPartitions(BenchCore.dirBytes(new java.io.File(sfDir)), cpus.toInt))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -64,8 +69,13 @@ object Bench {
       // effective parallelism (and their measured timings) while large
       // ones keep per-task state bounded. On a real cluster this is the
       // knob ops sets to O(cores × a few) — the engine no longer assumes
-      // one value fits every scale.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      // one value fits every scale. Round 13: the start count itself now
+      // DERIVES from the input size (BenchCore.scaleInitialPartitions)
+      // instead of the constant 512 — the constant was tuned for the sf100
+      // decade and made every bench-scale exchange pay 512-bucket map
+      // writes + 512-partition AQE statistics for ~17 MB of data.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialParts.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

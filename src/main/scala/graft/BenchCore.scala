@@ -345,6 +345,34 @@ object BenchCore {
     total
   }
 
+  /** Total on-disk bytes under `dir` (no reads — file metadata only).
+    * Input to [[scaleInitialPartitions]]. */
+  def dirBytes(dir: java.io.File): Long = {
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(sizeOf).sum
+      else if (f.isFile) f.length else 0L
+    sizeOf(dir)
+  }
+
+  /** AQE initial shuffle-partition count DERIVED FROM INPUT SIZE instead
+    * of a constant (optimization round 13; spark_optimization_guide §2.2/
+    * §2.5 — partitioning must scale with the data, and a constant tuned
+    * for one decade is wrong at every other decade). One initial
+    * partition per 32 MB of input, floored at 2×cores (so small inputs
+    * keep full reduce-side parallelism at ANY driver core count) and
+    * capped at 4096 (initial count only — AQE coalesces down to the
+    * advisory size; ops raises the cap for a >128 GB-input cluster run).
+    *
+    * Calibration points: sf0.1 (~17 MB) → 64 at 32 cores, where the old
+    * constant 512 made every tiny exchange write 512 sort buckets per map
+    * task and AQE plan over 512-partition statistics; sf100 (~17.5 GB) →
+    * 546, preserving the round-11 sf100 finding that ≥512 initial
+    * partitions keep per-task aggregation state inside execution memory
+    * (AGGREGATE_OUT_OF_MEMORY at 32). Env SPARK_GRAFT_INITIAL_PARTS
+    * overrides for A/B and for cluster ops. */
+  def scaleInitialPartitions(inputBytes: Long, cpus: Int): Int =
+    math.min(4096, math.max(2 * cpus, (inputBytes / (32L << 20)).toInt))
+
   /** Current commit id for window-assembly eligibility: resolves
     * .git/HEAD (following one symbolic ref, incl. packed-refs), truncated
     * to 12 hex chars. "unknown" when unreadable or the ref is unborn —

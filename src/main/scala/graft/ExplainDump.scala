@@ -33,7 +33,10 @@ object ExplainDump {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.local.dir", LocalDirs.sparkLocalDir)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.get("SPARK_GRAFT_INITIAL_PARTS").map(_.toInt).getOrElse(
+          BenchCore.scaleInitialPartitions(
+            BenchCore.dirBytes(new java.io.File(sfDir)), cpus.toInt)).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>

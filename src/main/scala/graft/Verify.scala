@@ -23,8 +23,12 @@ object Verify {
       // tmpfs-by-default shuffle dirs (GRAFT_LOCAL_DIR overrides; see LocalDirs)
       .config("spark.local.dir", LocalDirs.sparkLocalDir)
       .config("spark.sql.adaptive.enabled", "true")
-      // shuffles scale with data, AQE coalesces back (see Bench.scala)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      // shuffles scale with data, AQE coalesces back; start count derives
+      // from the input size (see BenchCore.scaleInitialPartitions)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.get("SPARK_GRAFT_INITIAL_PARTS").map(_.toInt).getOrElse(
+          BenchCore.scaleInitialPartitions(
+            BenchCore.dirBytes(new java.io.File(sfDir)), cpus.toInt)).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

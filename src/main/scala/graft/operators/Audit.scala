@@ -78,21 +78,28 @@ object Audit {
       parent.select(col(parentKey).as("p")), name)
 
   /** Violation checks over an already-collapsed AND already-materialized
-    * (key, row-count) child side: both anti-joins move |distinct keys|
-    * rows, never fact rows; the three reads re-filter the caller's
-    * checkpoint blocks, which is cheap. */
+    * (key, row-count) child side, as ONE full-outer join + ONE aggregate
+    * (optimization round 13; previously a stats aggregate + two anti-joins
+    * + two cross-joins per edge — 3 aggregates and 2 joins re-reading each
+    * side, ~5 extra stages per edge × 7 edges in the plan). Parents first
+    * collapse to per-key row counts (so a duplicated parent key cannot fan
+    * out child rows), then:
+    *   - p NULL  ⇔ the child key matches no parent row → its n rows are
+    *     orphans (a NULL child key never equality-matches — same as the
+    *     oracle's NOT EXISTS);
+    *   - k NULL  ⇔ the parent key matches no child row → its pn parent
+    *     rows are unreferenced (a NULL parent key likewise never matches).
+    * Values are identical to the anti-join form on any input; the crafted
+    * NULL/orphan/unreferenced spec (AuditSpec) pins the equivalence. */
   private def profileOfPerKey(perKey: DataFrame, parents: DataFrame,
                               name: String): DataFrame = {
-    val stats = perKey.agg(
-      sum(col("n")).as("child_rows"),
-      count(col("k")).as("distinct_child_keys")) // count(col) skips a NULL-key group, matching COUNT(DISTINCT)
-    // A NULL child key never equality-matches a parent, so the anti-join
-    // counts it as orphaned — same as the oracle's NOT EXISTS.
-    val orphans = perKey.join(parents, col("k") === col("p"), "left_anti")
-      .agg(coalesce(sum(col("n")), lit(0L)).as("orphan_rows"))
-    val unreferenced = parents.join(perKey, col("p") === col("k"), "left_anti")
-      .agg(count(lit(1)).as("unreferenced_parents"))
-    stats.crossJoin(orphans).crossJoin(unreferenced)
+    val parentsByKey = parents.groupBy(col("p")).agg(count(lit(1)).as("pn"))
+    perKey.join(parentsByKey, col("k") === col("p"), "full_outer")
+      .agg(
+        sum(col("n")).as("child_rows"),
+        count(col("k")).as("distinct_child_keys"), // count(col) skips NULL-key groups, matching COUNT(DISTINCT)
+        coalesce(sum(when(col("p").isNull, col("n"))), lit(0L)).as("orphan_rows"),
+        coalesce(sum(when(col("k").isNull, col("pn"))), lit(0L)).as("unreferenced_parents"))
       .select(lit(name).as("fk"), col("child_rows"), col("distinct_child_keys"),
         col("orphan_rows"), col("unreferenced_parents"))
   }
