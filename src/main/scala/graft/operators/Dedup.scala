@@ -1362,13 +1362,35 @@ object Dedup {
   def lshTune(spark: SparkSession, sfDir: String): DataFrame =
     lshTuneOfShingles(shingles(spark, sfDir))
 
-  /** Candidate pairs per configuration — split out for the nesting spec. */
-  private[graft] def lshTuneCandidates(sh0: DataFrame): DataFrame = {
-    val hs = sh0.select(col("doc_id"),
-      (Hashing.md5Long(col("shingle")) % MinhashM).as("h"))
+  /** The per-doc DISTINCT shingle-hash set — the ONE aggregation the whole
+    * sweep derives from (optimization round 13). collect_set replaces the
+    * previous distinct-then-collect_list (same values after sort_array,
+    * one exchange instead of two), and the signature slots now derive from
+    * `hset` as a narrow `array_min(transform(...))` map instead of a
+    * second corpus scan + md5 + groupBy — min over distinct hashes equals
+    * min over the raw stream, so the candidate set is unchanged (the
+    * nesting/cap/zero-candidate specs and the oracle hash pin it). */
+  private def lshTuneDocsets(sh0: DataFrame): DataFrame =
+    sh0.select(col("doc_id"), (Hashing.md5Long(col("shingle")) % MinhashM).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("hset"))
+      .select(col("doc_id"), col("hset"), size(col("hset")).cast("long").as("nsh"))
+
+  /** Candidate pairs per configuration over the docset frame — the
+    * signature slots are a zero-shuffle expression over `hset`. Emits one
+    * row per (cfg, bucket-pair) occurrence; [[lshTuneCandidates]] adds the
+    * distinct, [[lshTuneOfShingles]] folds the dedup into its own
+    * per-pair collect_set instead. */
+  private def lshTuneCandidatePairs(docsets: DataFrame): DataFrame = {
+    // Signature slots as a codegen'd HashAggregate over the exploded hset
+    // (an array_min(transform(...)) spelling was measured SLOWER — Spark
+    // evaluates higher-order-function lambdas interpreted, per element per
+    // slot). The docset checkpoint preserves its doc_id hash partitioning,
+    // and explode is narrow, so this groupBy adds NO exchange.
     val slotCols = (0 until MinhashHashes).map(i =>
       min((lit(MinhashA(i)) * col("h") + lit(MinhashB(i))) % MinhashM).as(s"s$i"))
-    val sigs = hs.groupBy(col("doc_id")).agg(slotCols.head, slotCols.tail: _*)
+    val sigs = docsets.select(col("doc_id"), explode(col("hset")).as("h"))
+      .groupBy(col("doc_id")).agg(slotCols.head, slotCols.tail: _*)
     val bandStructs = TuneBandCounts.flatMap { b =>
       val r = MinhashHashes / b
       (0 until b).map { i =>
@@ -1386,30 +1408,29 @@ object Dedup {
       .select(col("cfg"), explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))")).as("p"))
       .select(col("cfg"), col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
   }
+
+  /** Candidate pairs per configuration — split out for the nesting spec. */
+  private[graft] def lshTuneCandidates(sh0: DataFrame): DataFrame =
+    lshTuneCandidatePairs(lshTuneDocsets(sh0)).distinct()
 
   /** Core of [[lshTune]] over any (doc_id, shingle) set. */
   private[graft] def lshTuneOfShingles(sh0: DataFrame): DataFrame = {
-    val hs = sh0.select(col("doc_id"),
-      (Hashing.md5Long(col("shingle")) % MinhashM).as("h"))
-    val docsets = hs.distinct()
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("h"))).as("hset"), count(lit(1)).as("nsh"))
-      .localCheckpoint()
+    val docsets = lshTuneDocsets(sh0).localCheckpoint()
     // ONE exact-scoring evaluation per distinct candidate pair, total.
     // Attribution (ProbeLshTune at sf1: 1.58M (cfg, pair) rows, 1.56M
     // distinct pairs — the (16×1) arm IS the candidate volume, and the
     // array_intersect scoring join is the decade's dominant cost): the
     // verdict depends only on the pair, so candidates collapse to distinct
-    // pairs carrying their config SET (collect_set — the same shuffle the
-    // per-cfg distinct already paid), scoring joins run once, and BOTH
-    // rollups come out of ONE aggregation by exploding each scored pair
-    // into its config rows plus a sentinel −1 "union" row (the
-    // [[TextAnalysis]] HLL ALL-row precedent) — the previous spelling
+    // pairs carrying their config SET (collect_set — which also absorbs
+    // the per-(cfg, pair) dedup the spec-facing [[lshTuneCandidates]] does
+    // with an explicit distinct, saving that exchange here), scoring joins
+    // run once, and BOTH rollups come out of ONE aggregation by exploding
+    // each scored pair into its config rows plus a sentinel −1 "union" row
+    // (the [[TextAnalysis]] HLL ALL-row precedent) — the previous spelling
     // scored every (cfg, pair) row and then re-ran the whole scoring
     // lineage for the truth consumer (~4× the intersects at sf10).
-    val pairCfgs = lshTuneCandidates(sh0)
+    val pairCfgs = lshTuneCandidatePairs(docsets)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(collect_set(col("cfg")).as("cfgs"))
     val scored = pairCfgs
