@@ -328,8 +328,11 @@ object BenchCore {
     * JIT warmup at sf0.001 cannot do this job — it never touches the
     * measured directory's files. */
   def warmData(dir: java.io.File, log: String => Unit = _ => ()): Long = {
+    // Symlinks are skipped (round-13 ADVICE): File.isDirectory follows
+    // them, so a cycle under the SF dir would recurse forever.
     def filesUnder(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(filesUnder)
+      if (java.nio.file.Files.isSymbolicLink(f.toPath)) Seq.empty
+      else if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(filesUnder)
       else if (f.isFile) Seq(f) else Seq.empty
     val buf = new Array[Byte](8 * 1024 * 1024)
     var total = 0L
@@ -345,14 +348,21 @@ object BenchCore {
     total
   }
 
-  /** Total on-disk bytes under `dir` (no reads — file metadata only).
-    * Input to [[scaleInitialPartitions]]. */
-  def dirBytes(dir: java.io.File): Long = {
-    def sizeOf(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(sizeOf).sum
-      else if (f.isFile) f.length else 0L
-    sizeOf(dir)
-  }
+  /** Total input bytes under `dir`, resolved through the HADOOP FileSystem
+    * API so the probe works on any URI a cluster run would pass (s3://,
+    * hdfs://, file:/) — a `java.io.File` walk (the round-13 spelling)
+    * silently returned 0 for object-store URIs, collapsing the derived
+    * partition count to the 2×cores floor, exactly the configuration the
+    * round-11 sf100 audit measured OOMing (optimization round 14, VERDICT
+    * "What's wrong #1"). Returns 0 on ANY failure (missing path, no
+    * credentials, unreadable scheme) — [[scaleInitialPartitions]] treats
+    * 0 as "size unknown" and floors at the safe 512. */
+  def inputBytes(dir: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.getContentSummary(p).getLength
+    } catch { case _: Throwable => 0L }
 
   /** AQE initial shuffle-partition count DERIVED FROM INPUT SIZE instead
     * of a constant (optimization round 13; spark_optimization_guide §2.2/
@@ -363,6 +373,13 @@ object BenchCore {
     * capped at 4096 (initial count only — AQE coalesces down to the
     * advisory size; ops raises the cap for a >128 GB-input cluster run).
     *
+    * UNKNOWN input size (`inputBytes <= 0`: a failed size probe, an
+    * unreadable object-store path) floors at 512, NOT at 2×cores: the
+    * round-11 sf100 decade measured <512 initial partitions OOMing
+    * per-task aggregation state, so the fail-safe default must be the
+    * big-data-safe value — a too-high start count only costs AQE a
+    * coalesce, a too-low one kills the job (round 14, VERDICT #2).
+    *
     * Calibration points: sf0.1 (~17 MB) → 64 at 32 cores, where the old
     * constant 512 made every tiny exchange write 512 sort buckets per map
     * task and AQE plan over 512-partition statistics; sf100 (~17.5 GB) →
@@ -371,7 +388,30 @@ object BenchCore {
     * (AGGREGATE_OUT_OF_MEMORY at 32). Env SPARK_GRAFT_INITIAL_PARTS
     * overrides for A/B and for cluster ops. */
   def scaleInitialPartitions(inputBytes: Long, cpus: Int): Int =
-    math.min(4096, math.max(2 * cpus, (inputBytes / (32L << 20)).toInt))
+    if (inputBytes <= 0L) math.max(512, 2 * cpus)
+    else math.min(4096, math.max(2 * cpus, (inputBytes / (32L << 20)).toInt))
+
+  /** The derived-or-overridden AQE `initialPartitionNum` value shared by
+    * EVERY session builder (Bench, Verify, Probe, ExplainDump, PlanTime) —
+    * previously copy-pasted five times, where one drifting copy would
+    * silently diverge bench vs verify configs (round-13 ADVICE). A
+    * malformed SPARK_GRAFT_INITIAL_PARTS fails with a named message
+    * instead of a raw NumberFormatException. */
+  def initialPartitions(sfDir: String, cpus: Int): String =
+    initialPartitionsFrom(sys.env.get("SPARK_GRAFT_INITIAL_PARTS"), inputBytes(sfDir), cpus)
+
+  /** Pure core of [[initialPartitions]] (env + size probe injected) so the
+    * override parsing and the unknown-size floor are unit-testable. */
+  def initialPartitionsFrom(envOverride: Option[String], bytes: Long, cpus: Int): String =
+    envOverride match {
+      case Some(v) =>
+        try v.trim.toInt.toString
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"SPARK_GRAFT_INITIAL_PARTS must be an integer partition count, got '$v'")
+        }
+      case None => scaleInitialPartitions(bytes, cpus).toString
+    }
 
   /** Current commit id for window-assembly eligibility: resolves
     * .git/HEAD (following one symbolic ref, incl. packed-refs), truncated

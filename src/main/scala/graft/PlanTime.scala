@@ -30,9 +30,7 @@ object PlanTime {
       .config("spark.local.dir", LocalDirs.sparkLocalDir)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.get("SPARK_GRAFT_INITIAL_PARTS").map(_.toInt).getOrElse(
-          BenchCore.scaleInitialPartitions(
-            BenchCore.dirBytes(new java.io.File(sfDir)), cpus.toInt)).toString)
+        BenchCore.initialPartitions(sfDir, cpus.toInt))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT warmup on the tiny corpus (same as Bench).

@@ -27,6 +27,11 @@ object StreamProbe {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.local.dir", LocalDirs.sparkLocalDir)
       .config("spark.sql.adaptive.enabled", "true")
+      // initialPartitionNum is DELIBERATELY omitted (unlike Bench/Verify/
+      // Probe): streaming micro-batches plan without AQE partition
+      // coalescing, and the demos override shuffle.partitions per run
+      // (StreamingOps.withStateParts), so the knob would be dead config
+      // here — documented per round-13 ADVICE.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.streams.addListener(new StreamingQueryListener {

@@ -26,9 +26,7 @@ object Verify {
       // shuffles scale with data, AQE coalesces back; start count derives
       // from the input size (see BenchCore.scaleInitialPartitions)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.get("SPARK_GRAFT_INITIAL_PARTS").map(_.toInt).getOrElse(
-          BenchCore.scaleInitialPartitions(
-            BenchCore.dirBytes(new java.io.File(sfDir)), cpus.toInt)).toString)
+        BenchCore.initialPartitions(sfDir, cpus.toInt))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

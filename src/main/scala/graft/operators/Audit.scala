@@ -16,12 +16,14 @@ import graft.Tables
   * breaks.
   *
   * 100 TB shape: per edge, child rows collapse to per-key counts FIRST
-  * (one map-side-combined aggregation bounded by |distinct keys|), so both
-  * violation checks are anti-joins between a key set and a dimension —
-  * never a fact-sized shuffle on the probe side. Dimension sides are
-  * AQE-broadcast at any realistic size; the seven per-edge profiles are
-  * independent single-row aggregates unioned at the end (each runs as its
-  * own tiny stage — on a cluster they schedule concurrently).
+  * (one map-side-combined aggregation bounded by |distinct keys|), parents
+  * collapse to per-key counts likewise, and BOTH violation checks come out
+  * of ONE full-outer key join + ONE aggregate per edge (a full-outer join
+  * cannot broadcast — it runs as a key-partitioned SMJ/SHJ — but its
+  * inputs are per-key counts, never fact rows, so the shuffle is bounded
+  * by |distinct keys| a side). The seven per-edge profiles are independent
+  * single-row aggregates unioned at the end (each runs as its own tiny
+  * stage — on a cluster they schedule concurrently).
   */
 object Audit {
 
