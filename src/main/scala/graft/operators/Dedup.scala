@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.SortedIntersectExpression.{sorted_intersect_count, sorted_intersect_count3}
 import Similarity.{cosine, toDoubleVec}
 
 /** Document deduplication for training-data pipelines, each shape a
@@ -276,6 +277,12 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("ssd"))
       .select(col("doc_id"),
         expr("transform(ssd, x -> x.sh)").as("ss"), // canonical (df, sh) order
+        // hash-sorted twin for the SCORER's merge-intersect (r14, guide §4):
+        // the (df, sh) order above is what prefix filtering needs, but the
+        // per-pair intersection count only needs SOME shared total order —
+        // numeric order makes it a two-pointer merge. One extra per-doc
+        // array (docs-linear) buys allocation-free scoring (pairs-quadratic).
+        expr("array_sort(transform(ssd, x -> x.sh))").as("ssn"),
         size(col("ssd")).as("n"))
       .localCheckpoint()
     // Prefix length p = floor((1-t)*n) + 2: +1 is the theoretical bound,
@@ -288,9 +295,9 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ssa"), col("n").as("na")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ssb"), col("n").as("nb")), Seq("doc_b"))
-      .withColumn("n_common", size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("ssn").as("ssa"), col("n").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("ssn").as("ssb"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("n_common", sorted_intersect_count(col("ssa"), col("ssb")))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
       .filter(col("jaccard") >= threshold)
@@ -437,7 +444,9 @@ object Dedup {
     candidates
       .join(sets.select(col("doc_id").as("da"), col("ss").as("ssa"), col("n").as("na")), Seq("da"))
       .join(sets.select(col("doc_id").as("db"), col("ss").as("ssb"), col("n").as("nb")), Seq("db"))
-      .withColumn("n_common", size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
+      // ss is array_sort'ed hash values here (unlike ngramJaccard's
+      // df-ordered ss), so the merge-count applies directly (r14, §4)
+      .withColumn("n_common", sorted_intersect_count(col("ssa"), col("ssb")))
       .withColumn("containment_ppm", expr("n_common * 1000000 div least(na, nb)"))
       .filter(col("containment_ppm") >= tPpm)
       .select(
@@ -502,7 +511,9 @@ object Dedup {
       .join(sketches.select(col("doc_id").as("db"), col("sk").as("sb"), col("n").as("nb")), Seq("db"))
       .withColumn("m", expr(s"slice(array_sort(array_union(sa, sb)), 1, $k)"))
       .withColumn("ku", size(col("m")).cast("long"))
-      .withColumn("i", size(array_intersect(array_intersect(col("m"), col("sa")), col("sb"))).cast("long"))
+      // m/sa/sb are all sorted → one 3-pointer merge replaces the nested
+      // array_intersect pair (two hash sets + two arrays per pair; r14, §4)
+      .withColumn("i", sorted_intersect_count3(col("m"), col("sa"), col("sb")))
       .withColumn("inter_est", expr("i * (na + nb) div (ku + i)"))
       .withColumn("containment_est_ppm",
         expr("least(1000000L, inter_est * 1000000 div least(na, nb))"))
@@ -825,23 +836,34 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
     // Labels only ever decrease, so the label sum is a monotone convergence
-    // witness — ONE scalar action per round (the previous round's sum is
-    // carried over). coalesce: an empty pair graph sums to NULL.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).first().getLong(0)
-    var prevSum = labelSum(labels)
+    // witness. It rides the round's OWN materialization job via
+    // Dataset.observe (optimization round 14, VERDICT #5 / guide §2.1):
+    // the previous form ran a separate 1-row aggregate action per round on
+    // top of the eager checkpoint — two driver round-trips per round where
+    // one carries both. CollectMetrics computes the sum as the checkpoint
+    // job streams past; Observation.get returns it without re-executing.
+    // coalesce: an empty pair graph sums to NULL.
+    def observedSum(df: DataFrame): (DataFrame, () => Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df.observe(obs, coalesce(sum(col("label")), lit(0L)).as("label_sum"))
+        .localCheckpoint() // eager: materializes now, firing the observation
+      (out, () => obs.get("label_sum").asInstanceOf[Long])
+    }
+    val (labels0, sum0) = observedSum(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")))
+    var labels = labels0
+    var prevSum = sum0()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val prop = edges.join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("label"))
-      val next = labels.select(col("doc_id"), col("label")).union(prop)
-        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      val after = labelSum(next)
+      val (next, sumNext) = observedSum(
+        labels.select(col("doc_id"), col("label")).union(prop)
+          .groupBy(col("doc_id")).agg(min(col("label")).as("label")))
+      val after = sumNext()
       converged = prevSum == after
       prevSum = after
       labels = next
@@ -1177,7 +1199,8 @@ object Dedup {
         col("a.n").as("na"), col("b.n").as("nb"))
       .withColumn("m", expr(s"slice(array_sort(array_union(sa, sb)), 1, $k)"))
       .withColumn("ku", size(col("m")).cast("long"))
-      .withColumn("i", size(array_intersect(array_intersect(col("m"), col("sa")), col("sb"))).cast("long"))
+      // sorted inputs → 3-pointer merge count (r14, §4; see containmentKmvOf)
+      .withColumn("i", sorted_intersect_count3(col("m"), col("sa"), col("sb")))
       // inter_est caps at min(nA,nB) — a TRUE bound of the estimand the
       // raw ratio can exceed under heavy size skew (small A, huge B,
       // shared minima), and the cap keeps containment ≤ 1 by construction
@@ -1438,7 +1461,8 @@ object Dedup {
         col("hset").as("ha"), col("nsh").as("na")), Seq("doc_a"))
       .join(docsets.select(col("doc_id").as("doc_b"),
         col("hset").as("hb"), col("nsh").as("nb")), Seq("doc_b"))
-      .withColumn("inter", expr("size(array_intersect(ha, hb))").cast("long"))
+      // hset is sort_array(collect_set(...)) → merge-count applies (r14, §4)
+      .withColumn("inter", sorted_intersect_count(col("ha"), col("hb")))
       .withColumn("is_dup", when(col("inter") * lit(1000000L) >=
           lit(TuneJaccardPpm) * (col("na") + col("nb") - col("inter")), 1L)
         .otherwise(0L))

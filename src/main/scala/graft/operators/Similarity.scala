@@ -1506,10 +1506,23 @@ object Similarity {
     * method). The eval's cost IS the probes — the comparison adds
     * nothing. */
   def knnRecallCompressed(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
-    // Shared artifacts checkpoint LAZILY (eager = false): nine independent
+    // Shared artifacts checkpoint LAZILY (eager = false): the independent
     // materializations feed ONE final action here, and eager checkpoints
-    // would serialize as nine blocking driver jobs before any real work
+    // would serialize as blocking driver jobs before any real work
     // (the round-3 FK-audit lesson).
+    //
+    // FUSED per-method evaluation (optimization round 14, VERDICT #3 /
+    // guide §2.4): the previous form checkpointed each method's top-k
+    // SEPARATELY and ran count/overlap/assemble per method — 3 checkpoint
+    // materializations + 6 aggregations + 6 joins whose AQE exchange
+    // materialization is driver-sequenced (PlanTime: construction is half
+    // this query's wall time). The three top-k frames now UNION into one
+    // method-tagged frame behind ONE checkpoint, and both rollups
+    // (per-query index size, per-query overlap vs brute) come out of ONE
+    // aggregation each over (method, query); the per-method rows reassemble
+    // by a 3-row broadcast cross join against the brute counts. Values are
+    // identical: same per-method top-k inputs, same count/overlap/coalesce
+    // arithmetic, and the oracle hash-checks every row.
     val (encWideRaw, dtabRaw, adist) = pqParts(spark, sfDir)
     val encWide = encWideRaw.localCheckpoint(eager = false)
     val dtab = dtabRaw.localCheckpoint(eager = false)
@@ -1517,23 +1530,26 @@ object Similarity {
     val b = knnBrute(spark, sfDir, k)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint(eager = false)
     val nb = b.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
-    def methodRecall(method: String, topk: DataFrame): DataFrame = {
-      val v = topk.select(col("query_id").as("vq"), col("neighbor_id").as("vn"))
-        .localCheckpoint(eager = false)
-      val nv = v.groupBy(col("vq")).agg(count(lit(1)).as("n_index"))
-      val ov = b.join(v, col("query_id") === col("vq") && col("neighbor_id") === col("vn"))
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
-        .select(col("query_id").as("oq"), col("n_overlap"))
-      nb.join(nv, col("query_id") === col("vq"), "left")
-        .join(ov, col("query_id") === col("oq"), "left")
-        .select(lit(method).as("method"), col("query_id"), col("n_brute"),
-          coalesce(col("n_index"), lit(0L)).as("n_index"),
-          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
-        .withColumn("recall_fp", expr("(1000000 * n_overlap) div n_brute"))
-    }
-    methodRecall("sq8", knnSq8(spark, sfDir, k))
-      .unionByName(methodRecall("ivfpq", knnIvfPqOn(encWide, dtab, adist, assigned, k)))
-      .unionByName(methodRecall("rerank", knnIvfRerankOn(encWide, dtab, adist, assigned, k)))
+    def tagged(method: String, topk: DataFrame): DataFrame =
+      topk.select(lit(method).as("method"),
+        col("query_id").as("vq"), col("neighbor_id").as("vn"))
+    val allV = tagged("sq8", knnSq8(spark, sfDir, k))
+      .unionByName(tagged("ivfpq", knnIvfPqOn(encWide, dtab, adist, assigned, k)))
+      .unionByName(tagged("rerank", knnIvfRerankOn(encWide, dtab, adist, assigned, k)))
+      .localCheckpoint(eager = false)
+    val nv = allV.groupBy(col("method"), col("vq")).agg(count(lit(1)).as("n_index"))
+    val ov = allV.join(b, col("query_id") === col("vq") && col("neighbor_id") === col("vn"))
+      .groupBy(col("method").as("om"), col("vq").as("oq"))
+      .agg(count(lit(1)).as("n_overlap"))
+    import spark.implicits._
+    val methods = Seq("sq8", "ivfpq", "rerank").toDF("m")
+    nb.crossJoin(broadcast(methods))
+      .join(nv, col("m") === col("method") && col("query_id") === col("vq"), "left")
+      .join(ov, col("m") === col("om") && col("query_id") === col("oq"), "left")
+      .select(col("m").as("method"), col("query_id"), col("n_brute"),
+        coalesce(col("n_index"), lit(0L)).as("n_index"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_fp", expr("(1000000 * n_overlap) div n_brute"))
   }
 
   /** Oracle: the brute/SQ8/IVFPQ/rerank oracle queries as CTEs (each is a
